@@ -1,0 +1,102 @@
+"""Scalar-function surface (SURVEY.md section 2.8).
+
+Maps every scalar function the reference uses (MySQL + ClickHouse SQL) onto
+``pyspark.sql.functions`` equivalents, plus deterministic-aggregate helpers
+used throughout the query suite.
+
+Reference citations (file:line in /root/reference):
+- ELT          mysql-init/01-setup.sql:144-146      -> elt()
+- IF           mysql-init/01-setup.sql:172,225      -> iff()
+- NULLIF       scripts/iceberg-setup.sql:99         -> nullif_()
+- COALESCE     scripts/generate-more-data.sql:16    -> F.coalesce
+- toYYYYMM     scripts/compare-query-performance.sql:54 -> to_yyyymm()
+- toDate       scripts/iceberg-setup.sql:72         -> F.to_date
+- ROUND(x,2)   scripts/cross-database-analytics.sql:8 -> F.round
+- RAND/FLOOR   mysql-init/01-setup.sql:143-147      -> F.rand(seed)/F.floor
+
+Determinism note (why ``dsum``/``davg`` exist): floating-point SUM is
+order-dependent, and Spark's partial aggregation order differs run-to-run
+and engine-to-engine. Every money-sum in the query suite therefore rounds
+each row to an exact DECIMAL first, sums exactly, and casts the final
+result to double. DuckDB oracle SQL does the identical cast chain, so both
+engines produce bit-identical doubles regardless of partitioning. This also
+mirrors the reference semantics: its amounts are DECIMAL(10/12,2) end-to-end
+(mysql-init/01-setup.sql:43-44), so decimal summation *is* parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Scale used when snapping a double expression to an exact decimal before
+# exact summation. 6 fractional digits >> the 2 the data carries.
+_DEC = "decimal(30,6)"
+
+
+# ---------------------------------------------------------------------------
+# Deterministic aggregates
+# ---------------------------------------------------------------------------
+
+def dsum(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent SUM over a double column: exact decimal sum,
+    presented as double. Oracle twin: ``dsum_sql``."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DEC)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def dsum_sql(expr: str) -> str:
+    """DuckDB-side twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+
+
+def davg(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent AVG: exact decimal sum / count, as double,
+    rounded to 4 decimals (ample for money; makes division noise moot)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.round(
+        F.sum(c.cast(_DEC)).cast("double") / F.count(c).cast("double"), 4
+    )
+    return out.alias(alias) if alias else out
+
+
+def davg_sql(expr: str) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+        f" / CAST(COUNT({expr}) AS DOUBLE), 4)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference scalar functions
+# ---------------------------------------------------------------------------
+
+def elt(index: Column, *choices: str) -> Column:
+    """MySQL ``ELT(idx, 'a', 'b', ...)`` - 1-based pick from a literal list
+    (mysql-init/01-setup.sql:144-146)."""
+    return F.element_at(F.array(*[F.lit(c) for c in choices]), index)
+
+
+def iff(cond: Column, then: Column, otherwise: Column) -> Column:
+    """MySQL ``IF(cond, a, b)`` (mysql-init/01-setup.sql:172)."""
+    return F.when(cond, then).otherwise(otherwise)
+
+
+def nullif_(col: Column, value) -> Column:
+    """``NULLIF(x, v)`` divide-by-zero guard (scripts/iceberg-setup.sql:99)."""
+    return F.when(col == F.lit(value), F.lit(None)).otherwise(col)
+
+
+def to_yyyymm(ts: Column | str) -> Column:
+    """ClickHouse ``toYYYYMM(ts)`` -> int like 199701
+    (scripts/compare-query-performance.sql:54). Implemented as arithmetic so
+    the DuckDB oracle (``year(x)*100+month(x)``) is trivially identical."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return (F.year(c) * F.lit(100) + F.month(c)).cast("int")
+
+
+def money(col: Column, scale: int = 2) -> Column:
+    """ROUND(x, 2) money presentation (used by every analytics query in the
+    reference, e.g. scripts/cross-database-analytics.sql:8)."""
+    return F.round(col, scale)

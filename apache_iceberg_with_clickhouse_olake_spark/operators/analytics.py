@@ -1,0 +1,766 @@
+"""Reference analytics query suite (SURVEY.md sections 2.2-2.8).
+
+Each query re-expresses a reference operator over the driver star schema
+(FIXTURES.md section B binding). Citations point at the reference SQL the
+operator reproduces.
+
+Scale notes, applied throughout:
+- Aggregations are plain ``groupBy().agg()`` -> Catalyst plans partial
+  (map-side) aggregation before the shuffle, so the shuffle carries one row
+  per (partition, group), not per input row.
+- Dim joins (customer/nation/region/part/supplier) are broadcast: dims are
+  bounded (25 nations, 5 regions...) even at 100 TB fact scale, so we hint
+  ``F.broadcast`` explicitly rather than relying on size estimation.
+- Filters are expressed as Column predicates directly over the scan so they
+  push down to the parquet reader (verified by plans.assert_pushdown tests).
+- Money sums go through functions.dsum (exact decimal sum) -- deterministic
+  under any partitioning, see functions/__init__.py docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import davg, davg_sql, dsum, dsum_sql, iff, nullif_, to_yyyymm
+from ..sources.parquet import load_table
+from .registry import query
+
+# Fixed predicate anchors (the reference uses today()-INTERVAL 12 MONTH,
+# compare-query-performance.sql:58; our testdata is static so the rolling
+# window is anchored at a fixed date inside the data range for determinism).
+RECENT_DATE = "1999-01-01"
+HIGH_VALUE = 200000.0
+
+
+# ---------------------------------------------------------------------------
+# Test 1 (flagship): orders by status -- A2+A4+O1
+# compare-query-performance.sql:16-23, cross-database-analytics.sql:5-13
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_by_status",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS order_count,
+           {davg_sql('o_totalprice')} AS avg_order_value,
+           {dsum_sql('o_totalprice')} AS total_revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY order_count DESC
+    """,
+    tags=("A2", "A4", "O1"),
+)
+def orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-key grouped agg with COUNT/AVG/SUM + top-first ordering."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_count"),
+            davg("o_totalprice", "avg_order_value"),
+            dsum("o_totalprice", "total_revenue"),
+        )
+        .orderBy(F.col("order_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Test 2: monthly revenue trends -- A8+F13+O2
+# compare-query-performance.sql:52-60
+# ---------------------------------------------------------------------------
+
+@query(
+    "monthly_revenue",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT) AS order_month,
+           o_orderstatus,
+           COUNT(*) AS order_count,
+           {dsum_sql('o_totalprice')} AS total_revenue
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY order_month DESC, o_orderstatus
+    """,
+    tags=("A8", "F13", "O2"),
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key month-x-status rollup with toYYYYMM bucketing."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            to_yyyymm("o_orderdate").alias("order_month"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            dsum("o_totalprice", "total_revenue"),
+        )
+        .orderBy(F.col("order_month").desc(), "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Test 3: high-value filtered orders -- P3-P6 + A5
+# compare-query-performance.sql:93-101
+# ---------------------------------------------------------------------------
+
+@query(
+    "high_value_orders",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS order_count,
+           ROUND(MAX(o_totalprice), 2) AS max_amount,
+           {dsum_sql('o_totalprice')} AS total_revenue
+    FROM orders
+    WHERE o_totalprice > {HIGH_VALUE}
+      AND o_orderstatus IN ('O', 'F')
+      AND o_orderdate >= DATE '{RECENT_DATE}'
+    GROUP BY o_orderstatus
+    ORDER BY order_count DESC, o_orderstatus
+    """,
+    tags=("P3", "P4", "P5", "P6", "A5"),
+)
+def high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive numeric + IN-list + date-range predicates; all three
+    push down to the parquet scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_totalprice") > HIGH_VALUE)
+            & F.col("o_orderstatus").isin("O", "F")
+            & (F.col("o_orderdate") >= F.lit(RECENT_DATE).cast("date"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.round(F.max("o_totalprice"), 2).alias("max_amount"),
+            dsum("o_totalprice", "total_revenue"),
+        )
+        .orderBy(F.col("order_count").desc(), "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Test 4: exact distinct customers + derived ratio -- A6+A7+P8
+# compare-query-performance.sql:122-130, iceberg-setup.sql:96-99
+# ---------------------------------------------------------------------------
+
+@query(
+    "unique_customers",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS unique_customers,
+           COUNT(*) AS order_count,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / NULLIF(COUNT(DISTINCT o_custkey), 0), 2)
+             AS orders_per_customer,
+           {dsum_sql('o_totalprice')} AS total_revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY unique_customers DESC, o_orderstatus
+    """,
+    tags=("A6", "A7", "P8"),
+)
+def unique_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniqExact equivalent (exact countDistinct). At 100 TB the cheap
+    variant is approx_count_distinct -- exposed as
+    ``unique_customers_approx`` below (rows-only check, approximate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            F.count("*").alias("order_count"),
+            dsum("o_totalprice", "total_revenue"),
+        )
+        .withColumn(
+            "orders_per_customer",
+            F.round(
+                F.col("order_count").cast("double")
+                / nullif_(F.col("unique_customers"), 0),
+                2,
+            ),
+        )
+        .select(
+            "o_orderstatus",
+            "unique_customers",
+            "order_count",
+            "orders_per_customer",
+            "total_revenue",
+        )
+        .orderBy(F.col("unique_customers").desc(), "o_orderstatus")
+    )
+
+
+@query("unique_customers_approx", oracle=None, tags=("A6",))
+def unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct count -- the 100 TB-scale variant of A6 (single
+    pass, no per-key state explosion). No oracle: approximate by design."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: fact -> dim -> dim star join
+# mysql-init/01-setup.sql:308-320
+# ---------------------------------------------------------------------------
+
+@query(
+    "revenue_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS order_count,
+           {dsum_sql('o.o_totalprice')} AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY total_revenue DESC, nation
+    """,
+    tags=("J1", "A4", "O1"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop equi inner join; both dims broadcast (customer is the larger
+    dim -- at extreme scale it stays a shuffle join and AQE decides)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("order_count"),
+            dsum("o_totalprice", "total_revenue"),
+        )
+        .orderBy(F.col("total_revenue").desc(), "nation")
+    )
+
+
+@query(
+    "revenue_by_region",
+    oracle=f"""
+    SELECT r.r_name AS region,
+           COUNT(DISTINCT c.c_custkey) AS customers,
+           COUNT(*) AS order_count,
+           {dsum_sql('o.o_totalprice')} AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY total_revenue DESC, region
+    """,
+    tags=("J1", "A6"),
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-hop star join rolled up to region."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.countDistinct("c_custkey").alias("customers"),
+            F.count("*").alias("order_count"),
+            dsum("o_totalprice", "total_revenue"),
+        )
+        .orderBy(F.col("total_revenue").desc(), "region")
+    )
+
+
+@query(
+    "segment_lineitem_revenue",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS line_count,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY revenue DESC, segment
+    """,
+    tags=("J1",),
+)
+def segment_lineitem_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact-to-dim join (lineitem |><| orders |><| customer). At scale
+    lineitem|><|orders is the big shuffle: both sides hash-partition on
+    orderkey; customer broadcasts."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("line_count"),
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+        .orderBy(F.col("revenue").desc(), "segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: grouped MIN/MAX on timestamps -- cross-database-analytics.sql:9-10
+# ---------------------------------------------------------------------------
+
+@query(
+    "order_date_range",
+    oracle="""
+    SELECT o_orderstatus,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS most_recent_order,
+           COUNT(*) AS order_count
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("A3",),
+)
+def order_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("most_recent_order"),
+            F.count("*").alias("order_count"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 + U1: per-table COUNT(*) stacked with UNION ALL
+# iceberg-setup.sql:13,23,33,43; generate-more-data.sql:190-196
+# ---------------------------------------------------------------------------
+
+_COUNT_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+
+@query(
+    "table_counts",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, COUNT(*) AS row_count FROM {t}"
+        for t in _COUNT_TABLES
+    )
+    + " ORDER BY table_name",
+    tags=("A1", "U1"),
+)
+def table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-count assertion block, the reference's post-step smoke check."""
+    parts = []
+    for t in _COUNT_TABLES:
+        df = load_table(spark, sf_dir, t)
+        parts.append(
+            df.agg(F.count("*").alias("row_count")).select(
+                F.lit(t).alias("table_name"), "row_count"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# U3: DISTINCT projection -- BLOG_POST_COMPLETE_WALKTHROUGH.md:355
+# ---------------------------------------------------------------------------
+
+@query(
+    "distinct_status",
+    oracle="SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus",
+    tags=("U3",),
+)
+def distinct_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus").distinct().orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# U-ext: INTERSECT / EXCEPT (free via Spark set ops; extension beyond ref)
+# ---------------------------------------------------------------------------
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    ORDER BY c_custkey
+    """,
+    tags=("U-ext",),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op; at scale this is a left-anti join on the key."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.exceptAll(orders.distinct()).distinct().orderBy("c_custkey")
+
+
+@query(
+    "multi_segment_nations",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    ORDER BY c_nationkey
+    """,
+    tags=("U-ext",),
+)
+def multi_segment_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (nations having customers in both segments)."""
+    customer = load_table(spark, sf_dir, "customer")
+    a = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = customer.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    return a.intersect(b).orderBy("c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# O1+O3: top-N -- ORDER BY agg DESC LIMIT n
+# ---------------------------------------------------------------------------
+
+@query(
+    "top_customers",
+    oracle=f"""
+    SELECT o_custkey,
+           COUNT(*) AS order_count,
+           {dsum_sql('o_totalprice')} AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY total_spent DESC, o_custkey
+    LIMIT 10
+    """,
+    tags=("O1", "O3"),
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by revenue. orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition top-k then merge -- no global sort at scale). Tie-broken
+    by key so the result set is deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("order_count"),
+            dsum("o_totalprice", "total_spent"),
+        )
+        .orderBy(F.col("total_spent").desc(), "o_custkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1+P2: silver projection/rename/derivation -- iceberg-setup.sql:66-75
+# ---------------------------------------------------------------------------
+
+@query(
+    "silver_projection",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           o_custkey AS user_id,
+           o_orderstatus AS status,
+           CAST(o_orderdate AS DATE) AS order_month,
+           o_orderdate AS order_date,
+           o_totalprice AS total_amount
+    FROM orders
+    ORDER BY order_id
+    """,
+    tags=("P1", "P2"),
+)
+def silver_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned rename + toDate derivation (the silver table shape).
+    Only 6 of the table's columns are read (ReadSchema pruning)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.to_date("o_orderdate").alias("order_month"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").alias("total_amount"),
+    ).orderBy("order_id")
+
+
+# ---------------------------------------------------------------------------
+# F1-F8, F16: scalar-function projection exercise
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CONCAT('ord-', CAST(o_orderkey AS VARCHAR), '/', o_orderstatus) AS tag,
+           CASE CAST(substr(o_orderpriority, 1, 1) AS INT)
+                WHEN 1 THEN 'urgent' WHEN 2 THEN 'high' WHEN 3 THEN 'medium'
+                WHEN 4 THEN 'none' WHEN 5 THEN 'low' END AS priority_label,
+           CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+           CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_flag,
+           ROUND(o_totalprice / NULLIF(FLOOR(o_totalprice / 50000), 0), 2)
+             AS per_bucket,
+           COALESCE(ROUND(o_totalprice / NULLIF(FLOOR(o_totalprice / 50000), 0), 2),
+                    0.0) AS per_bucket_filled
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("F1", "F2", "F3", "F5", "F6", "F7", "F8", "F16"),
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCAT / ELT / IF / FLOOR / ROUND / NULLIF / COALESCE / arithmetic --
+    the reference generator's scalar surface (mysql-init/01-setup.sql:141-173)
+    as one deterministic projection."""
+    from ..functions import elt
+
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000)
+    per_bucket = F.round(F.col("o_totalprice") / nullif_(bucket, 0), 2)
+    return orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("ord-"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("/"),
+            F.col("o_orderstatus"),
+        ).alias("tag"),
+        elt(
+            F.substring("o_orderpriority", 1, 1).cast("int"),
+            "urgent", "high", "medium", "none", "low",
+        ).alias("priority_label"),
+        bucket.cast("bigint").alias("price_bucket"),
+        iff(F.col("o_totalprice") > 200000, F.lit("big"), F.lit("small")).alias(
+            "size_flag"
+        ),
+        per_bucket.alias("per_bucket"),
+        F.coalesce(per_bucket, F.lit(0.0)).alias("per_bucket_filled"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary (composite of A2/A4/A6/P5 over lineitem)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("A2", "A4", "P5"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped wide aggregate over the biggest fact table; the
+    canonical map-side-combine benchmark query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: time-bucketed rollups (A8 over the events stream table)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_by_type",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS event_count,
+           COUNT(DISTINCT user_id) AS unique_users,
+           {dsum_sql('value')} AS total_value,
+           {davg_sql('value')} AS avg_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_count DESC, event_type
+    """,
+    tags=("A2", "A6"),
+)
+def events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.countDistinct("user_id").alias("unique_users"),
+            dsum("value", "total_value"),
+            davg("value", "avg_value"),
+        )
+        .orderBy(F.col("event_count").desc(), "event_type")
+    )
+
+
+@query(
+    "daily_active_users",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS active_users,
+           COUNT(*) AS event_count,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+    """,
+    tags=("A8", "F14"),
+)
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-bucketed distinct users -- the hypertable-rollup shape. At scale
+    the day bucket is also the natural partition key for the events lake
+    table (reference partitions user_sessions by day(login_time),
+    destination.json:66-71)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count("*").alias("event_count"),
+            dsum("value", "total_value"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9: point lookup via scalar subquery / broadcast lookup
+# mysql-init/01-setup.sql:219
+# ---------------------------------------------------------------------------
+
+@query(
+    "order_part_lookup",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name, p.p_retailprice,
+           ROUND(l.l_quantity * p.p_retailprice, 2) AS retail_value
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_orderkey < 100
+    ORDER BY l.l_orderkey, l.l_linenumber
+    """,
+    tags=("P9", "J3"),
+)
+def order_part_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row key lookup (the reference does it as a correlated scalar
+    subquery in its generator loop) -- expressed as a broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_name",
+            "p_retailprice",
+            F.round(F.col("l_quantity") * F.col("p_retailprice"), 2).alias(
+                "retail_value"
+            ),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10: GROUP BY distribution profiling -- inspect-mysql-data.sh:38-46
+# ---------------------------------------------------------------------------
+
+@query(
+    "profile_distributions",
+    oracle="""
+    SELECT 'orders.status' AS dimension, o_orderstatus AS value, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'customer.mktsegment', c_mktsegment, COUNT(*) FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'part.brand', p_brand, COUNT(*) FROM part GROUP BY p_brand
+    ORDER BY dimension, value
+    """,
+    tags=("A10", "U1"),
+)
+def profile_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-distribution inspection helper (categorical profiling)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    def dist(df: DataFrame, dim: str, col: str) -> DataFrame:
+        return df.groupBy(F.col(col).alias("value")).agg(
+            F.count("*").alias("cnt")
+        ).select(F.lit(dim).alias("dimension"), "value", "cnt")
+
+    return (
+        dist(orders, "orders.status", "o_orderstatus")
+        .unionByName(dist(customer, "customer.mktsegment", "c_mktsegment"))
+        .unionByName(dist(part, "part.brand", "p_brand"))
+        .orderBy("dimension", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11: COALESCE(MAX(id),0) scalar bootstrap -- generate-more-data.sql:16-17
+# ---------------------------------------------------------------------------
+
+@query(
+    "max_key_bootstrap",
+    oracle="""
+    SELECT COALESCE(MAX(o_orderkey), 0) AS max_order_key,
+           COALESCE(MAX(o_custkey), 0) AS max_cust_key
+    FROM orders
+    """,
+    tags=("A11", "F8"),
+)
+def max_key_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.coalesce(F.max("o_orderkey"), F.lit(0)).alias("max_order_key"),
+        F.coalesce(F.max("o_custkey"), F.lit(0)).alias("max_cust_key"),
+    )

@@ -1,0 +1,67 @@
+"""Lake table access (reference ops S1/S2, scripts/iceberg-setup.sql:5-43).
+
+The reference registers Iceberg REST-catalog tables then scans them; here a
+"lake" is a directory of parquet tables (the driver's testdata layout), and
+registration is ``spark.read.parquet`` + ``createOrReplaceTempView``. The
+declarative read path means Catalyst gets predicate pushdown, column
+pruning, and partition pruning for free on every downstream query.
+
+Scale: ``spark.read.parquet`` on a directory is already the 100 TB path -
+file listing is distributed, scans split by ``maxPartitionBytes``, and
+filters/projections reach the parquet reader (see plans.assert_pushdown).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver star schema (TESTDATA.md) + extension tables.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to always broadcast in joins.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1/S2: scan one lake table (inline, no registration needed)."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """S1: register lake tables for ``spark.sql`` access (the Spark
+    equivalent of the reference's CREATE TABLE ... ENGINE=Iceberg(...) block,
+    scripts/iceberg-setup.sql:5-43)."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
