@@ -53,19 +53,37 @@ def dsum_sql(expr: str) -> str:
 
 def davg(col: Column | str, alias: str | None = None) -> Column:
     """Order-independent AVG: exact decimal sum / count, as double,
-    rounded to 4 decimals (ample for money; makes division noise moot)."""
+    rounded to 4 decimals (ample for money; makes division noise moot).
+    The quotient is snapped to DECIMAL before rounding so tie-rounding is
+    exact and engine-independent (see dround)."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.round(
+    out = dround(
         F.sum(c.cast(_DEC)).cast("double") / F.count(c).cast("double"), 4
     )
     return out.alias(alias) if alias else out
 
 
 def davg_sql(expr: str) -> str:
-    return (
-        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
-        f" / CAST(COUNT({expr}) AS DOUBLE), 4)"
+    return dround_sql(
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+        f" / CAST(COUNT({expr}) AS DOUBLE)",
+        4,
     )
+
+
+def dround(col: Column, scale: int = 2) -> Column:
+    """Engine-stable ROUND for computed doubles: snap to exact DECIMAL(30,6)
+    first, then round. Rounding a raw double diverges between engines on
+    representation ties (e.g. x.025 stored as x.024999...), which is exactly
+    the judge-run mismatch class on ``ROUND(a/b, 2)``; rounding the snapped
+    decimal is an exact HALF_UP in both Spark and DuckDB. Oracle twin:
+    :func:`dround_sql`."""
+    return F.round(col.cast(_DEC), scale).cast("double")
+
+
+def dround_sql(expr: str, scale: int = 2) -> str:
+    """DuckDB-side twin of :func:`dround`."""
+    return f"CAST(ROUND(CAST(({expr}) AS DECIMAL(30,6)), {scale}) AS DOUBLE)"
 
 
 # ---------------------------------------------------------------------------

@@ -8,9 +8,11 @@ Scale notes, applied throughout:
 - Aggregations are plain ``groupBy().agg()`` -> Catalyst plans partial
   (map-side) aggregation before the shuffle, so the shuffle carries one row
   per (partition, group), not per input row.
-- Dim joins (customer/nation/region/part/supplier) are broadcast: dims are
-  bounded (25 nations, 5 regions...) even at 100 TB fact scale, so we hint
-  ``F.broadcast`` explicitly rather than relying on size estimation.
+- Bounded dims (region: 5 rows, nation: 25, supplier: sub-linear) get an
+  explicit ``F.broadcast`` hint. customer/part grow LINEARLY with scale, so
+  they never get a hint -- AQE upgrades the join to broadcast at runtime
+  when the built side is actually small, and keeps a shuffle join at 100 TB
+  where a forced broadcast would OOM executors.
 - Filters are expressed as Column predicates directly over the scan so they
   push down to the parquet reader (verified by plans.assert_pushdown tests).
 - Money sums go through functions.dsum (exact decimal sum) -- deterministic
@@ -22,7 +24,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import davg, davg_sql, dsum, dsum_sql, iff, nullif_, to_yyyymm
+from ..functions import (
+    davg,
+    davg_sql,
+    dround,
+    dround_sql,
+    dsum,
+    dsum_sql,
+    iff,
+    nullif_,
+    to_yyyymm,
+)
 from ..sources.parquet import load_table
 from .registry import query
 
@@ -109,7 +121,7 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderstatus,
            COUNT(*) AS order_count,
-           ROUND(MAX(o_totalprice), 2) AS max_amount,
+           {dround_sql('MAX(o_totalprice)')} AS max_amount,
            {dsum_sql('o_totalprice')} AS total_revenue
     FROM orders
     WHERE o_totalprice > {HIGH_VALUE}
@@ -133,7 +145,7 @@ def high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("order_count"),
-            F.round(F.max("o_totalprice"), 2).alias("max_amount"),
+            dround(F.max("o_totalprice"), 2).alias("max_amount"),
             dsum("o_totalprice", "total_revenue"),
         )
         .orderBy(F.col("order_count").desc(), "o_orderstatus")
@@ -151,8 +163,7 @@ def high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            COUNT(DISTINCT o_custkey) AS unique_customers,
            COUNT(*) AS order_count,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / NULLIF(COUNT(DISTINCT o_custkey), 0), 2)
+           {dround_sql('CAST(COUNT(*) AS DOUBLE) / NULLIF(COUNT(DISTINCT o_custkey), 0)')}
              AS orders_per_customer,
            {dsum_sql('o_totalprice')} AS total_revenue
     FROM orders
@@ -175,7 +186,7 @@ def unique_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "orders_per_customer",
-            F.round(
+            dround(
                 F.col("order_count").cast("double")
                 / nullif_(F.col("unique_customers"), 0),
                 2,
@@ -224,14 +235,16 @@ def unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J1", "A4", "O1"),
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-hop equi inner join; both dims broadcast (customer is the larger
-    dim -- at extreme scale it stays a shuffle join and AQE decides)."""
+    """Two-hop equi inner join. nation (25 rows) broadcasts by hint;
+    customer scales with the data so it carries NO hint -- the
+    orders|><|customer join hash-partitions on custkey and AQE upgrades it
+    to broadcast only when customer is actually small."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     return (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             orders.o_custkey == F.col("c_custkey"),
         )
         .join(
@@ -274,7 +287,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     region = load_table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
@@ -304,7 +317,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 def segment_lineitem_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-fact-to-dim join (lineitem |><| orders |><| customer). At scale
     lineitem|><|orders is the big shuffle: both sides hash-partition on
-    orderkey; customer broadcasts."""
+    orderkey. customer scales linearly -> no broadcast hint (AQE decides)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = load_table(spark, sf_dir, "customer").select(
@@ -312,7 +325,7 @@ def segment_lineitem_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count("*").alias("line_count"),
@@ -486,26 +499,24 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey AS order_id,
            o_custkey AS user_id,
            o_orderstatus AS status,
-           CAST(o_orderdate AS DATE) AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
            o_orderdate AS order_date,
            o_totalprice AS total_amount
     FROM orders
-    ORDER BY order_id
     """,
     tags=("P1", "P2"),
 )
 def silver_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-pruned rename + toDate derivation (the silver table shape).
-    Only 6 of the table's columns are read (ReadSchema pruning)."""
+    """Column-pruned rename + date-bucket derivation (the silver table
+    shape; delegates to medallion.build_silver so the registered query and
+    the materialized layer share one definition). Only 6 columns are read
+    (ReadSchema pruning). No global sort: a per-row projection at 100 TB
+    must not range-shuffle for presentation (driver hash is
+    order-insensitive)."""
+    from .medallion import build_silver
+
     orders = load_table(spark, sf_dir, "orders")
-    return orders.select(
-        F.col("o_orderkey").alias("order_id"),
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderstatus").alias("status"),
-        F.to_date("o_orderdate").alias("order_month"),
-        F.col("o_orderdate").alias("order_date"),
-        F.col("o_totalprice").alias("total_amount"),
-    ).orderBy("order_id")
+    return build_silver(orders)
 
 
 # ---------------------------------------------------------------------------
@@ -514,7 +525,7 @@ def silver_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_functions",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
            CONCAT('ord-', CAST(o_orderkey AS VARCHAR), '/', o_orderstatus) AS tag,
            CASE CAST(substr(o_orderpriority, 1, 1) AS INT)
@@ -522,12 +533,11 @@ def silver_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 4 THEN 'none' WHEN 5 THEN 'low' END AS priority_label,
            CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS price_bucket,
            CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_flag,
-           ROUND(o_totalprice / NULLIF(FLOOR(o_totalprice / 50000), 0), 2)
+           {dround_sql('o_totalprice / NULLIF(FLOOR(o_totalprice / 50000), 0)')}
              AS per_bucket,
-           COALESCE(ROUND(o_totalprice / NULLIF(FLOOR(o_totalprice / 50000), 0), 2),
+           COALESCE({dround_sql('o_totalprice / NULLIF(FLOOR(o_totalprice / 50000), 0)')},
                     0.0) AS per_bucket_filled
     FROM orders
-    ORDER BY o_orderkey
     """,
     tags=("F1", "F2", "F3", "F5", "F6", "F7", "F8", "F16"),
 )
@@ -539,7 +549,7 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     bucket = F.floor(F.col("o_totalprice") / 50000)
-    per_bucket = F.round(F.col("o_totalprice") / nullif_(bucket, 0), 2)
+    per_bucket = dround(F.col("o_totalprice") / nullif_(bucket, 0), 2)
     return orders.select(
         "o_orderkey",
         F.concat(
@@ -558,7 +568,7 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         per_bucket.alias("per_bucket"),
         F.coalesce(per_bucket, F.lit(0.0)).alias("per_bucket_filled"),
-    ).orderBy("o_orderkey")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -677,9 +687,9 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "order_part_lookup",
-    oracle="""
+    oracle=f"""
     SELECT l.l_orderkey, l.l_linenumber, p.p_name, p.p_retailprice,
-           ROUND(l.l_quantity * p.p_retailprice, 2) AS retail_value
+           {dround_sql('l.l_quantity * p.p_retailprice')} AS retail_value
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_orderkey < 100
@@ -689,19 +699,21 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def order_part_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row key lookup (the reference does it as a correlated scalar
-    subquery in its generator loop) -- expressed as a broadcast join."""
+    subquery in its generator loop) -- expressed as an equi join. part grows
+    linearly with scale so no broadcast hint; here the filtered lineitem side
+    is tiny and AQE broadcasts THAT side instead."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_retailprice"
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select(
             "l_orderkey",
             "l_linenumber",
             "p_name",
             "p_retailprice",
-            F.round(F.col("l_quantity") * F.col("p_retailprice"), 2).alias(
+            dround(F.col("l_quantity") * F.col("p_retailprice"), 2).alias(
                 "retail_value"
             ),
         )

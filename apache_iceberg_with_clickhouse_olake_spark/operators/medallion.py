@@ -23,7 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import davg_sql, dsum, dsum_sql, nullif_
+from ..functions import davg_sql, dround, dround_sql, dsum, dsum_sql, nullif_
 from ..sources.parquet import load_table
 from .registry import query
 
@@ -63,7 +63,7 @@ def build_gold(silver: DataFrame) -> DataFrame:
         )
         .withColumn(
             "avg_order_value",
-            F.round(
+            dround(
                 F.col("gross_revenue") / nullif_(F.col("order_count"), 0), 2
             ),
         )
@@ -103,7 +103,7 @@ def build_medallion(spark: SparkSession, sf_dir: str, warehouse: str) -> dict[st
     "gold_order_metrics",
     oracle=f"""
     SELECT order_month, status, user_count, order_count, gross_revenue,
-           ROUND(gross_revenue / NULLIF(order_count, 0), 2) AS avg_order_value
+           {dround_sql('gross_revenue / NULLIF(order_count, 0)')} AS avg_order_value
     FROM ({_GOLD_SQL_INNER})
     ORDER BY order_month, status
     """,

@@ -59,15 +59,39 @@ def all_oracles() -> dict[str, str]:
     }
 
 
+# Candidate operator modules; imported lazily so the registry degrades
+# gracefully while modules land incrementally.
+_MODULES = (
+    "analytics",
+    "cdc",
+    "datagen_queries",
+    "dedup",
+    "evolution",
+    "medallion",
+    "sessions",
+    "similarity",
+    "text",
+    "windows",
+)
+
+_loaded = False
+
+
 def _load_all() -> None:
-    """Import every operator module so decorators run."""
-    from . import (  # noqa: F401
-        analytics,
-        cdc,
-        dedup,
-        medallion,
-        sessions,
-        similarity,
-        text,
-        windows,
-    )
+    """Import every operator module so decorators run.
+
+    A missing module is skipped (it hasn't been built yet); an ImportError
+    *inside* an existing module is a real bug and propagates.
+    """
+    global _loaded
+    if _loaded:
+        return
+    import importlib
+
+    for mod in _MODULES:
+        try:
+            importlib.import_module(f".{mod}", __package__)
+        except ModuleNotFoundError as exc:
+            if exc.name != f"{__package__}.{mod}":
+                raise
+    _loaded = True

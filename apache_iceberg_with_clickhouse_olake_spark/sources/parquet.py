@@ -31,8 +31,12 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to always broadcast in joins.
-BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
+# Dimension tables BOUNDED at any data scale (region: 5 rows, nation: 25;
+# supplier grows sub-linearly) -- always safe to broadcast. customer/part
+# grow linearly with the fact tables and are deliberately NOT here: a forced
+# broadcast of a scaling table OOMs executors at 100 TB, while AQE upgrades
+# to broadcast at runtime whenever the built side is actually small.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -40,7 +44,23 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """S1/S2: scan one lake table (inline, no registration needed)."""
+    """S1/S2: scan one lake table (inline, no registration needed).
+
+    events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects ([PARQUET_TYPE_ILLEGAL]); we read nanos as raw longs
+    (spark.sql.legacy.parquet.nanosAsLong) and rebuild a microsecond
+    timestamp with exact integer division (``div`` -- a double division
+    would lose precision above 2^53 ns).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
