@@ -114,6 +114,49 @@ def to_yyyymm(ts: Column | str) -> Column:
     return (F.year(c) * F.lit(100) + F.month(c)).cast("int")
 
 
+# ---------------------------------------------------------------------------
+# Cross-engine deterministic hashing & tokenization (LLM-pipeline ops)
+# ---------------------------------------------------------------------------
+# Spark's hash() is murmur3 and DuckDB's hash() is its own 64-bit hash, so
+# neither can be oracle-checked. md5 is identical everywhere; a 15-hex-digit
+# (60-bit) prefix fits a signed int64 in both engines, giving one shared
+# deterministic integer hash -- the basis for minhash/LSH/datagen parity.
+
+
+def md5_int60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_int60_sql(expr: str) -> str:
+    """DuckDB twin of :func:`md5_int60`."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def norm_text(col: Column) -> Column:
+    """Whitespace-collapsed, trimmed, lowercased text (dedup canonical
+    form)."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def norm_text_sql(expr: str) -> str:
+    return f"lower(trim(regexp_replace({expr}, '\\s+', ' ', 'g')))"
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens with empties dropped."""
+    return F.filter(
+        F.split(F.lower(col), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '\\s+'),"
+        " x -> x <> '')"
+    )
+
+
 def money(col: Column, scale: int = 2) -> Column:
     """ROUND(x, 2) money presentation (used by every analytics query in the
     reference, e.g. scripts/cross-database-analytics.sql:8)."""

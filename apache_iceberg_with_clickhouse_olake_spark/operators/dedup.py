@@ -1,0 +1,357 @@
+"""Deduplication operators over ``documents`` (north-star LLM-pipeline
+surface; the reference has no dedup -- its upsert keys serve that role,
+olake-config/destination.json:133).
+
+Design for 100 TB:
+- Exact dedup is a hash-groupBy on a 60-bit canonical-text fingerprint --
+  one shuffle keyed by the fingerprint, map-side partial aggregation.
+- Near-dedup is MinHash + LSH: per-row signature (no shuffle), band-hash
+  explode (4 rows/doc), groupBy/self-join ON (band_id, band_hash) -- only
+  docs sharing a band bucket ever meet, NEVER an all-pairs cross join.
+  Candidate pairs then get exact shingle-Jaccard verification.
+- SimHash is a vectorized Pandas UDF (Arrow batches) producing one int64
+  per doc; near-dup candidates are docs whose fingerprints share a 16-bit
+  band (same bucketed pattern, rows-only check since Python-side hashing
+  isn't oracle-expressible).
+
+All hash arithmetic is md5-derived (functions.md5_int60) so the DuckDB
+oracle reproduces Spark bit-for-bit from shared constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import (
+    dround,
+    dround_sql,
+    md5_int60,
+    md5_int60_sql,
+    norm_text,
+    norm_text_sql,
+    tokens,
+    tokens_sql,
+)
+from ..sources.parquet import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Shared minhash constants (inlined into BOTH engines' expressions)
+# ---------------------------------------------------------------------------
+
+_P = 1_000_000_007  # 30-bit prime: a*(x%P) stays well inside int64
+_N_HASHES = 16
+_N_BANDS = 4
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+# Deterministic Knuth-style multiplicative constants.
+_A = [(2_654_435_761 * (i + 1) + 1) % _P for i in range(_N_HASHES)]
+_B = [(2_246_822_519 * (i + 1) + 13) % _P for i in range(_N_HASHES)]
+
+_JACCARD_THRESHOLD = 0.5
+
+_NORM = norm_text_sql("text")
+_TOKS = tokens_sql("text")
+
+# Word 3-gram shingles (DuckDB side). Falls back to the whole normalized
+# text when a doc has fewer than 3 tokens.
+_SHINGLES_SQL = f"""
+    CASE WHEN len({_TOKS}) >= 3 THEN
+      list_distinct(list_transform(range(1, len({_TOKS}) - 1),
+        j -> concat_ws(' ', {_TOKS}[j], {_TOKS}[j+1], {_TOKS}[j+2])))
+    ELSE [{_NORM}] END
+"""
+
+
+def shingles(text_col: Column) -> Column:
+    """Distinct word 3-gram shingles (Spark side; twin of _SHINGLES_SQL)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda j: F.concat_ws(
+            " ",
+            F.element_at(toks, j),
+            F.element_at(toks, j + 1),
+            F.element_at(toks, j + 2),
+        ),
+    )
+    return F.when(n >= 3, F.array_distinct(grams)).otherwise(
+        F.array(norm_text(text_col))
+    )
+
+
+def _minhash_sig(shingle_col: Column, i: int) -> Column:
+    """i-th minhash: min over shingles of (a_i * (md5_60(s) % P) + b_i) % P."""
+    return F.array_min(
+        F.transform(
+            shingle_col,
+            lambda s: (F.lit(_A[i]) * (md5_int60(s) % _P) + F.lit(_B[i])) % _P,
+        )
+    )
+
+
+def _minhash_sig_sql(i: int) -> str:
+    return (
+        f"list_min(list_transform(shingles, s -> "
+        f"({_A[i]} * ({md5_int60_sql('s')} % {_P}) + {_B[i]}) % {_P}))"
+    )
+
+
+def _band_hash(sig_cols: list[Column], band: int) -> Column:
+    lo = band * _ROWS_PER_BAND
+    return md5_int60(
+        F.concat_ws(",", *[c.cast("string") for c in sig_cols[lo:lo + _ROWS_PER_BAND]])
+    )
+
+
+def _band_hash_sql(band: int) -> str:
+    lo = band * _ROWS_PER_BAND
+    parts = ", ".join(f"CAST(h{i} AS VARCHAR)" for i in range(lo, lo + _ROWS_PER_BAND))
+    return md5_int60_sql(f"concat_ws(',', {parts})")
+
+
+def _with_band_hashes(docs: DataFrame) -> DataFrame:
+    """doc_id + b0..b{n-1} band-hash columns, computed in one projection."""
+    sh = shingles(F.col("text")).alias("shingles")
+    sig_df = docs.select("doc_id", sh).select(
+        "doc_id",
+        *[_minhash_sig(F.col("shingles"), i).alias(f"h{i}") for i in range(_N_HASHES)],
+    )
+    sig_cols = [F.col(f"h{i}") for i in range(_N_HASHES)]
+    return sig_df.select(
+        "doc_id",
+        *[_band_hash(sig_cols, b).alias(f"b{b}") for b in range(_N_BANDS)],
+    )
+
+
+_SIG_CTE = f"""
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f'{_minhash_sig_sql(i)} AS h{i}' for i in range(_N_HASHES))}
+      FROM (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents)
+    ),
+    bands_wide AS (
+      SELECT doc_id,
+             {', '.join(f'{_band_hash_sql(b)} AS b{b}' for b in range(_N_BANDS))}
+      FROM sigs
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_stats",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS docs,
+           COUNT(DISTINCT md5({_NORM})) AS distinct_docs,
+           COUNT(*) - COUNT(DISTINCT md5({_NORM})) AS exact_dups
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm-dedup", "A6"),
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate accounting per source: hash-groupBy on the canonical
+    fingerprint (the one-shuffle exact dedup shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(norm_text(F.col("text")))
+    return (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.countDistinct("fp").alias("distinct_docs"),
+            (F.count("*") - F.countDistinct("fp")).alias("exact_dups"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dedup_keep_first",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM}) AS fingerprint
+    FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY md5({_NORM}) ORDER BY doc_id) = 1
+    """,
+    tags=("llm-dedup",),
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the lowest doc_id per fingerprint -- the
+    row_number-over-key pattern (same shape as the CDC read-side dedupe).
+    One shuffle keyed by fingerprint; no skew (fingerprints are uniform)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(norm_text(F.col("text")))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures -> LSH band buckets -> verified candidate pairs
+# ---------------------------------------------------------------------------
+
+@query(
+    "minhash_band_buckets",
+    oracle=f"""
+    WITH {_SIG_CTE}
+    SELECT * FROM bands_wide
+    """,
+    tags=("llm-dedup",),
+)
+def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc LSH band hashes (16 minhashes -> 4 bands of 4). Pure per-row
+    projection: signatures never shuffle; only the 60-bit band hashes do."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _with_band_hashes(docs)
+
+
+@query(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_SIG_CTE},
+    bands AS (
+      {' UNION ALL '.join(
+          f"SELECT doc_id, {b} AS band_id, b{b} AS band_hash FROM bands_wide"
+          for b in range(_N_BANDS)
+      )}
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents)
+    SELECT p.doc_a, p.doc_b,
+           {dround_sql(
+               'CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)'
+               ' / len(list_distinct(list_concat(sa.shingles, sb.shingles)))',
+               4,
+           )} AS jaccard,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+             >= {_JACCARD_THRESHOLD} AS near_dup
+    FROM pairs p
+    JOIN sh sa ON p.doc_a = sa.doc_id
+    JOIN sh sb ON p.doc_b = sb.doc_id
+    """,
+    tags=("llm-dedup",),
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: band-bucket join for candidates, then
+    exact shingle-Jaccard verification of ONLY those pairs. The join is
+    keyed on (band_id, band_hash) so cost scales with bucket collisions,
+    not n^2 -- the 100 TB-safe shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands_wide = _with_band_hashes(docs)
+    bands = None
+    for b in range(_N_BANDS):
+        part = bands_wide.select(
+            "doc_id", F.lit(b).alias("band_id"), F.col(f"b{b}").alias("band_hash")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    x, y = bands.alias("x"), bands.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("shingles"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    jac_raw = (
+        F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+        .cast("double")
+        / F.size(F.array_union(F.col("sa.shingles"), F.col("sb.shingles")))
+    )
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            dround(jac_raw, 4).alias("jaccard"),
+            (jac_raw >= _JACCARD_THRESHOLD).alias("near_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized Pandas UDF -- the Arrow-batched Python path)
+# ---------------------------------------------------------------------------
+
+def _simhash_batch(texts) -> "list[int]":
+    """64-bit simhash over whitespace tokens, md5-derived per-token hashes.
+    Pure function -> deterministic across executors/partitionings."""
+    import hashlib
+
+    out = []
+    for t in texts:
+        counts = [0] * 64
+        toks = (t or "").lower().split()
+        for tok in toks:
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+            )
+            for bit in range(64):
+                counts[bit] += 1 if (h >> bit) & 1 else -1
+        v = 0
+        for bit in range(64):
+            if counts[bit] > 0:
+                v |= 1 << bit
+        # present as signed int64
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return out
+
+
+@query("simhash_fingerprints", oracle=None, tags=("llm-dedup",))
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints via a vectorized Pandas UDF (Arrow batches --
+    the sanctioned Python path; ~100x row-at-a-time UDFs). Rows-only check:
+    Python-side hashing isn't oracle-expressible. Determinism is covered by
+    pytest (two runs, identical fingerprints)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # No type hints: `from __future__ import annotations` stringifies them,
+    # which pyspark's hint resolver can't evaluate here.
+    def _udf(texts):
+        return pd.Series(_simhash_batch(texts.tolist()))
+
+    simhash_udf = pandas_udf(_udf, "long", PandasUDFType.SCALAR)
+
+    docs = load_table(spark, sf_dir, "documents")
+    # 16-bit bands of the fingerprint give the LSH bucketing for candidate
+    # generation at scale (hamming-distance near-dups share >=1 band whp).
+    return docs.select(
+        "doc_id", simhash_udf(F.col("text")).alias("simhash")
+    ).select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"band{b}")
+            for b in range(4)
+        ],
+    )

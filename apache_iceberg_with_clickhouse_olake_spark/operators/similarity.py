@@ -1,0 +1,346 @@
+"""Similarity search over the ``embeddings`` table (north-star
+LLM-pipeline surface; no reference counterpart -- extends the engine to
+vector workloads).
+
+Layers, from exact to scale-path:
+- ``cosine_topk``: brute-force exact top-k against one query vector. The
+  query vector is a 1-row broadcast; the scan is a single pass, no
+  shuffle except the final top-k (TakeOrderedAndProject).
+- ``embedding_near_dup_pairs``: cosine near-dup detection with the
+  *label* as an IVF-style coarse bucket -- pairs are only formed within a
+  bucket (self-join keyed on label), never across the whole corpus.
+- ``ann_lsh_bucketed_topk``: random-hyperplane LSH (sign bits -> bucket),
+  search only the query's bucket. Hyperplanes are md5-seeded +/-1
+  literals shared with the oracle, so even the ANN path is oracle-exact.
+- ``ann_ivf_topk``: IVF with per-label mean centroids (posexplode +
+  groupBy -- fully distributed), probing the 2 nearest centroids.
+  Rows-only: float avg accumulation order differs per engine.
+
+All dot products / norms are left-fold ``F.aggregate`` over
+double-cast arrays -- verified bit-identical to DuckDB's
+``list_cosine_similarity`` on this data, so cosines can be compared
+exactly after dround.
+
+Scale notes: vectors never leave their row (no per-dimension shuffle
+except IVF centroid build, which reduces to labels x dims rows);
+broadcast is only applied to provably tiny sides (1-row query, 10-row
+centroid set).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import davg, davg_sql, dround, dround_sql
+from ..sources.parquet import load_table
+from .registry import query
+
+_DIM = 64
+_N_PLANES = 8
+# Near-dup threshold calibrated to the synthetic embeddings (max same-label
+# cosine ~0.47; real corpora would use ~0.9+). Constant shared with oracle.
+_NEAR_DUP_COS = 0.3
+_TOP_K = 10
+
+
+def _plane(p: int) -> list[float]:
+    """Deterministic +/-1 hyperplane components from md5 -- same literals
+    are inlined into the DuckDB oracle, so LSH bucketing is engine-exact."""
+    out = []
+    for i in range(_DIM):
+        h = hashlib.md5(f"hp-{p}-{i}".encode()).digest()[0]
+        out.append(1.0 if h % 2 == 0 else -1.0)
+    return out
+
+
+_PLANES = [_plane(p) for p in range(_N_PLANES)]
+
+
+def _dvec(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def _cos(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _plane_sql(p: int) -> str:
+    return "[" + ",".join(repr(x) for x in _PLANES[p]) + "]"
+
+
+def _bucket(vec: Column) -> Column:
+    """LSH bucket id: bit p set iff dot(v, plane_p) >= 0."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(x) for x in _PLANES[p]])) >= 0, 1 << p)
+        .otherwise(0)
+        for p in range(_N_PLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    # Explicit index fold mirroring Spark's zip_with left fold.
+    parts = []
+    for p in range(_N_PLANES):
+        dot = (
+            f"list_reduce(list_transform(range(1, {_DIM}+1), "
+            f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({_plane_sql(p)})[i]), "
+            f"(x,y) -> x+y)"
+        )
+        parts.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+_COS_SQL = (
+    "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact brute-force top-k
+# ---------------------------------------------------------------------------
+
+@query(
+    "cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv
+               FROM embeddings ORDER BY vec_id LIMIT 1)
+    SELECT e.vec_id, e.label,
+           {dround_sql(_COS_SQL.format(a='e.embedding', b='q.qv'), 6)} AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.qid
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT {_TOP_K}
+    """,
+    tags=("llm-similarity",),
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for one query vector (the ANN baseline). The
+    query side is one row -> broadcast nested-loop; top-k compiles to
+    TakeOrderedAndProject (per-partition heads, no global sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _dvec(F.col("embedding")).alias("v"))
+    q = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    )
+    return (
+        e.join(F.broadcast(q), e.vec_id != q.qid)
+        .select(
+            "vec_id",
+            "label",
+            dround(_cos(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Norm profile per label
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_norm_profile",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           {davg_sql(
+               'sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]),'
+               ' x -> x*x), (x,y) -> x+y))'
+           )} AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("llm-similarity", "A2"),
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm profile (embedding sanity check). Norms are
+    per-row folds (identical doubles on both engines); the average is the
+    decimal-snapped davg, so the whole row is engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", _norm(_dvec(F.col("embedding"))).alias("nrm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vectors"), davg("nrm", "avg_norm"))
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup pairs within label buckets
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           {dround_sql(_COS_SQL.format(a='a.embedding', b='b.embedding'), 4)}
+             AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= {_NEAR_DUP_COS}
+    """,
+    tags=("llm-similarity", "llm-dedup"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, bucketed by label (IVF-style coarse
+    quantizer): the self-join is keyed on label so each bucket's pairs are
+    computed locally after one hash shuffle -- never an all-pairs cross
+    join over the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _dvec(F.col("embedding")).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = _cos(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _NEAR_DUP_COS)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            dround(cos, 4).alias("cos_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN top-k (oracle-exact: shared literal hyperplanes)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_lsh_bucketed_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
+          FROM b ORDER BY vec_id LIMIT 1)
+    SELECT e.vec_id, e.label, e.bucket,
+           {dround_sql(_COS_SQL.format(a='e.embedding', b='q.qv'), 6)} AS cos_sim
+    FROM b e, q
+    WHERE e.bucket = q.qbucket AND e.vec_id <> q.qid
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT {_TOP_K}
+    """,
+    tags=("llm-similarity",),
+)
+def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: random-hyperplane LSH bucket (8 sign bits), search only
+    the query's bucket -- ~1/256 of the corpus at uniform spread. This is
+    the 100 TB path: bucket assignment is a per-row projection and the
+    candidate scan is partition-prunable on the bucket column when the
+    table is written partitioned by it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        _dvec(F.col("embedding")).alias("v"),
+    ).withColumn("bucket", _bucket(F.col("v")))
+    q = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    return (
+        e.join(
+            F.broadcast(q),
+            (e.bucket == q.qbucket) & (e.vec_id != q.qid),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            dround(_cos(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF top-k (rows-only: centroid float-avg order is engine-specific)
+# ---------------------------------------------------------------------------
+
+@query("ann_ivf_topk", oracle=None, tags=("llm-similarity",))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: per-label mean centroids built distributively (posexplode
+    -> groupBy(label, dim) -> avg -> re-assemble), probe the 2 centroids
+    nearest the query, brute-force only within those labels. Centroid
+    build is the only shuffle and reduces to labels x dims rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _dvec(F.col("embedding")).alias("v"))
+
+    cent = (
+        e.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("cx")))
+                ),
+                lambda s: s.getField("cx"),
+            ).alias("cv")
+        )
+    )
+    q = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    )
+    probe = (
+        cent.join(F.broadcast(q))
+        .select(
+            "label", "qid", "qv", _cos(F.col("cv"), F.col("qv")).alias("ccos")
+        )
+        .orderBy(F.col("ccos").desc())
+        .limit(2)
+        .select("label", "qid", "qv")
+    )
+    return (
+        e.join(
+            F.broadcast(probe.withColumnRenamed("label", "plabel")),
+            (F.col("label") == F.col("plabel")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "vec_id",
+            "label",
+            dround(_cos(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_TOP_K)
+    )

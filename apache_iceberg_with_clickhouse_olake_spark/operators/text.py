@@ -1,0 +1,312 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+LLM-pipeline surface, SURVEY.md §7 step 7; extends the reference beyond
+its SQL suite -- the reference has no text functions beyond CONCAT,
+mysql-init/01-setup.sql:141-143).
+
+All hot-path expressions are built-in Catalyst functions (split /
+regexp_replace / higher-order array ops) -- no Python UDFs -- so they stay
+inside whole-stage codegen and scale linearly with executors. Each query
+has a DuckDB oracle built from the same shared constants, so semantics are
+pinned cross-engine.
+
+Scale notes:
+- Every query here is a per-row projection (embarrassingly parallel) or a
+  low-cardinality groupBy (5 langs / 20 sources) with map-side partial
+  aggregation. No joins, no skew risk.
+- Token arrays are computed per row and never persisted or shuffled except
+  in aggregate form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import (
+    davg,
+    davg_sql,
+    dround,
+    dround_sql,
+    dsum,
+    dsum_sql,
+    md5_int60,
+    md5_int60_sql,
+    norm_text,
+    norm_text_sql,
+    tokens,
+    tokens_sql,
+)
+from ..sources.parquet import load_table
+from .registry import query
+
+_TOKS = tokens_sql("text")
+
+# Stopword lists for the language-ID heuristic (tiny function-word lists;
+# tie-break order is the declaration order below, then 'und' if no hits).
+_LANG_WORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une"),
+    "es": ("el", "los", "las", "es", "una", "que", "y"),
+}
+
+_STOPWORDS = _LANG_WORDS["en"]
+
+# BPE-ish tokenizer regex: word pieces OR single non-space symbols. Kept to
+# explicit character classes so Java and RE2-style engines agree.
+_BPE_WORD = "[a-z0-9]+"
+_BPE_SYM = "[^a-z0-9 \\t\\n]"
+
+
+def _sql_array(words: tuple[str, ...]) -> str:
+    return "[" + ",".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Per-document token statistics
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len({_TOKS}) AS n_tokens,
+           len(list_distinct({_TOKS})) AS n_unique_tokens,
+           {dround_sql(f"CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)"
+                       f" / NULLIF(len({_TOKS}), 0)", 4)} AS avg_token_len
+    FROM documents
+    """,
+    tags=("llm-text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts + type counts + mean token length per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        dround(
+            F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+            .cast("double")
+            / F.when(n_tokens == 0, F.lit(None)).otherwise(n_tokens),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword ratios -> keep/drop)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars,
+             len({_TOKS}) AS n_tokens,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+             len(list_filter({_TOKS},
+                 x -> list_contains({_sql_array(_STOPWORDS)}, x))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, n_tokens,
+           {dround_sql('CAST(n_punct AS DOUBLE) / NULLIF(n_chars, 0)', 4)}
+             AS punct_ratio,
+           {dround_sql('CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0)', 4)}
+             AS stopword_ratio,
+           (n_tokens >= 5 AND n_tokens <= 10000
+            AND CAST(n_punct AS DOUBLE) / NULLIF(n_chars, 0) < 0.2)
+             AS keep
+    FROM t
+    """,
+    tags=("llm-text",),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality filter for training-data curation: length bounds,
+    punctuation density, stopword density -> boolean keep flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace("text", "[^.!?,;:]", ""))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    punct_ratio_raw = n_punct.cast("double") / F.when(
+        n_chars == 0, F.lit(None)
+    ).otherwise(n_chars)
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        dround(punct_ratio_raw, 4).alias("punct_ratio"),
+        dround(
+            n_stop.cast("double")
+            / F.when(n_tokens == 0, F.lit(None)).otherwise(n_tokens),
+            4,
+        ).alias("stopword_ratio"),
+        (
+            (n_tokens >= 5) & (n_tokens <= 10000) & (punct_ratio_raw < 0.2)
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level language distribution
+# ---------------------------------------------------------------------------
+
+@query(
+    "lang_distribution",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS docs,
+           COUNT(DISTINCT source) AS sources,
+           {dsum_sql('n_chars')} AS total_chars,
+           {davg_sql('n_chars')} AS avg_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY docs DESC, lang
+    """,
+    tags=("llm-text", "A2"),
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.countDistinct("source").alias("sources"),
+            dsum("n_chars", "total_chars"),
+            davg("n_chars", "avg_chars"),
+        )
+        .orderBy(F.col("docs").desc(), "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (function-word hit counts, argmax with fixed ties)
+# ---------------------------------------------------------------------------
+
+def _lang_score(toks_col, lang: str):
+    return F.size(
+        F.filter(
+            F.array_distinct(toks_col),
+            lambda x: x.isin(*_LANG_WORDS[lang]),
+        )
+    )
+
+
+@query(
+    "language_id_heuristic",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+        {', '.join(
+            f"len(list_filter(list_distinct({_TOKS}), "
+            f"x -> list_contains({_sql_array(ws)}, x))) AS s_{lg}"
+            for lg, ws in _LANG_WORDS.items()
+        )}
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS predicted_lang,
+           s_en, s_de, s_fr, s_es
+    FROM s
+    """,
+    tags=("llm-text",),
+)
+def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word language ID (the n-gram-heuristic family): per-language
+    distinct-hit counts, argmax with a fixed tie-break order. On this
+    synthetic corpus accuracy is incidental -- the operator's contract is
+    deterministic scoring, which the oracle pins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_lang_score(toks, lg).alias(f"s_{lg}") for lg in _LANG_WORDS],
+    )
+    s = {lg: F.col(f"s_{lg}") for lg in _LANG_WORDS}
+    predicted = (
+        F.when(
+            (s["en"] == 0) & (s["de"] == 0) & (s["fr"] == 0) & (s["es"] == 0),
+            F.lit("und"),
+        )
+        .when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]),
+            F.lit("en"),
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), F.lit("de"))
+        .when(s["fr"] >= s["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return scored.select(
+        "doc_id", "lang", predicted.alias("predicted_lang"),
+        "s_en", "s_de", "s_fr", "s_es",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (md5 + 60-bit integer rolling-hash form)
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5({norm_text_sql('text')}) AS fingerprint,
+           {md5_int60_sql(norm_text_sql('text'))} AS fingerprint_int
+    FROM documents
+    """,
+    tags=("llm-text", "llm-dedup"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-text fingerprints: hex md5 plus the 60-bit integer form
+    used as the exact-dedup key and the minhash basis."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = norm_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(n).alias("fingerprint"),
+        md5_int60(n).alias("fingerprint_int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex token counting
+# ---------------------------------------------------------------------------
+
+@query(
+    "token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{_BPE_WORD}')) AS word_tokens,
+           len(regexp_extract_all(lower(text), '{_BPE_SYM}')) AS symbol_tokens,
+           len(regexp_extract_all(lower(text), '{_BPE_WORD}'))
+             + len(regexp_extract_all(lower(text), '{_BPE_SYM}')) AS bpe_ish_tokens
+    FROM documents
+    """,
+    tags=("llm-text",),
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (word pieces + single symbols) --
+    the cheap token-budget estimator for corpus sizing."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    words = F.regexp_count(low, F.lit(_BPE_WORD))
+    syms = F.regexp_count(low, F.lit(_BPE_SYM))
+    return docs.select(
+        "doc_id",
+        words.alias("word_tokens"),
+        syms.alias("symbol_tokens"),
+        (words + syms).alias("bpe_ish_tokens"),
+    )
