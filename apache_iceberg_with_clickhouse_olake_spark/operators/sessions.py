@@ -1,0 +1,212 @@
+"""Sessionization over the ``events`` table (extension; the reference's
+user_sessions table is pre-sessionized by its generator,
+mysql-init/01-setup.sql:242-289 -- here we *derive* sessions from a raw
+event stream, the Structured-Streaming-ready shape).
+
+Two equivalent formulations, both oracle-checked:
+- gap-based lag/cumsum sessionization (the classic window recipe)
+- ``session_window`` built-in (what the streaming path uses with a
+  watermark; see ..streaming for the readStream variant)
+
+Timestamps are exported as epoch seconds (BIGINT) because the raw events
+carry nanosecond precision: DuckDB keeps ns while Spark truncates to
+micros, so comparing raw timestamps would be a false mismatch.
+
+Scale notes: everything partitions by user_id (high cardinality, uniform)
+-- one shuffle, bounded per-user state; the session gap constant bounds
+streaming state with a watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import dsum, dsum_sql
+from ..sources.parquet import load_table
+from .registry import query
+
+SESSION_GAP_SECS = 30 * 60
+
+# Spark: ts is micros; DuckDB: ns. epoch_us both floors to micros.
+_D_EPOCH = "epoch_us(ts) // 1000000"
+
+
+def _spark_epoch() -> F.Column:
+    return (F.unix_micros("ts") / 1_000_000).cast("long")
+
+
+def sessionize(events: DataFrame, gap_secs: int = SESSION_GAP_SECS) -> DataFrame:
+    """Assign gap-based session ids: a session breaks when the time since
+    the user's previous event exceeds ``gap_secs``."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = _spark_epoch()
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_secs), 1).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("session_seq", F.sum(new_sess).over(wcum))
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, {_D_EPOCH} AS ep, value,
+             CASE WHEN {_D_EPOCH}
+                    - lag({_D_EPOCH}) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    > {SESSION_GAP_SECS}
+                  OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT *, SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM e
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(ep) AS first_ts_epoch,
+           MAX(ep) AS last_ts_epoch,
+           MAX(ep) - MIN(ep) AS duration_secs,
+           {dsum_sql('value')} AS session_value
+    FROM s
+    GROUP BY user_id, session_seq
+    """,
+    tags=("llm-sessions", "C3"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) -> per-session rollup:
+    event count, span, summed value."""
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(events)
+    epoch = _spark_epoch()
+    return (
+        s.select(
+            "user_id", "session_seq", "event_id", "value", epoch.alias("ep")
+        )
+        .groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ep").alias("first_ts_epoch"),
+            F.max("ep").alias("last_ts_epoch"),
+            (F.max("ep") - F.min("ep")).alias("duration_secs"),
+            dsum("value", "session_value"),
+        )
+    )
+
+
+@query(
+    "session_window_rollup",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, {_D_EPOCH} AS ep, value,
+             CASE WHEN {_D_EPOCH}
+                    - lag({_D_EPOCH}) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    > {SESSION_GAP_SECS}
+                  OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT *, SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM e
+    )
+    SELECT user_id,
+           MIN(ep) AS window_start_epoch,
+           MAX(ep) + {SESSION_GAP_SECS} AS window_end_epoch,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS session_value
+    FROM s
+    GROUP BY user_id, session_seq
+    """,
+    tags=("llm-sessions",),
+)
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sessions via Spark's built-in ``session_window`` (batch
+    mode; the streaming variant adds withWatermark, see ..streaming).
+    session_window's end = last event + gap, mirrored in the oracle.
+
+    NOTE: events with ts gaps of EXACTLY the session gap merge in
+    session_window (end-exclusive semantics) -- the lag-based oracle uses
+    ``> gap`` for the break, matching."""
+    events = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", f"{SESSION_GAP_SECS} seconds")
+    return (
+        events.groupBy("user_id", sw)
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "session_value"),
+        )
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("session_window.start")) / 1_000_000)
+            .cast("long")
+            .alias("window_start_epoch"),
+            (F.unix_micros(F.col("session_window.end")) / 1_000_000)
+            .cast("long")
+            .alias("window_end_epoch"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "session_length_distribution",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, {_D_EPOCH} AS ep,
+             CASE WHEN {_D_EPOCH}
+                    - lag({_D_EPOCH}) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    > {SESSION_GAP_SECS}
+                  OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT *, SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM e
+    ),
+    per AS (
+      SELECT user_id, session_seq, COUNT(*) AS n_events
+      FROM s GROUP BY user_id, session_seq
+    )
+    SELECT n_events AS session_length,
+           COUNT(*) AS sessions,
+           COUNT(DISTINCT user_id) AS users
+    FROM per
+    GROUP BY n_events
+    ORDER BY session_length
+    """,
+    tags=("llm-sessions", "A10"),
+)
+def session_length_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of session lengths -- the profiling companion (A10 shape)
+    for the sessionizer."""
+    events = load_table(spark, sf_dir, "events")
+    per = (
+        sessionize(events)
+        .groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        per.groupBy(F.col("n_events").alias("session_length"))
+        .agg(
+            F.count("*").alias("sessions"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .orderBy("session_length")
+    )

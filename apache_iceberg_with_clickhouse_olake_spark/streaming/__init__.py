@@ -1,0 +1,139 @@
+"""Structured Streaming surface (reference: OLake CDC pipeline,
+SURVEY.md §2.10 C1-C6 / §3.2).
+
+- :func:`run_cdc_upsert_stream`: file-source change stream ->
+  ``foreachBatch`` upsert apply into a parquet state table. Each
+  micro-batch unions the incoming events with current state and keeps the
+  latest version per key (read-side merge-on-read, same operator as
+  ``operators.cdc.apply_cdc_upsert``); with an Iceberg runtime the batch
+  body becomes a single ``MERGE INTO``. Checkpointing gives restartable
+  exactly-once-per-batch semantics (C6).
+- :func:`run_streaming_sessionization`: watermarked ``session_window``
+  aggregation (the streaming twin of
+  ``operators.sessions.session_window_rollup``).
+
+Micro-batch cadence (C3, destination.json:96-98) maps to ``trigger``;
+tests use ``availableNow`` so the whole backlog drains deterministically.
+
+Scale notes: state per micro-batch is bounded by (keys-in-batch + state
+rows matched); the watermark bounds session state. The parquet-overwrite
+state apply is the local-mode fallback -- on a real lake the foreachBatch
+body is an idempotent MERGE, not a rewrite.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CDC_EVENT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("custkey", LongType()),
+        StructField("price", DoubleType()),
+        StructField("_op", StringType()),
+        StructField("_seq", LongType()),
+        StructField("_sync_ts_epoch", LongType()),
+    ]
+)
+
+
+def _apply_batch(state_dir: str):
+    """foreachBatch body: upsert the micro-batch into the parquet state."""
+
+    def inner(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.cdc import apply_cdc_upsert
+
+        spark = batch.sparkSession
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            state = spark.read.parquet(state_dir)
+            merged = state.unionByName(batch)
+        else:
+            merged = batch
+        out = apply_cdc_upsert(merged)
+        # Local-mode fallback: rewrite state (Iceberg path: MERGE INTO).
+        out.cache().count()
+        out.write.mode("overwrite").parquet(state_dir)
+        out.unpersist()
+
+    return inner
+
+
+def run_cdc_upsert_stream(
+    spark: SparkSession,
+    events_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Tail a directory of CDC event parquet files (C2: chunked reads via
+    maxFilesPerTrigger) and apply them to the state table; drains the
+    backlog with availableNow and blocks until done."""
+    reader = (
+        spark.readStream.schema(CDC_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1)
+        .parquet(events_dir)
+    )
+    q = (
+        reader.writeStream.foreachBatch(_apply_batch(state_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_streaming_sessionization(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    gap_secs: int = 30 * 60,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked session_window rollup over a file-sourced event stream;
+    drains with availableNow into an in-memory sink and returns the result
+    (complete mode keeps the full session table for assertion)."""
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_epoch_us", LongType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_epoch_us")))
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", f"{gap_secs} seconds"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("session_window.start")) / 1_000_000)
+            .cast("long")
+            .alias("window_start_epoch"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_sessions")

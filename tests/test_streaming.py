@@ -1,0 +1,100 @@
+"""Streaming CDC upsert + sessionization: the streamed result must equal
+the batch operator's result (the reference's cross-layer-consistency idiom
+applied to streaming)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from apache_iceberg_with_clickhouse_olake_spark.operators.cdc import (
+    apply_cdc_upsert,
+    synthetic_change_events,
+)
+from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import load_table
+from apache_iceberg_with_clickhouse_olake_spark.streaming import (
+    run_cdc_upsert_stream,
+    run_streaming_sessionization,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_cdc_stream_matches_batch(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    )
+    events = synthetic_change_events(orders)
+
+    events_dir = str(tmp_path / "events")
+    # Split the stream into 3 chunks by seq to exercise multi-batch apply
+    # (order matters: later seqs must override earlier state).
+    for i, cond in enumerate(
+        [F.col("_seq") == 0, F.col("_seq") == 1, F.col("_seq") >= 2]
+    ):
+        events.filter(cond).coalesce(1).write.mode("append").parquet(events_dir)
+
+    state_dir = str(tmp_path / "state")
+    run_cdc_upsert_stream(
+        spark, events_dir, state_dir, str(tmp_path / "ckpt"), 1
+    )
+
+    got = spark.read.parquet(state_dir)
+    want = apply_cdc_upsert(events)
+    cols = ["key", "custkey", "price", "_op", "_seq", "_sync_ts_epoch"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # Deletes dropped, latest version won.
+    assert got.filter(F.col("_op") == "d").count() == 0
+
+
+def test_cdc_stream_restart_is_idempotent(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 500
+    )
+    events = synthetic_change_events(orders)
+    events_dir = str(tmp_path / "events")
+    events.coalesce(1).write.parquet(events_dir)
+
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    run_cdc_upsert_stream(spark, events_dir, state_dir, ckpt, 10)
+    first = _rows(spark.read.parquet(state_dir), ["key", "price"])
+    # Restart with the same checkpoint: no new files -> state unchanged.
+    run_cdc_upsert_stream(spark, events_dir, state_dir, ckpt, 10)
+    assert _rows(spark.read.parquet(state_dir), ["key", "price"]) == first
+
+
+def test_streaming_sessionization_matches_batch(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    flat = events.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_epoch_us"),
+        "user_id",
+        "value",
+    )
+    events_dir = str(tmp_path / "events")
+    flat.coalesce(2).write.parquet(events_dir)
+
+    got = run_streaming_sessionization(
+        spark, events_dir, str(tmp_path / "ckpt")
+    )
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators.sessions import (
+        sessionize,
+    )
+
+    batch = (
+        sessionize(events)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.min(F.unix_micros("ts")) / 1_000_000)
+            .cast("long")
+            .alias("window_start_epoch"),
+        )
+    )
+    cols = ["user_id", "window_start_epoch", "n_events"]
+    assert _rows(got, cols) == _rows(batch, cols)
