@@ -1,0 +1,150 @@
+"""Registered queries over the seeded datagen (sources/datagen.py),
+oracle-checked: because generation is a pure md5-hash function of row ids,
+DuckDB can regenerate the identical tables from ``range()`` and the same
+inlined expressions -- the generators themselves are under the
+correctness gate (S7/G1 plus J2/O4/U2/F1/F4/F5/F6/F9/F11 closure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dround_sql, dsum, dsum_sql, md5_int60_sql
+from ..sources.datagen import (
+    ANCHOR_DATE,
+    CATEGORIES,
+    COUNTRIES,
+    N_PRODUCTS,
+    N_USERS,
+    ORDER_STATUSES,
+    ORDERS_PER_USER,
+    gen_orders,
+    gen_products,
+    gen_users,
+)
+from .registry import query
+
+
+def _lst(choices: tuple[str, ...]) -> str:
+    return "[" + ",".join(f"'{c}'" for c in choices) + "]"
+
+
+def _h_sql(salt: str, idx: str) -> str:
+    return md5_int60_sql(f"concat('{salt}-', CAST({idx} AS VARCHAR))")
+
+
+_USERS_SQL = f"""
+    SELECT i AS user_id,
+           concat('user', CAST(i AS VARCHAR)) AS username,
+           concat('user', CAST(i AS VARCHAR), '@example.com') AS email,
+           CAST(18 + ({_h_sql('user', 'i')} % 53) AS INT) AS age,
+           {_lst(COUNTRIES)}[CAST({_h_sql('user', 'i')} % 10 + 1 AS INT)] AS country,
+           CASE WHEN {_h_sql('user', 'i')} % 10 < 9
+                THEN 'active' ELSE 'inactive' END AS status,
+           DATE '{ANCHOR_DATE}' - CAST({_h_sql('user', 'i')} % 365 AS INT)
+             AS created_date
+    FROM range(1, {N_USERS} + 1) t(i)
+"""
+
+_PRODUCTS_SQL = f"""
+    SELECT i AS product_id,
+           concat('Product ', CAST(i AS VARCHAR)) AS name,
+           {_lst(CATEGORIES)}[CAST({_h_sql('prod', 'i')} % 6 + 1 AS INT)] AS category,
+           {dround_sql(f"10.0 + CAST({_h_sql('prod', 'i')} % 299000 AS DOUBLE) / 100.0")}
+             AS price,
+           CAST({_h_sql('prod', 'i')} % 1000 AS INT) AS stock_quantity,
+           {_h_sql('prod', 'i')} % 10 < 9 AS is_active
+    FROM range(1, {N_PRODUCTS} + 1) t(i)
+"""
+
+_ORDERS_SQL = f"""
+    WITH skeleton AS (
+      SELECT i AS order_id,
+             (i - 1) // {ORDERS_PER_USER} + 1 AS user_id,
+             {_h_sql('order', 'i')} % {N_PRODUCTS} + 1 AS product_id,
+             CAST({_h_sql('order', 'i')} % 5 + 1 AS INT) AS quantity,
+             {_lst(ORDER_STATUSES)}[CAST({_h_sql('order', 'i')} % 5 + 1 AS INT)]
+               AS status,
+             DATE '{ANCHOR_DATE}' - CAST({_h_sql('order', 'i')} % 365 AS INT)
+               AS order_date
+      FROM range(1, {N_USERS} * {ORDERS_PER_USER} + 1) t(i)
+    ),
+    products AS (SELECT product_id, price AS unit_price FROM ({_PRODUCTS_SQL}))
+    SELECT s.order_id, s.user_id, s.product_id, s.quantity, p.unit_price,
+           {dround_sql('s.quantity * p.unit_price')} AS total_amount,
+           s.status, s.order_date
+    FROM skeleton s JOIN products p USING (product_id)
+"""
+
+
+@query("datagen_users", oracle=_USERS_SQL, tags=("S7", "G1", "F1", "F5", "F6", "F11", "J2"))
+def datagen_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generated users table itself, row-for-row (1,000 rows)."""
+    return gen_users(spark)
+
+
+@query("datagen_products", oracle=_PRODUCTS_SQL, tags=("S7", "G1", "F2", "F4"))
+def datagen_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generated products table, row-for-row (200 rows)."""
+    return gen_products(spark)
+
+
+@query(
+    "datagen_orders_by_status",
+    oracle=f"""
+    SELECT status,
+           COUNT(*) AS order_count,
+           COUNT(DISTINCT user_id) AS customers,
+           {dsum_sql('total_amount')} AS revenue
+    FROM ({_ORDERS_SQL})
+    GROUP BY status
+    ORDER BY status
+    """,
+    tags=("S7", "G1", "O4", "J3", "F16"),
+)
+def datagen_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full generator pipeline (hash product pick -> price lookup join ->
+    generated total_amount) rolled up by status."""
+    return (
+        gen_orders(spark)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.countDistinct("user_id").alias("customers"),
+            dsum("total_amount", "revenue"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "datagen_ecommerce_counts",
+    oracle=f"""
+    SELECT 'users' AS table_name, COUNT(*) AS row_count FROM ({_USERS_SQL})
+    UNION ALL
+    SELECT 'products', COUNT(*) FROM ({_PRODUCTS_SQL})
+    UNION ALL
+    SELECT 'orders', COUNT(*) FROM ({_ORDERS_SQL})
+    ORDER BY table_name
+    """,
+    tags=("A1", "U1", "U2", "S7"),
+)
+def datagen_ecommerce_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's table-count summary stack (U1,
+    generate-more-data.sql:190-196) over the generated model."""
+    parts = [
+        gen_users(spark).agg(F.count("*").alias("row_count")).select(
+            F.lit("users").alias("table_name"), "row_count"
+        ),
+        gen_products(spark).agg(F.count("*").alias("row_count")).select(
+            F.lit("products").alias("table_name"), "row_count"
+        ),
+        gen_orders(spark).agg(F.count("*").alias("row_count")).select(
+            F.lit("orders").alias("table_name"), "row_count"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")

@@ -1,0 +1,259 @@
+"""Lake-feature queries: schema evolution, time travel, compaction, DDL
+round-trip, and the medallion write/read-back cycle -- the reference's
+lakehouse recipes (BLOG_POST_COMPLETE_WALKTHROUGH.md:521-553,
+scripts/iceberg-setup.sql:47-103) re-expressed over the parquet-native
+lake in sources/lake.py.
+
+These queries materialize real files under a throwaway /tmp warehouse at
+run time, then *read back* -- so the correctness gate covers the write
+path (S3/S4/D5/O5), not just plan shapes. Results are pure functions of
+the input tables, so DuckDB oracles state the expected post-roundtrip
+answer directly.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import davg_sql, dsum, dsum_sql
+from ..sources.lake import compact, read_snapshot, snapshot_history, write_snapshot
+from ..sources.parquet import load_table
+from .medallion import _GOLD_SQL_INNER, build_medallion
+from .registry import query
+
+_EVOLUTION_SPLIT_DATE = "2000-01-01"
+
+
+@query(
+    "schema_evolution_merge",
+    oracle=f"""
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderdate >= DATE '{_EVOLUTION_SPLIT_DATE}'
+                  THEN (CASE WHEN o_custkey % 10 = 0
+                             THEN 'gold' ELSE 'standard' END)
+                  ELSE NULL END AS loyalty_tier
+      FROM orders
+    )
+    SELECT COALESCE(loyalty_tier, '(pre-evolution)') AS loyalty_tier,
+           COUNT(*) AS order_count
+    FROM merged
+    WHERE COALESCE(loyalty_tier, '') != 'standard'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("D7", "D8", "P7", "L1"),
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMN equivalent (blog :539-553): snapshot v1 is
+    written WITHOUT loyalty_tier, v2 WITH it; the mergeSchema read sees
+    both, old rows surfacing NULL. The P7 inequality filter
+    (!= 'standard', blog :550) runs over the merged view."""
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="evolution_")
+    try:
+        v1 = orders.filter(
+            F.col("o_orderdate") < F.lit(_EVOLUTION_SPLIT_DATE).cast("date")
+        ).select("o_orderkey", "o_custkey", "o_orderdate")
+        v2 = (
+            orders.filter(
+                F.col("o_orderdate") >= F.lit(_EVOLUTION_SPLIT_DATE).cast("date")
+            )
+            .select("o_orderkey", "o_custkey", "o_orderdate")
+            .withColumn(
+                "loyalty_tier",
+                F.when(F.col("o_custkey") % 10 == 0, "gold").otherwise(
+                    "standard"
+                ),
+            )
+        )
+        table = f"{tmp}/orders_evolving"
+        write_snapshot(v1, table)
+        write_snapshot(v2, table)
+        # read both versions together (mergeSchema across snapshots)
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{table}/v1", f"{table}/v2"
+        )
+        out = (
+            merged.select(
+                F.coalesce(F.col("loyalty_tier"), F.lit("(pre-evolution)")).alias(
+                    "loyalty_tier"
+                )
+            )
+            .filter(F.coalesce(F.col("loyalty_tier"), F.lit("")) != "standard")
+            .groupBy("loyalty_tier")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("loyalty_tier")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "time_travel_counts",
+    oracle=f"""
+    WITH events AS (
+      SELECT o_orderkey AS key, o_totalprice AS price, 0 AS _seq, 'c' AS _op
+      FROM orders WHERE o_orderkey % 5 != 4
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 1, 'c'
+      FROM orders WHERE o_orderkey % 5 = 4
+      UNION ALL
+      SELECT o_orderkey, CAST(NULL AS DOUBLE), 3, 'd'
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    v1 AS (
+      SELECT key, price FROM events WHERE _seq <= 0
+      QUALIFY row_number() OVER (PARTITION BY key ORDER BY _seq DESC) = 1
+        AND _op != 'd'
+    ),
+    v2 AS (
+      SELECT key, price FROM events
+      QUALIFY row_number() OVER (PARTITION BY key ORDER BY _seq DESC) = 1
+        AND _op != 'd'
+    )
+    SELECT 1 AS version, COUNT(*) AS live_rows, {dsum_sql('price')} AS revenue
+    FROM v1
+    UNION ALL
+    SELECT 2, COUNT(*), {dsum_sql('price')} FROM v2
+    ORDER BY version
+    """,
+    tags=("L1", "L4", "D6"),
+)
+def time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (blog :521-527): snapshot v1 = initial CDC snapshot,
+    v2 = state after late inserts + deletes; both versions stay readable
+    and the history listing (L4) drives the per-version rollup."""
+    from .cdc import apply_cdc_upsert, synthetic_change_events
+
+    orders = load_table(spark, sf_dir, "orders")
+    ev = synthetic_change_events(orders).select("key", "price", "_op", "_seq")
+    tmp = tempfile.mkdtemp(prefix="timetravel_")
+    try:
+        table = f"{tmp}/orders_state"
+        write_snapshot(
+            apply_cdc_upsert(ev.filter(F.col("_seq") <= 0)).select("key", "price"),
+            table,
+        )
+        write_snapshot(
+            apply_cdc_upsert(
+                ev.filter(F.col("_op").isin("c", "d"))
+            ).select("key", "price"),
+            table,
+        )
+        parts = []
+        for v in snapshot_history(table):
+            snap = read_snapshot(spark, table, v)
+            parts.append(
+                snap.agg(
+                    F.count("*").alias("live_rows"),
+                    dsum("price", "revenue"),
+                ).select(F.lit(v).alias("version"), "live_rows", "revenue")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = spark.createDataFrame(out.orderBy("version").collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "medallion_readback",
+    oracle=f"""
+    SELECT status,
+           SUM(order_count) AS total_orders,
+           SUM(user_count) AS total_user_slots,
+           {dsum_sql('gross_revenue')} AS total_revenue,
+           {davg_sql('gross_revenue')} AS avg_monthly_revenue
+    FROM ({_GOLD_SQL_INNER})
+    GROUP BY status
+    ORDER BY total_orders DESC, status
+    """,
+    tags=("S3", "S4", "D5", "O5", "A9"),
+)
+def medallion_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full medallion write/read-back cycle: build_medallion materializes
+    silver+gold parquet (sorted within partitions, O5), then the gold
+    re-aggregation runs over the files READ BACK from disk -- same oracle
+    as gold_reaggregate, proving the write path preserves the answers
+    (the reference's cross-layer consistency, cross-database-analytics
+    .sql:16-38)."""
+    from ..functions import davg
+
+    tmp = tempfile.mkdtemp(prefix="medallion_")
+    try:
+        paths = build_medallion(spark, sf_dir, tmp)
+        gold = spark.read.parquet(paths["gold_order_metrics"])
+        out = (
+            gold.groupBy("status")
+            .agg(
+                F.sum("order_count").alias("total_orders"),
+                F.sum("user_count").alias("total_user_slots"),
+                dsum("gross_revenue", "total_revenue"),
+                davg("gross_revenue", "avg_monthly_revenue"),
+            )
+            .orderBy(F.col("total_orders").desc(), "status")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("lake_compaction_stats", oracle=None, tags=("D11", "S6"))
+def lake_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (rewrite_data_files equivalent,
+    destination.json:261-264): write orders as 16 small files, compact to
+    2, assert row counts survive. Returns the before/after accounting."""
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    try:
+        data_dir = f"{tmp}/orders_small_files"
+        orders.repartition(16).write.parquet(data_dir)
+        rows_before = spark.read.parquet(data_dir).count()
+        files_before, files_after = compact(spark, data_dir, 2)
+        rows_after = spark.read.parquet(data_dir).count()
+        return spark.createDataFrame(
+            [
+                (files_before, files_after, rows_before, rows_after,
+                 rows_before == rows_after)
+            ],
+            "files_before int, files_after int, rows_before long, "
+            "rows_after long, rows_preserved boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("ddl_roundtrip", oracle=None, tags=("D1", "D2", "D3", "D8"))
+def ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D3/D8 over the Spark session catalog: CREATE DATABASE, CREATE
+    TABLE (CTAS from orders), DESCRIBE, DROP -- the iceberg-setup.sql:5-12
+    register/describe/drop cycle against the built-in catalog."""
+    orders = load_table(spark, sf_dir, "orders")
+    db = "lake_ddl_check"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    try:
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice").limit(
+            100
+        ).write.mode("overwrite").saveAsTable(f"{db}.orders_reg")
+        described = spark.sql(f"DESCRIBE TABLE {db}.orders_reg").select(
+            "col_name", "data_type"
+        )
+        rows = [tuple(r) for r in described.collect()]
+        n = spark.table(f"{db}.orders_reg").count()
+        return spark.createDataFrame(
+            [(c, t, n) for c, t in rows],
+            "col_name string, data_type string, table_rows long",
+        )
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
