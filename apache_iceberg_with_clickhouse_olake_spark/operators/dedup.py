@@ -63,9 +63,14 @@ _SHINGLES_SQL = f"""
 """
 
 
-def shingles(text_col: Column) -> Column:
-    """Distinct word 3-gram shingles (Spark side; twin of _SHINGLES_SQL)."""
-    toks = tokens(text_col)
+def shingles(toks: Column, norm: Column) -> Column:
+    """Distinct word 3-gram shingles (Spark side; twin of _SHINGLES_SQL).
+
+    Takes ALREADY-MATERIALIZED token-array and normalized-text columns
+    (attributes, not expression trees): higher-order functions run outside
+    whole-stage codegen, so a lambda over a raw ``tokens(text)`` subtree
+    re-evaluates the full split per element_at per position -- O(n^2) in
+    document length. Bound to attributes, each element_at is O(1)."""
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), n - 2),
@@ -76,17 +81,31 @@ def shingles(text_col: Column) -> Column:
             F.element_at(toks, j + 2),
         ),
     )
-    return F.when(n >= 3, F.array_distinct(grams)).otherwise(
-        F.array(norm_text(text_col))
+    return F.when(n >= 3, F.array_distinct(grams)).otherwise(F.array(norm))
+
+
+def with_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id + shingles, with tokens/norm materialized in their own
+    projection stage so the shingle lambda binds attributes."""
+    return docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+        norm_text(F.col("text")).alias("norm"),
+    ).select(
+        "doc_id", shingles(F.col("toks"), F.col("norm")).alias("shingles")
     )
 
 
-def _minhash_sig(shingle_col: Column, i: int) -> Column:
-    """i-th minhash: min over shingles of (a_i * (md5_60(s) % P) + b_i) % P."""
+def _minhash_sig(hvals_col: Column, i: int) -> Column:
+    """i-th minhash: min over pre-hashed shingle values of (a_i*x + b_i) % P.
+
+    Takes the md5-derived values (``md5_int60(s) % P``), NOT raw shingles:
+    the md5 is materialized once in an upstream projection so the 16 sig
+    expressions share it instead of recomputing 16 md5s per shingle."""
     return F.array_min(
         F.transform(
-            shingle_col,
-            lambda s: (F.lit(_A[i]) * (md5_int60(s) % _P) + F.lit(_B[i])) % _P,
+            hvals_col,
+            lambda x: (F.lit(_A[i]) * x + F.lit(_B[i])) % _P,
         )
     )
 
@@ -112,11 +131,23 @@ def _band_hash_sql(band: int) -> str:
 
 
 def _with_band_hashes(docs: DataFrame) -> DataFrame:
-    """doc_id + b0..b{n-1} band-hash columns, computed in one projection."""
-    sh = shingles(F.col("text")).alias("shingles")
-    sig_df = docs.select("doc_id", sh).select(
-        "doc_id",
-        *[_minhash_sig(F.col("shingles"), i).alias(f"h{i}") for i in range(_N_HASHES)],
+    """doc_id + b0..b{n-1} band-hash columns.
+
+    Three stacked projections, each materializing what the next one reuses
+    (shingles -> md5-hashed values -> 16 sigs -> 4 band hashes), so md5
+    runs once per shingle. Catalyst keeps the stages separate: CollapseProject
+    won't inline a non-cheap alias referenced more than once."""
+    hvals = F.transform(F.col("shingles"), lambda s: md5_int60(s) % _P)
+    sig_df = (
+        with_shingles(docs)
+        .select("doc_id", hvals.alias("hvals"))
+        .select(
+            "doc_id",
+            *[
+                _minhash_sig(F.col("hvals"), i).alias(f"h{i}")
+                for i in range(_N_HASHES)
+            ],
+        )
     )
     sig_cols = [F.col(f"h{i}") for i in range(_N_HASHES)]
     return sig_df.select(
@@ -258,12 +289,14 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     not n^2 -- the 100 TB-safe shape."""
     docs = load_table(spark, sf_dir, "documents")
     bands_wide = _with_band_hashes(docs)
-    bands = None
-    for b in range(_N_BANDS):
-        part = bands_wide.select(
-            "doc_id", F.lit(b).alias("band_id"), F.col(f"b{b}").alias("band_hash")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # One posexplode pass instead of an N_BANDS-way union: the signature
+    # pipeline runs once per doc, not once per band.
+    bands = bands_wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"b{b}") for b in range(_N_BANDS)])
+        ).alias("band_id", "band_hash"),
+    )
     x, y = bands.alias("x"), bands.alias("y")
     pairs = (
         x.join(
@@ -277,7 +310,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh = docs.select("doc_id", shingles(F.col("text")).alias("shingles"))
+    sh = with_shingles(docs)
     sa, sb = sh.alias("sa"), sh.alias("sb")
     jac_raw = (
         F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
