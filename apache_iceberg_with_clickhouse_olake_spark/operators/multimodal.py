@@ -1,0 +1,368 @@
+"""Multimodal-column operators: decode, feature-extract, frame-sample,
+resize over opaque ``binary`` media payloads (north-star extension;
+the reference has no media surface).
+
+The decode step is a DETERMINISTIC FAKE: payload bytes are interpreted
+directly as pixel/sample values (``numpy.frombuffer``). Real codec decode
+is stubbed behind :func:`decode_with_codec`, which raises
+``NotImplementedError`` unless PIL/soundfile exist (they don't in this
+container). Everything Spark-side -- schema, metadata pushdown, column
+pruning, Arrow batch shape, ``mapInPandas`` signatures -- is real and
+oracle-/pytest-verified.
+
+Scale design (100 TB):
+- Metadata predicates (``media_type = 'video'``) and column pruning happen
+  BEFORE ``mapInPandas``: Catalyst pushes them into the parquet scan, so
+  only the needed payload bytes ever cross the Arrow boundary.
+- All decode work is per-row (no shuffle); output rows are a pure function
+  of the input row, so the stage pipelines with the scan and parallelism
+  equals input splits.
+- Aggregates after decode are ordinary map-side-combine groupBys on
+  low-cardinality keys.
+
+Because payloads are md5-hex chains, DuckDB re-derives every byte with
+``substr(hex, 2i-1, 2)`` arithmetic -- the pandas decode path is checked
+value-for-value against SQL, not just row counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import davg_sql, dround, dround_sql
+from ..sources.multimodal import CHUNK_BYTES, FRAME_STEP, MEDIA_SQL, gen_media
+from .registry import query
+
+# DuckDB list of byte values of hex[off+1 .. off+n] (1-based hex offsets).
+def _bytes_sql(hex_expr: str, start: str, n: str) -> str:
+    return (
+        f"list_transform(range(1, ({n}) + 1), bi -> "
+        f"CAST(concat('0x', substr({hex_expr}, ({start}) * 2 + bi * 2 - 1, 2))"
+        f" AS INT))"
+    )
+
+
+def decode_with_codec(payload: bytes, fmt: str):
+    """Real codec decode -- STUB. The container ships no media libraries;
+    the deterministic byte-level fake below stands in for tests. Swap-in
+    point for PIL/soundfile/pyav in a real deployment."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            f"no codec library available to decode format={fmt!r}; "
+            "install pillow/soundfile/pyav"
+        )
+    raise NotImplementedError("codec decode not wired in this environment")
+
+
+# ---------------------------------------------------------------------------
+# Catalog stats (metadata-only: payload column pruned from the scan)
+# ---------------------------------------------------------------------------
+
+@query(
+    "media_catalog_stats",
+    oracle=f"""
+    SELECT media_type, format,
+           COUNT(*) AS assets,
+           SUM(n_bytes) AS total_bytes,
+           MAX(width) AS max_width,
+           MAX(height) AS max_height,
+           {davg_sql('duration_ms')} AS avg_duration_ms
+    FROM ({MEDIA_SQL})
+    GROUP BY media_type, format
+    ORDER BY media_type, format
+    """,
+    tags=("multimodal",),
+)
+def media_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type/format asset accounting off the typed metadata struct only
+    -- the payload column never leaves the scan (column pruning)."""
+    from ..functions import davg
+
+    media = gen_media(spark, sf_dir)
+    return (
+        media.select(
+            "media_type",
+            "format",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        )
+        .groupBy("media_type", "format")
+        .agg(
+            F.count("*").alias("assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+            F.max("height").alias("max_height"),
+            davg("duration_ms", "avg_duration_ms"),
+        )
+        .orderBy("media_type", "format")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generic decode + feature extraction (mapInPandas over Arrow batches)
+# ---------------------------------------------------------------------------
+
+_FEATURES_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, "
+    "byte_mean double, byte_min int, byte_max int"
+)
+
+
+def _decode_features_batches(batches):
+    """Vectorized fake-decode: payload bytes -> per-asset byte statistics.
+    Iterator-of-DataFrames in/out == one Arrow batch per yield."""
+    for pdf in batches:
+        arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [a.size for a in arrs],
+                # exact int sum / count: bit-identical to SQL division
+                "byte_mean": [float(int(a.sum()) / a.size) for a in arrs],
+                "byte_min": [int(a.min()) for a in arrs],
+                "byte_max": [int(a.max()) for a in arrs],
+            }
+        )
+
+
+@query(
+    "media_decode_features",
+    oracle=f"""
+    SELECT doc_id, media_type, n_bytes,
+           CAST(list_sum(bytes) AS DOUBLE) / n_bytes AS byte_mean,
+           list_min(bytes) AS byte_min,
+           list_max(bytes) AS byte_max
+    FROM (
+      SELECT doc_id, media_type, n_bytes,
+             {_bytes_sql('hex', '0', 'n_bytes')} AS bytes
+      FROM ({MEDIA_SQL})
+    )
+    """,
+    tags=("multimodal",),
+)
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract for every asset via ``mapInPandas``: numpy
+    over raw payload bytes, one output row per asset. The oracle re-derives
+    each byte from the hex chain in SQL, so the Python path is checked
+    value-for-value."""
+    media = gen_media(spark, sf_dir).select("doc_id", "media_type", "payload")
+    return media.mapInPandas(_decode_features_batches, _FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling (explode k-th frames; 1 row in -> ~n_frames/k out)
+# ---------------------------------------------------------------------------
+
+_FRAMES_SCHEMA = (
+    "doc_id long, frame_index int, frame_len int, frame_mean double"
+)
+
+
+def _frame_sample_batches(batches):
+    for pdf in batches:
+        out = {"doc_id": [], "frame_index": [], "frame_len": [],
+               "frame_mean": []}
+        for doc_id, payload, n_frames in zip(
+            pdf["doc_id"], pdf["payload"], pdf["n_frames"]
+        ):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            fs = arr.size // int(n_frames)
+            for i in range(0, int(n_frames), FRAME_STEP):
+                frame = arr[i * fs:(i + 1) * fs]
+                out["doc_id"].append(doc_id)
+                out["frame_index"].append(i)
+                out["frame_len"].append(frame.size)
+                out["frame_mean"].append(float(int(frame.sum()) / frame.size))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "video_frame_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, hex, n_bytes, n_frames, n_bytes // n_frames AS fs
+      FROM ({MEDIA_SQL}) WHERE media_type = 'video'
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_index,
+           CAST(fs AS INT) AS frame_len,
+           CAST(list_sum(fb) AS DOUBLE) / fs AS frame_mean
+    FROM (
+      SELECT doc_id, fs, i,
+             {_bytes_sql('hex', 'i * fs', 'fs')} AS fb
+      FROM v, LATERAL unnest(range(0, n_frames, {FRAME_STEP})) AS t(i)
+    )
+    """,
+    tags=("multimodal",),
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every FRAME_STEP-th (5th) frame of each video
+    payload becomes its own row (frame bytes = contiguous payload slice).
+    The media_type filter prunes to videos BEFORE the Arrow transfer."""
+    media = (
+        gen_media(spark, sf_dir)
+        .filter(F.col("media_type") == "video")
+        .select("doc_id", "payload", F.col("meta.n_frames").alias("n_frames"))
+    )
+    return media.mapInPandas(_frame_sample_batches, _FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio chunk energy (fixed windows over samples)
+# ---------------------------------------------------------------------------
+
+_ENERGY_SCHEMA = "doc_id long, chunk int, energy double"
+
+
+def _chunk_energy_batches(batches):
+    for pdf in batches:
+        out = {"doc_id": [], "chunk": [], "energy": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            for j in range(arr.size // CHUNK_BYTES):
+                w = arr[j * CHUNK_BYTES:(j + 1) * CHUNK_BYTES]
+                out["doc_id"].append(doc_id)
+                out["chunk"].append(j)
+                out["energy"].append(float(int((w * w).sum()) / CHUNK_BYTES))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "audio_chunk_energy",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, hex, n_bytes FROM ({MEDIA_SQL})
+      WHERE media_type = 'audio'
+    )
+    SELECT doc_id,
+           CAST(j AS INT) AS chunk,
+           CAST(list_sum(list_transform(cb, x -> x * x)) AS DOUBLE)
+             / {CHUNK_BYTES} AS energy
+    FROM (
+      SELECT doc_id, j,
+             {_bytes_sql('hex', f'j * {CHUNK_BYTES}', str(CHUNK_BYTES))} AS cb
+      FROM a, LATERAL unnest(range(0, n_bytes // {CHUNK_BYTES})) AS t(j)
+    )
+    """,
+    tags=("multimodal",),
+)
+def audio_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction: mean-square energy per CHUNK_BYTES (64)
+    byte window of each audio payload (samples = raw bytes under the fake
+    decode)."""
+    media = (
+        gen_media(spark, sf_dir)
+        .filter(F.col("media_type") == "audio")
+        .select("doc_id", "payload")
+    )
+    return media.mapInPandas(_chunk_energy_batches, _ENERGY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image resize (block-average to 8x8 thumbnail; rows-only + pytest oracle)
+# ---------------------------------------------------------------------------
+
+_RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, out_w int, out_h int, "
+    "px_mean double, px_checksum double"
+)
+_OUT_DIM = 8
+
+
+def _resize_batches(batches):
+    for pdf in batches:
+        out = {k: [] for k in
+               ("doc_id", "width", "height", "out_w", "out_h",
+                "px_mean", "px_checksum")}
+        for doc_id, payload, w, h in zip(
+            pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
+        ):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            w, h = int(w), int(h)
+            # fake decode: pixel(r, c) = payload[(r*w + c) % n_bytes]
+            px = arr[(np.arange(h * w) % arr.size)].reshape(h, w)
+            # width/height are multiples of 16 -> divisible by 8: exact
+            # block-average pooling
+            bh, bw = h // _OUT_DIM, w // _OUT_DIM
+            small = px.reshape(_OUT_DIM, bh, _OUT_DIM, bw).mean(axis=(1, 3))
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["out_w"].append(_OUT_DIM)
+            out["out_h"].append(_OUT_DIM)
+            out["px_mean"].append(float(small.mean()))
+            out["px_checksum"].append(float(small.sum()))
+        yield pd.DataFrame(out)
+
+
+@query("image_resize_thumbnail", oracle=None, tags=("multimodal",))
+def image_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8x8 block-average thumbnail of every image (fake pixel decode over
+    payload bytes). Rows-only for the driver (the pooled means aren't
+    reasonably SQL-expressible); pytest pins the values against an
+    independent numpy reference."""
+    media = (
+        gen_media(spark, sf_dir)
+        .filter(F.col("media_type") == "image")
+        .select(
+            "doc_id",
+            "payload",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+        )
+    )
+    return media.mapInPandas(_resize_batches, _RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Decoded-feature rollup (decode -> groupBy: the curation-pipeline shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "media_features_by_type",
+    oracle=f"""
+    SELECT media_type,
+           COUNT(*) AS assets,
+           {davg_sql('byte_mean')} AS avg_byte_mean,
+           MIN(byte_min) AS global_min,
+           MAX(byte_max) AS global_max
+    FROM (
+      SELECT doc_id, media_type, n_bytes,
+             CAST(list_sum(bytes) AS DOUBLE) / n_bytes AS byte_mean,
+             list_min(bytes) AS byte_min,
+             list_max(bytes) AS byte_max
+      FROM (
+        SELECT doc_id, media_type, n_bytes,
+               {_bytes_sql('hex', '0', 'n_bytes')} AS bytes
+        FROM ({MEDIA_SQL})
+      )
+    )
+    GROUP BY media_type
+    ORDER BY media_type
+    """,
+    tags=("multimodal",),
+)
+def media_features_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline composition: pandas decode stage feeding an ordinary
+    JVM-side aggregation (map-side combine on a 3-value key)."""
+    from ..functions import davg
+
+    feats = media_decode_features(spark, sf_dir)
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count("*").alias("assets"),
+            davg("byte_mean", "avg_byte_mean"),
+            F.min("byte_min").alias("global_min"),
+            F.max("byte_max").alias("global_max"),
+        )
+        .orderBy("media_type")
+    )

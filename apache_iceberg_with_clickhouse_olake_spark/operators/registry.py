@@ -68,6 +68,7 @@ _MODULES = (
     "dedup",
     "evolution",
     "medallion",
+    "multimodal",
     "sessions",
     "similarity",
     "text",
