@@ -10,17 +10,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import dround_sql, dsum, dsum_sql, md5_int60_sql
+from ..functions import davg_sql, dround_sql, dsum, dsum_sql, md5_int60_sql
 from ..sources.datagen import (
     ANCHOR_DATE,
     CATEGORIES,
     COUNTRIES,
+    DEVICES,
     N_PRODUCTS,
     N_USERS,
     ORDER_STATUSES,
     ORDERS_PER_USER,
+    SESSIONS_PER_USER,
     gen_orders,
     gen_products,
+    gen_sessions,
     gen_users,
 )
 from .registry import query
@@ -115,6 +118,64 @@ def datagen_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("total_amount", "revenue"),
         )
         .orderBy("status")
+    )
+
+
+_SESSIONS_SQL = f"""
+    SELECT i AS session_id,
+           (i - 1) // {SESSIONS_PER_USER} + 1 AS user_id,
+           concat('tok-', CAST({_h_sql('tok', 'i')} AS VARCHAR))
+             AS session_token,
+           {_lst(DEVICES)}[CAST({_h_sql('sess', 'i')} % 3 + 1 AS INT)] AS device,
+           CAST({_h_sql('sess', 'i')} % 7200 AS INT) AS duration_secs,
+           CAST({_h_sql('sess', 'i')} % 50 + 1 AS INT) AS pages_viewed,
+           DATE '{ANCHOR_DATE}' - CAST({_h_sql('sess', 'i')} % 90 AS INT)
+             AS login_date
+    FROM range(1, {N_USERS} * {SESSIONS_PER_USER} + 1) t(i)
+"""
+
+
+@query(
+    "datagen_sessions",
+    oracle=_SESSIONS_SQL,
+    tags=("S7", "G1", "F1", "F5", "F11"),
+)
+def datagen_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generated user_sessions table row-for-row (5,000 rows;
+    generate_sessions stored-proc equivalent, 01-setup.sql:242-289)."""
+    return gen_sessions(spark)
+
+
+@query(
+    "session_epoch_stats",
+    oracle=f"""
+    SELECT device,
+           COUNT(*) AS sessions,
+           {davg_sql('duration_secs')} AS avg_duration_secs,
+           CAST(MIN(epoch(login_date)) AS BIGINT) AS first_login_epoch,
+           CAST(MAX(epoch(login_date)) AS BIGINT) AS last_login_epoch
+    FROM ({_SESSIONS_SQL})
+    GROUP BY device
+    ORDER BY device
+    """,
+    tags=("F15", "A2"),
+)
+def session_epoch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-device session rollup with UNIX_TIMESTAMP login bounds (F15,
+    01-setup.sql:124-132 token-suffix idiom; session tz is UTC so Spark's
+    unix_timestamp(date) and DuckDB's epoch(date) agree)."""
+    from ..functions import davg
+
+    return (
+        gen_sessions(spark)
+        .groupBy("device")
+        .agg(
+            F.count("*").alias("sessions"),
+            davg("duration_secs", "avg_duration_secs"),
+            F.min(F.unix_timestamp("login_date")).alias("first_login_epoch"),
+            F.max(F.unix_timestamp("login_date")).alias("last_login_epoch"),
+        )
+        .orderBy("device")
     )
 
 

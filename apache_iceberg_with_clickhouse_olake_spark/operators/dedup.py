@@ -330,6 +330,103 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Character n-gram Jaccard with prefix blocking
+# ---------------------------------------------------------------------------
+
+_NGRAM = 4
+_NGRAM_THRESHOLD = 0.3
+
+_CHAR_GRAMS_SQL = f"""
+    CASE WHEN length(norm) >= {_NGRAM} THEN
+      list_distinct(list_transform(range(1, length(norm) - {_NGRAM - 2}),
+        j -> substr(norm, j, {_NGRAM})))
+    ELSE [norm] END
+"""
+
+# Blocking key: first 3 tokens + 16-char length bucket. Near-identical
+# docs share both; the key fans the corpus into ~n blocks of O(1) size,
+# so the within-block pair join is linear, never all-pairs.
+_BLOCK_SQL = (
+    "md5(concat(array_to_string(toks[1:3], ' '), '|',"
+    " CAST(length(norm) // 16 AS VARCHAR)))"
+)
+
+
+@query(
+    "ngram_jaccard_neardups",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, {_BLOCK_SQL} AS blk, {_CHAR_GRAMS_SQL} AS grams
+      FROM t
+    )
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           {dround_sql(
+               'CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)'
+               ' / len(list_distinct(list_concat(x.grams, y.grams)))',
+               4,
+           )} AS ngram_jaccard,
+           CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.grams, y.grams)))
+             >= {_NGRAM_THRESHOLD} AS near_dup
+    FROM g x JOIN g y ON x.blk = y.blk AND x.doc_id < y.doc_id
+    """,
+    tags=("llm-dedup",),
+)
+def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 4-gram Jaccard near-dedup with prefix+length blocking:
+    candidates meet only inside a block (first-3-tokens x length-bucket
+    key), then exact character-shingle Jaccard scores each pair. The
+    block join is the same bucketed no-all-pairs shape as MinHash-LSH
+    but with a zero-signature-cost blocking key -- the cheap first pass
+    of a layered dedup cascade."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        norm_text(F.col("text")).alias("norm"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    blk = F.md5(
+        F.concat(
+            F.concat_ws(" ", F.slice(F.col("toks"), 1, 3)),
+            F.lit("|"),
+            F.expr("CAST(length(norm) div 16 AS STRING)"),
+        )
+    )
+    grams = F.when(
+        F.length("norm") >= _NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("norm") - (_NGRAM - 1)),
+                lambda j: F.col("norm").substr(j, F.lit(_NGRAM)),
+            )
+        ),
+    ).otherwise(F.array(F.col("norm")))
+    g = t.select("doc_id", blk.alias("blk"), grams.alias("grams"))
+    x, y = g.alias("x"), g.alias("y")
+    jac = (
+        F.size(F.array_intersect(F.col("x.grams"), F.col("y.grams")))
+        .cast("double")
+        / F.size(F.array_union(F.col("x.grams"), F.col("y.grams")))
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            dround(jac, 4).alias("ngram_jaccard"),
+            (jac >= _NGRAM_THRESHOLD).alias("near_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (vectorized Pandas UDF -- the Arrow-batched Python path)
 # ---------------------------------------------------------------------------
 

@@ -208,7 +208,133 @@ def medallion_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@query("lake_compaction_stats", oracle=None, tags=("D11", "S6"))
+_UPDATE_PRICE_CUTOFF = 400000.0
+
+
+@query(
+    "lake_update_where",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice > {_UPDATE_PRICE_CUTOFF}
+                THEN 'archived' ELSE o_orderstatus END AS status,
+           COUNT(*) AS order_count,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("D9", "L1"),
+)
+def lake_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... WHERE (blog :541-542) on the parquet-native lake:
+    read-modify-overwrite as a NEW snapshot (v1 untouched -- the
+    copy-on-write shape Iceberg's UPDATE performs), then aggregate over
+    the post-update state read back from disk."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="update_")
+    try:
+        table = f"{tmp}/orders_state"
+        write_snapshot(orders, table)
+        v1 = read_snapshot(spark, table)
+        updated = v1.withColumn(
+            "o_orderstatus",
+            F.when(
+                F.col("o_totalprice") > _UPDATE_PRICE_CUTOFF, F.lit("archived")
+            ).otherwise(F.col("o_orderstatus")),
+        )
+        write_snapshot(updated, table)
+        out = (
+            read_snapshot(spark, table)
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").alias("order_count"),
+                dsum("o_totalprice", "revenue"),
+            )
+            .orderBy("status")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("parquet_layout_roundtrip", oracle=None, tags=("S6", "D12"))
+def parquet_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical parquet layout control (S6, destination.json:29-36:
+    row-group 128 MiB / page 1 MiB / dictionary on / snappy): write
+    lineitem with a deliberately small row-group size and verify via
+    parquet footer metadata (pyarrow) that the layout took effect --
+    more row groups than the default write, dictionary-encoded status
+    column, snappy compression, rows preserved."""
+    import pyarrow.parquet as pq
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    tmp = tempfile.mkdtemp(prefix="layout_")
+    try:
+        small_dir, default_dir = f"{tmp}/small_rg", f"{tmp}/default_rg"
+        (
+            li.coalesce(1)
+            .write.option("parquet.block.size", 64 * 1024)
+            .option("parquet.page.size", 8 * 1024)
+            .option("compression", "snappy")
+            .parquet(small_dir)
+        )
+        li.coalesce(1).write.option("compression", "snappy").parquet(default_dir)
+
+        def _file_meta(d: str):
+            import os
+
+            path = next(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+            f = pq.ParquetFile(path)
+            col0 = f.metadata.row_group(0).column(1)
+            return (
+                f.metadata.num_row_groups,
+                f.metadata.num_rows,
+                str(col0.compression).lower(),
+                "PLAIN_DICTIONARY" in str(col0.encodings)
+                or "RLE_DICTIONARY" in str(col0.encodings),
+            )
+
+        rg_small, rows_small, comp, dict_enc = _file_meta(small_dir)
+        rg_default, rows_default, _, _ = _file_meta(default_dir)
+        return spark.createDataFrame(
+            [
+                (
+                    rg_small,
+                    rg_default,
+                    rg_small > rg_default,
+                    comp,
+                    dict_enc,
+                    rows_small,
+                    rows_small == rows_default,
+                )
+            ],
+            "row_groups_small int, row_groups_default int, "
+            "layout_took_effect boolean, compression string, "
+            "dictionary_encoded boolean, rows long, rows_preserved boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_COMPACT_ORACLE = """
+    SELECT CAST(16 AS INT) AS files_before,
+           CAST(2 AS INT) AS files_after,
+           COUNT(*) AS rows_before,
+           COUNT(*) AS rows_after,
+           TRUE AS rows_preserved
+    FROM orders
+"""
+
+
+@query("lake_compaction_stats", oracle=_COMPACT_ORACLE, tags=("D11", "S6"))
 def lake_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (rewrite_data_files equivalent,
     destination.json:261-264): write orders as 16 small files, compact to
