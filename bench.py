@@ -2,18 +2,22 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
 
-The headline set mirrors the reference's performance-comparison suite
-(scripts/compare-query-performance.sql Tests 1-4 + the medallion gold
-build) plus the heaviest fact-table queries, so the number tracks the
-BASELINE.md bands (raw group-by 2-5 s / silver 0.5-2 s / gold 10-50 ms at
-the reference's scale).
+Mirrors the reference's performance-comparison harness
+(scripts/performance-with-timing.sh): the medallion build is SETUP (the
+reference materializes silver/gold via iceberg-setup.sql before timing),
+then the same group-by is timed against each layer -- raw scan
+(2-5 s band), materialized silver (0.5-2 s band), materialized gold
+(10-50 ms band) -- plus the heaviest fact-table queries from the suite
+(compare-query-performance.sql Tests 1-4 shapes).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -22,12 +26,12 @@ from apache_iceberg_with_clickhouse_olake_spark.operators import registry
 from apache_iceberg_with_clickhouse_olake_spark.session import get_spark
 
 HEADLINE = (
-    "orders_by_status",       # Test 1: raw group-by
+    "orders_by_status",       # Test 1: raw group-by (the 2-5 s band shape)
     "monthly_revenue",        # Test 2: month x status rollup
     "high_value_orders",      # Test 3: multi-predicate filter
     "unique_customers",       # Test 4: exact distinct
-    "gold_order_metrics",     # medallion gold build
-    "gold_reaggregate",       # gold re-aggregation (the 10-50 ms class)
+    "gold_order_metrics",     # medallion gold build (raw -> gold pipeline)
+    "gold_reaggregate",       # gold re-agg recomputed from raw
     "pricing_summary",        # biggest fact scan (TPC-H Q1 shape)
     "segment_lineitem_revenue",  # biggest shuffle join
     "revenue_by_nation",      # star join
@@ -52,6 +56,63 @@ def main() -> None:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+
+    # --- Per-layer comparison over MATERIALIZED silver/gold (the setup the
+    # reference harness assumes: iceberg-setup.sql runs before timing). ---
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_with_clickhouse_olake_spark.functions import davg, dsum
+    from apache_iceberg_with_clickhouse_olake_spark.operators.medallion import (
+        build_medallion,
+    )
+
+    warehouse = tempfile.mkdtemp(prefix="bench_medallion_")
+    try:
+        paths = build_medallion(spark, sf_dir, warehouse)  # setup, untimed
+        silver = spark.read.parquet(paths["silver_orders"])
+        gold = spark.read.parquet(paths["gold_order_metrics"])
+        silver.count(), gold.count()  # warm file listing
+
+        t0 = time.perf_counter()
+        (
+            silver.groupBy("status")
+            .agg(
+                F.count("*").alias("order_count"),
+                davg("total_amount", "avg_order_value"),
+            )
+            .collect()
+        )
+        timings["silver_groupby_premat"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        (
+            gold.groupBy("status")
+            .agg(
+                F.sum("order_count").alias("total_orders"),
+                dsum("gross_revenue", "total_revenue"),
+            )
+            .collect()
+        )
+        timings["gold_reagg_premat"] = round(time.perf_counter() - t0, 4)
+
+        # Cached-gold variant: the reference's gold is a warm local
+        # MergeTree table (10-50 ms band); the Spark equivalent is the
+        # in-memory columnar cache.
+        gold_cached = gold.cache()
+        gold_cached.count()  # populate cache (setup)
+        t0 = time.perf_counter()
+        (
+            gold_cached.groupBy("status")
+            .agg(
+                F.sum("order_count").alias("total_orders"),
+                dsum("gross_revenue", "total_revenue"),
+            )
+            .collect()
+        )
+        timings["gold_reagg_cached"] = round(time.perf_counter() - t0, 4)
+        gold_cached.unpersist()
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
