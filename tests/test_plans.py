@@ -1,0 +1,108 @@
+"""Plan-property regression tests: the physical characteristics the 100 TB
+story depends on (pushdown, pruning, no forced broadcast of scaling
+tables, no needless global sorts) plus declared-schema pinning."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_iceberg_with_clickhouse_olake_spark import schemas
+from apache_iceberg_with_clickhouse_olake_spark.operators import registry
+from apache_iceberg_with_clickhouse_olake_spark.plans import (
+    analyzed_plan,
+    assert_no_global_sort,
+    assert_pushed_filter,
+    assert_scan_columns_at_most,
+    physical_plan,
+)
+from apache_iceberg_with_clickhouse_olake_spark.sources.datagen import (
+    gen_orders,
+    gen_products,
+    gen_sessions,
+    gen_users,
+)
+from apache_iceberg_with_clickhouse_olake_spark.sources.multimodal import gen_media
+from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import BROADCAST_DIMS
+
+registry._load_all()
+_Q = {name: spec.fn for name, spec in registry.REGISTRY.items()}
+
+
+def test_broadcast_dims_exclude_scaling_tables():
+    # customer/part/orders/lineitem grow linearly with scale: an explicit
+    # broadcast hint would override AQE and OOM executors at 100 TB.
+    assert BROADCAST_DIMS <= {"region", "nation", "supplier"}
+
+
+def test_pricing_summary_pushes_shipdate_filter(spark, sf_dir):
+    assert_pushed_filter(_Q["pricing_summary"](spark, sf_dir), "l_shipdate")
+
+
+def test_high_value_orders_pushes_price_filter(spark, sf_dir):
+    assert_pushed_filter(_Q["high_value_orders"](spark, sf_dir), "o_totalprice")
+
+
+def test_pricing_summary_prunes_columns(spark, sf_dir):
+    assert_scan_columns_at_most(
+        _Q["pricing_summary"](spark, sf_dir),
+        "lineitem",
+        {
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        },
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["silver_projection", "scalar_functions", "dedup_keep_first"]
+)
+def test_per_row_projections_have_no_global_sort(spark, sf_dir, name):
+    assert_no_global_sort(_Q[name](spark, sf_dir))
+
+
+@pytest.mark.parametrize(
+    "name", ["revenue_by_nation", "segment_lineitem_revenue", "order_part_lookup"]
+)
+def test_no_broadcast_hint_on_scaling_tables(spark, sf_dir, name):
+    """Explicit broadcast hints may only cover the fixed-size dims; the
+    scans of customer/part/orders/lineitem must not sit under one. Hints
+    appear as ResolvedHint nodes in the analyzed plan; we assert every
+    hinted subtree references only safe dims."""
+    plan = analyzed_plan(_Q[name](spark, sf_dir))
+    blocks = plan.split("ResolvedHint")[1:]
+    for block in blocks:
+        scan_part = block[:2000].lower()
+        for bad in ("customer.parquet", "part.parquet", "orders.parquet",
+                    "lineitem.parquet"):
+            assert bad not in scan_part, f"broadcast hint over {bad} in {name}"
+
+
+def test_generator_schemas_pinned(spark):
+    cases = [
+        (gen_users(spark), schemas.USERS_SCHEMA),
+        (gen_products(spark), schemas.PRODUCTS_SCHEMA),
+        (gen_orders(spark), schemas.ORDERS_SCHEMA),
+        (gen_sessions(spark), schemas.SESSIONS_SCHEMA),
+    ]
+    for df, expected in cases:
+        assert schemas.names_and_types(df.schema) == schemas.names_and_types(
+            expected
+        )
+
+
+def test_media_schema_pinned(spark, sf_dir):
+    assert schemas.names_and_types(
+        gen_media(spark, sf_dir).schema
+    ) == schemas.names_and_types(schemas.MEDIA_SCHEMA)
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    """The hot aggregation path must stay inside whole-stage codegen
+    (JVM-side, no Python in the loop)."""
+    df = _Q["orders_by_status"](spark, sf_dir)
+    df.collect()  # finalize AQE
+    plan = physical_plan(df)
+    # codegen stages surface as "*(n)" markers in the plan string
+    assert "*(1)" in plan and "HashAggregate" in plan
+    # map-side partial aggregation must precede the shuffle
+    assert "partial_count" in plan
