@@ -776,3 +776,42 @@ def max_key_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max("o_orderkey"), F.lit(0)).alias("max_order_key"),
         F.coalesce(F.max("o_custkey"), F.lit(0)).alias("max_cust_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP hierarchy totals (extension: Spark df.rollup is free; the
+# reference reaches subtotal rows by re-running aggregates per level)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_status_rollup",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           o_orderstatus AS status,
+           COUNT(*) AS order_count,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+    ORDER BY order_year NULLS FIRST, status NULLS FIRST
+    """,
+    tags=("A8", "A9"),
+)
+def orders_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year x status ROLLUP: per-cell, per-year-subtotal, and grand-total
+    rows in one pass (Spark expands grouping sets before the single
+    shuffle -- the same partial-agg scale shape as a plain groupBy)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .orderBy(
+            F.col("order_year").asc_nulls_first(),
+            F.col("status").asc_nulls_first(),
+        )
+    )

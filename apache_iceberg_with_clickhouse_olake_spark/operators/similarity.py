@@ -344,3 +344,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids, decimal-exact (the oracle-checkable IVF build)
+# ---------------------------------------------------------------------------
+
+@query(
+    "label_centroids",
+    oracle=f"""
+    SELECT label, CAST(i - 1 AS INT) AS dim, {davg_sql('x')} AS centroid
+    FROM (
+      SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, LATERAL unnest(range(1, {_DIM} + 1)) AS t(i)
+    )
+    GROUP BY label, i
+    ORDER BY label, dim
+    """,
+    tags=("llm-similarity",),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid build as an oracle-checked query: posexplode vectors ->
+    groupBy(label, dim) -> decimal-snapped mean (davg), so unlike the
+    float-avg inside ann_ivf_topk the result is engine-exact. One shuffle
+    reducing to labels x dims rows -- fully distributed, no vector ever
+    collected to the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(_dvec(F.col("embedding"))).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(davg("x", "centroid"))
+        .orderBy("label", "dim")
+    )

@@ -310,3 +310,42 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         syms.alias("symbol_tokens"),
         (words + syms).alias("bpe_ish_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus heavy hitters (distributed wordcount -> top-k)
+# ---------------------------------------------------------------------------
+
+_TOP_TERMS_K = 50
+
+
+@query(
+    "top_terms",
+    oracle=f"""
+    SELECT token,
+           COUNT(*) AS occurrences,
+           COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY occurrences DESC, token
+    LIMIT {_TOP_TERMS_K}
+    """,
+    tags=("llm-text", "O1", "O3"),
+)
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: explode tokens -> groupBy(token) -> top-k by
+    total occurrences (deterministic token tiebreak). The classic
+    distributed wordcount; partial aggregation absorbs the token skew
+    before the shuffle, and the top-k compiles to TakeOrderedAndProject
+    (per-partition heads, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("occurrences").desc(), "token")
+        .limit(_TOP_TERMS_K)
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import dround, dround_sql, dsum_sql
+from ..functions import dround, dround_sql, dsum, dsum_sql
 from ..sources.parquet import load_table
 from .registry import query
 
@@ -157,4 +157,46 @@ def order_value_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         month.alias("order_month"),
         F.dense_rank().over(w).cast("long").alias("value_decile_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling event-time windows over the raw event stream
+# ---------------------------------------------------------------------------
+
+_TUMBLE_SECS = 900  # 15-minute buckets
+
+
+@query(
+    "events_tumbling_windows",
+    oracle=f"""
+    SELECT (epoch_us(ts) // 1000000) // {_TUMBLE_SECS} * {_TUMBLE_SECS}
+             AS window_start_epoch,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS active_users,
+           {dsum_sql('value')} AS window_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("C3", "A8"),
+)
+def events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 15-minute event-time windows (the batch twin of the
+    streaming window(ts, ...) aggregation; epoch bucketing sidesteps the
+    ns-vs-us timestamp divergence between engines). Map-side partial
+    aggregation; the shuffle key is the window bucket."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.expr(f"(unix_micros(ts) div 1000000) div {_TUMBLE_SECS}")
+        * _TUMBLE_SECS
+    )
+    return (
+        events.groupBy(bucket.alias("window_start_epoch"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("active_users"),
+            dsum("value", "window_value"),
+        )
+        .orderBy("window_start_epoch")
     )
