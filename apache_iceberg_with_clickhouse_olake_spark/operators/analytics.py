@@ -815,3 +815,73 @@ def orders_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("status").asc_nulls_first(),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-join variant (J1 family; df.join(how="left_semi") is free in Spark)
+# ---------------------------------------------------------------------------
+
+@query(
+    "nations_with_high_value_orders",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS customers
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+    )
+    GROUP BY n.n_name
+    ORDER BY customers DESC, nation
+    """,
+    tags=("J1", "P3"),
+)
+def nations_with_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS shape): customers having any >450k order,
+    counted per nation. The semi join keeps only the probe side's columns
+    -- half the shuffle width of an inner join + distinct."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 450000).select("o_custkey")
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("customers"))
+        .orderBy(F.col("customers").desc(), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9/F10: genuine NOW()/today() calls with a time-stable answer
+# ---------------------------------------------------------------------------
+
+@query(
+    "current_date_sanity",
+    oracle="""
+    SELECT COUNT(*) AS past_orders,
+           COUNT(*) FILTER (WHERE o_orderdate > current_date)
+             AS future_orders,
+           TRUE AS now_after_data
+    FROM orders
+    """,
+    tags=("F9", "F10"),
+)
+def current_date_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real current_date()/current_timestamp() calls (F9/F10, not the
+    fixed-anchor substitute): the dataset's order dates all precede any
+    possible run time, so the answer is deterministic while the functions
+    evaluate live in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("past_orders"),
+        F.count(F.when(F.col("o_orderdate") > F.current_date(), 1)).alias(
+            "future_orders"
+        ),
+        (F.max("o_orderdate").cast("timestamp") < F.current_timestamp()).alias(
+            "now_after_data"
+        ),
+    )

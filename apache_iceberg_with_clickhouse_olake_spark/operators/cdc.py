@@ -104,15 +104,24 @@ _EVENTS_WITH_TS_SQL = f"""
 
 
 def apply_cdc_upsert(events: DataFrame, key_cols: tuple[str, ...] = ("key",),
-                     seq_col: str = "_seq") -> DataFrame:
+                     seq_col: str = "_seq",
+                     keep_tombstones: bool = False) -> DataFrame:
     """Merge-on-read read-side apply: latest event per key wins; deletes
-    drop the key. D6/C4 equivalent (destination.json:132-134)."""
+    drop the key. D6/C4 equivalent (destination.json:132-134).
+
+    ``keep_tombstones=True`` retains the winning delete row instead of
+    dropping it -- required when the output is an INTERMEDIATE state that
+    later (possibly out-of-order) batches merge into: without the
+    tombstone, an older buffered update arriving in a later micro-batch
+    would resurrect the deleted key (the merge-on-read delete-file
+    semantics Iceberg keeps until compaction)."""
     w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
-    return (
+    latest = (
         events.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col("_op") != "d"))
+        .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    return latest if keep_tombstones else latest.filter(F.col("_op") != "d")
 
 
 @query(

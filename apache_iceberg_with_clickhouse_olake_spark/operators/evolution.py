@@ -383,3 +383,61 @@ def ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+# ---------------------------------------------------------------------------
+# D4: INSERT VALUES literal seed -> lake write -> read back
+# ---------------------------------------------------------------------------
+
+_SEED_ROWS = [
+    (1, "alpha", "Electronics", 199.99),
+    (2, "beta", "Books", 12.50),
+    (3, "gamma", "Electronics", 1499.00),
+    (4, "delta", "Home", 89.95),
+    (5, "epsilon", "Books", 7.25),
+    (6, "zeta", "Sports", 54.10),
+    (7, "eta", "Toys", 24.99),
+    (8, "theta", "Home", 310.40),
+    (9, "iota", "Sports", 75.00),
+    (10, "kappa", "Electronics", 899.90),
+]
+
+
+@query(
+    "seed_literal_insert",
+    oracle=f"""
+    WITH seed(id, name, category, price) AS (
+      VALUES {', '.join(repr(r) for r in _SEED_ROWS)}
+    )
+    SELECT category,
+           COUNT(*) AS items,
+           {dsum_sql('price')} AS total_price
+    FROM seed
+    GROUP BY category
+    ORDER BY category
+    """,
+    tags=("D4", "D5", "S7"),
+)
+def seed_literal_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO ... VALUES literal seed (D4, mysql-init/01-setup.sql:
+    74-132 idiom): createDataFrame from literal rows, write to the lake,
+    read BACK from disk, aggregate -- the write path carries the values."""
+    tmp = tempfile.mkdtemp(prefix="seed_")
+    try:
+        df = spark.createDataFrame(
+            _SEED_ROWS, "id int, name string, category string, price double"
+        )
+        table = f"{tmp}/seed_products"
+        write_snapshot(df, table)
+        out = (
+            read_snapshot(spark, table)
+            .groupBy("category")
+            .agg(
+                F.count("*").alias("items"),
+                dsum("price", "total_price"),
+            )
+            .orderBy("category")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -59,7 +59,11 @@ def _apply_batch(state_dir: str):
             merged = state.unionByName(batch)
         else:
             merged = batch
-        out = apply_cdc_upsert(merged)
+        # Tombstones STAY in the intermediate state: a delete must keep
+        # outranking older buffered updates that arrive in later
+        # micro-batches (Iceberg's merge-on-read delete files, kept
+        # until compaction).
+        out = apply_cdc_upsert(merged, keep_tombstones=True)
         # Local-mode fallback: rewrite state (Iceberg path: MERGE INTO).
         out.cache().count()
         out.write.mode("overwrite").parquet(state_dir)
@@ -90,6 +94,15 @@ def run_cdc_upsert_stream(
         .start()
     )
     q.awaitTermination()
+    # Publish: compact tombstones out of the drained state (the
+    # rewrite_data_files step -- a real lake would retain delete files
+    # and filter them at read time instead).
+    if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        state = spark.read.parquet(state_dir)
+        live = state.filter(F.col("_op") != "d")
+        live.cache().count()
+        live.write.mode("overwrite").parquet(state_dir)
+        live.unpersist()
 
 
 def run_streaming_sessionization(

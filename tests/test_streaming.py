@@ -98,3 +98,36 @@ def test_streaming_sessionization_matches_batch(spark, sf_dir, tmp_path):
     )
     cols = ["user_id", "window_start_epoch", "n_events"]
     assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_snapshot_backfill_then_cdc_tail(spark, sf_dir, tmp_path):
+    """C1 (source.json:8-15): initial full snapshot as a BATCH write, then
+    the continuous change stream applies on top -- final state must equal
+    the batch operator applied to the full event log."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 1000
+    )
+    events = synthetic_change_events(orders)
+    snapshot = events.filter(F.col("_seq") <= 0)  # initial load
+    tail = events.filter(F.col("_seq") > 0)       # binlog tail
+
+    state_dir = str(tmp_path / "state")
+    # Phase 1: batch backfill of the snapshot (chunked reads modeled by
+    # the writer's partitioning; the stream below uses maxFilesPerTrigger).
+    from apache_iceberg_with_clickhouse_olake_spark.operators.cdc import (
+        apply_cdc_upsert as upsert,
+    )
+
+    upsert(snapshot).write.parquet(state_dir)
+
+    # Phase 2: stream the tail into the same state.
+    events_dir = str(tmp_path / "events")
+    tail.coalesce(2).write.parquet(events_dir)
+    run_cdc_upsert_stream(
+        spark, events_dir, state_dir, str(tmp_path / "ckpt"), 1
+    )
+
+    got = spark.read.parquet(state_dir)
+    want = apply_cdc_upsert(events)
+    cols = ["key", "custkey", "price", "_op", "_seq", "_sync_ts_epoch"]
+    assert _rows(got, cols) == _rows(want, cols)
