@@ -885,3 +885,37 @@ def current_date_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "now_after_data"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated quantiles (distribution profiling, A10 family)
+# ---------------------------------------------------------------------------
+
+@query(
+    "order_price_quantiles",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           {dround_sql('quantile_cont(o_totalprice, 0.5)')} AS p50,
+           {dround_sql('quantile_cont(o_totalprice, 0.9)')} AS p90,
+           {dround_sql('quantile_cont(o_totalprice, 0.99)')} AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("A10",),
+)
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per status (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` semantics; dround absorbs last-bit
+    interpolation noise). At 100 TB the approx_percentile sketch is the
+    drop-in cheap variant -- same call shape, mergeable partial state."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            dround(F.expr("percentile(o_totalprice, 0.5)")).alias("p50"),
+            dround(F.expr("percentile(o_totalprice, 0.9)")).alias("p90"),
+            dround(F.expr("percentile(o_totalprice, 0.99)")).alias("p99"),
+        )
+        .orderBy("status")
+    )

@@ -441,3 +441,56 @@ def seed_literal_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# L2: partitioned write -> partition-pruned read
+# ---------------------------------------------------------------------------
+
+@query(
+    "partition_pruning_roundtrip",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           o_orderstatus AS status,
+           COUNT(*) AS order_count,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    WHERE year(o_orderdate) = 1995 AND o_orderstatus = 'O'
+    GROUP BY 1, 2
+    """,
+    tags=("L2", "S1", "O5"),
+)
+def partition_pruning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition transforms (destination.json:37-65: month(order_date) x
+    identity(status)) on the parquet lake: write orders partitioned by
+    (year, status), read back filtered on BOTH partition columns -- the
+    scan must prune to the single matching directory (PartitionFilters,
+    asserted in tests/test_plans.py) so at 100 TB the query touches
+    1/(years x statuses) of the files."""
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="partitioned_")
+    try:
+        part_dir = f"{tmp}/orders_partitioned"
+        (
+            orders.withColumn(
+                "order_year", F.year("o_orderdate").cast("int")
+            )
+            .write.partitionBy("order_year", "o_orderstatus")
+            .parquet(part_dir)
+        )
+        back = spark.read.parquet(part_dir)
+        out = (
+            back.filter(
+                (F.col("order_year") == 1995) & (F.col("o_orderstatus") == "O")
+            )
+            .groupBy(
+                "order_year", F.col("o_orderstatus").alias("status")
+            )
+            .agg(
+                F.count("*").alias("order_count"),
+                dsum("o_totalprice", "revenue"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

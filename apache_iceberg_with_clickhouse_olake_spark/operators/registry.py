@@ -64,6 +64,7 @@ def all_oracles() -> dict[str, str]:
 _MODULES = (
     "analytics",
     "cdc",
+    "curation",
     "datagen_queries",
     "dedup",
     "evolution",

@@ -106,3 +106,27 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "*(1)" in plan and "HashAggregate" in plan
     # map-side partial aggregation must precede the shuffle
     assert "partial_count" in plan
+
+
+def test_partitioned_read_prunes_directories(spark, sf_dir, tmp_path):
+    """A filter on partition columns must land in PartitionFilters (pruned
+    at file-listing time), not as a post-scan data filter."""
+    from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    part_dir = str(tmp_path / "orders_partitioned")
+    (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .write.partitionBy("order_year", "o_orderstatus")
+        .parquet(part_dir)
+    )
+    back = spark.read.parquet(part_dir).filter(
+        (F.col("order_year") == 1995) & (F.col("o_orderstatus") == "O")
+    )
+    plan = physical_plan(back.groupBy().count())
+    scan = next(line for line in plan.splitlines() if "FileScan" in line)
+    pf = scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "order_year" in pf and "o_orderstatus" in pf
