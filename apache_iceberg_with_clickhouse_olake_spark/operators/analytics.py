@@ -919,3 +919,52 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe two-stage (salted) aggregation
+# ---------------------------------------------------------------------------
+
+_SALT_BUCKETS = 8
+
+
+@query(
+    "salted_status_rollup",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS order_count,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("A2", "A9"),
+)
+def salted_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a deliberately skewed key
+    (3 statuses for the whole table): stage 1 groups by (status, salt)
+    spreading each hot key over {8} reducers, stage 2 merges the partials.
+    Same answer as the plain groupBy (the oracle), but no reducer ever
+    holds a full hot key -- the manual fallback when AQE skew handling
+    can't apply (e.g. aggregations, which AQE skew-join doesn't cover).
+    Salt is derived from o_orderkey, not rand(), so the plan stays
+    deterministic and retry-safe."""
+    orders = load_table(spark, sf_dir, "orders")
+    salted = orders.withColumn(
+        "_salt", (F.col("o_orderkey") % _SALT_BUCKETS).cast("int")
+    )
+    partial = (
+        salted.groupBy(F.col("o_orderstatus").alias("status"), "_salt")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("s"),
+        )
+    )
+    return (
+        partial.groupBy("status")
+        .agg(
+            F.sum("c").alias("order_count"),
+            F.sum("s").cast("double").alias("revenue"),
+        )
+        .orderBy("status")
+    )

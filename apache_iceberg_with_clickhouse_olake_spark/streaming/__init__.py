@@ -105,6 +105,79 @@ def run_cdc_upsert_stream(
         live.unpersist()
 
 
+FIRST_SEEN_STATE_SCHEMA = StructType([StructField("seen", LongType())])
+FIRST_SEEN_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("first_event_id", LongType()),
+        StructField("n_new", LongType()),
+        StructField("kind", StringType()),
+    ]
+)
+
+
+def first_seen_tracker(key, pdfs, state):
+    """applyInPandasWithState body: per-key first-seen/dedup tracker across
+    micro-batches -- the custom-stateful-operator escape hatch for
+    semantics session_window/window can't express. Emits one row per
+    (key, batch): kind='first' with the new-event count on first sight,
+    kind='repeat' with n_new=0 afterwards."""
+    import pandas as pd
+
+    seen = state.get[0] if state.exists else 0
+    first_id = None
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+        mn = int(pdf["event_id"].min())
+        first_id = mn if first_id is None else min(first_id, mn)
+    new = 0 if seen else n
+    state.update((seen + n,))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "first_event_id": [first_id],
+            "n_new": [new],
+            "kind": ["first" if not seen else "repeat"],
+        }
+    )
+
+
+def run_first_seen_stream(
+    spark: SparkSession, events_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """File-sourced event stream -> applyInPandasWithState first-seen
+    tracker; drains with availableNow (1 file per micro-batch so state
+    crosses batches) and returns the appended output."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("user_id", LongType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        first_seen_tracker,
+        outputStructType=FIRST_SEEN_OUT_SCHEMA,
+        stateStructType=FIRST_SEEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("first_seen")
+
+
 def run_streaming_sessionization(
     spark: SparkSession,
     events_dir: str,
