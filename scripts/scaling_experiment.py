@@ -1,0 +1,128 @@
+"""Scaling experiment: replicate the sf0.1 fact tables k-fold (k = 1, 2,
+4, 8) with shifted keys, run the headline queries at each scale, and
+write SCALING.md. Near-linear wall-clock growth demonstrates the plans
+have no super-linear stage (the local[32] proxy for the 1000-executor
+question: no driver-side loops, no all-pairs joins, shuffles keyed and
+partial-aggregated).
+
+Usage: python scripts/scaling_experiment.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from apache_iceberg_with_clickhouse_olake_spark.operators import registry
+from apache_iceberg_with_clickhouse_olake_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+FACTS = ("orders", "lineitem", "events")
+DIMS = (
+    "region", "nation", "customer", "supplier", "part",
+    "documents", "embeddings",
+)
+QUERIES = (
+    "orders_by_status",
+    "monthly_revenue",
+    "unique_customers",
+    "pricing_summary",
+    "segment_lineitem_revenue",
+    "daily_active_users",
+)
+KEY_COLS = {
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+}
+
+
+def build_scale(spark, root: str, k: int) -> str:
+    out = os.path.join(root, f"x{k}")
+    os.makedirs(out, exist_ok=True)
+    for t in DIMS:
+        src = os.path.join(BASE, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(src, dst)
+    for t in FACTS:
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        if t == "events":
+            # nanos timestamps: read as raw longs; the scaled copy keeps
+            # the long column, which load_table converts on read.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(BASE, f"{t}.parquet"))
+        key = KEY_COLS[t]
+        off = df.agg(F.max(key)).first()[0] + 1
+        parts = [
+            df.withColumn(key, F.col(key) + F.lit(i * off)) for i in range(k)
+        ]
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        union.write.parquet(dst)
+    return out
+
+
+def main() -> None:
+    spark = get_spark("scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.all_queries()
+    root = tempfile.mkdtemp(prefix="scaling_")
+    rows = []
+    try:
+        for k in (1, 2, 4, 8):
+            sf_dir = build_scale(spark, root, k)
+            # warm listing
+            qs["orders_by_status"](spark, sf_dir).collect()
+            timings = {}
+            for name in QUERIES:
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).collect()
+                timings[name] = time.perf_counter() - t0
+            rows.append((k, timings))
+            print(k, {n: round(v, 2) for n, v in timings.items()}, flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    lines = [
+        "# SCALING — headline queries vs replicated fact-table size",
+        "",
+        "Fact tables (orders/lineitem/events) replicated k-fold with",
+        "shifted keys on top of sf0.1; dims fixed (the realistic shape:",
+        "facts grow, dims don't). local[32], times in seconds, single run.",
+        "",
+        "| query | 1x | 2x | 4x | 8x | 8x/1x |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name in QUERIES:
+        ts = [dict(r[1])[name] for r in rows]
+        lines.append(
+            f"| {name} | " + " | ".join(f"{t:.2f}" for t in ts)
+            + f" | {ts[-1] / ts[0]:.1f} |"
+        )
+    lines += [
+        "",
+        "A ratio near (or below) 8 in the last column = linear-or-better",
+        "scaling: the plan's cost is dominated by the scan + keyed shuffle,",
+        "with no super-linear stage. Sub-linear ratios reflect fixed",
+        "per-query overhead (planning, task scheduling) amortizing away —",
+        "at cluster scale that overhead stays constant while data",
+        "parallelism grows with executors.",
+    ]
+    with open("SCALING.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote SCALING.md")
+
+
+if __name__ == "__main__":
+    main()
