@@ -349,3 +349,68 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("occurrences").desc(), "token")
         .limit(_TOP_TERMS_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOP = 3
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term,
+           CAST(rnk AS INT) AS rank,
+           {dround_sql('score', 4)} AS tfidf
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {_TFIDF_TOP}
+    """,
+    tags=("llm-text",),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (the classic salient-term extractor
+    for corpus exploration). Shape at scale: one explode + two keyed
+    groupBys (term cardinality bounds the df side, so the tf<->df join
+    broadcasts under AQE when vocabulary is small), then a per-doc window
+    -- no all-pairs anything."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; one tiny job, not per-row
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_TOP)
+        .select("doc_id", "term", "rank", dround(F.col("score"), 4).alias("tfidf"))
+    )
