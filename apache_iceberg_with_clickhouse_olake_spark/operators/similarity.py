@@ -291,22 +291,52 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF top-k (rows-only: centroid float-avg order is engine-specific)
+# IVF top-k (oracle-exact: centroids via decimal-snapped davg)
 # ---------------------------------------------------------------------------
 
-@query("ann_ivf_topk", oracle=None, tags=("llm-similarity",))
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, i, {davg_sql('CAST(embedding[i] AS DOUBLE)')} AS cx
+      FROM embeddings, LATERAL unnest(range(1, {_DIM} + 1)) AS t(i)
+      GROUP BY label, i
+    ),
+    cvec AS (
+      SELECT label, list(cx ORDER BY i) AS cv FROM cent GROUP BY label
+    ),
+    q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings ORDER BY vec_id LIMIT 1),
+    probe AS (
+      SELECT cvec.label FROM cvec, q
+      ORDER BY list_cosine_similarity(cv, qv) DESC, cvec.label
+      LIMIT 2
+    )
+    SELECT e.vec_id, e.label,
+           {dround_sql(_COS_SQL.format(a='e.embedding', b='q.qv'), 6)} AS cos_sim
+    FROM embeddings e JOIN probe ON e.label = probe.label, q
+    WHERE e.vec_id <> q.qid
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT {_TOP_K}
+    """,
+    tags=("llm-similarity",),
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: per-label mean centroids built distributively (posexplode
-    -> groupBy(label, dim) -> avg -> re-assemble), probe the 2 centroids
-    nearest the query, brute-force only within those labels. Centroid
-    build is the only shuffle and reduces to labels x dims rows."""
+    -> groupBy(label, dim) -> decimal-snapped mean -> re-assemble), probe
+    the 2 centroids nearest the query, brute-force only within those
+    labels. Centroid build is the only shuffle and reduces to labels x
+    dims rows. davg makes the centroids engine-exact, so even this
+    approximate path is oracle-checked value-for-value."""
+    from ..functions import davg
+
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "label", _dvec(F.col("embedding")).alias("v"))
 
     cent = (
         e.select("label", F.posexplode("v").alias("dim", "x"))
         .groupBy("label", "dim")
-        .agg(F.avg("x").alias("cx"))
+        .agg(davg("x", "cx"))
         .groupBy("label")
         .agg(
             F.transform(
@@ -327,7 +357,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label", "qid", "qv", _cos(F.col("cv"), F.col("qv")).alias("ccos")
         )
-        .orderBy(F.col("ccos").desc())
+        .orderBy(F.col("ccos").desc(), "label")
         .limit(2)
         .select("label", "qid", "qv")
     )
