@@ -210,3 +210,115 @@ def session_length_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("session_length")
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom operator Spark lacks; composed from window functions,
+# oracle = DuckDB's NATIVE ASOF JOIN -- two independent constructions must
+# agree)
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_click_to_purchase",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           c.us IS NOT NULL AS has_prior_click,
+           (p.us - c.us) // 1000000 AS gap_secs
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.us >= c.us
+    """,
+    tags=("llm-sessions", "J1"),
+)
+def asof_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the user's most recent click at or
+    before it (time-to-convert). Spark has no ASOF JOIN; the scalable
+    composition is a tagged union + one per-user window pass (never a
+    range cross-join): clicks sort before purchases at equal timestamps,
+    and last(click_us, ignoreNulls) carries the as-of match forward. The
+    oracle is DuckDB's NATIVE ASOF JOIN, so two independent constructions
+    must agree (gap is tie-invariant when several clicks share an
+    instant). One shuffle, keyed by user_id."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    tagged = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        us.alias("us"),
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_us = F.last(
+        F.when(F.col("tag") == 0, F.col("us")), ignorenulls=True
+    ).over(w)
+    return (
+        tagged.withColumn("click_us", click_us)
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("click_us").isNotNull().alias("has_prior_click"),
+            F.expr("(us - click_us) div 1000000").alias("gap_secs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@query(
+    "retention_cohorts",
+    oracle=f"""
+    WITH weeks AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(w.week - c.cohort_week AS INT) AS week_offset,
+           COUNT(*) AS active_users
+    FROM weeks w JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("llm-sessions", "A8"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users bucketed by first-seen week, then
+    counted in each later week they stayed active. distinct (user, week)
+    bounds state; the cohort join is key-to-key on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    weeks = events.select(
+        "user_id", F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("week")
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count("*").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
