@@ -968,3 +968,34 @@ def salted_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches: the scale path for re-aggregable distincts
+# ---------------------------------------------------------------------------
+
+@query("daily_users_hll_reagg", oracle=None, tags=("A6", "A9"))
+def daily_users_hll_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch re-aggregation (the A9 pattern for distinct counts): per-day
+    HLL sketches of user_id built once, then UNIONED up to the month level
+    without touching raw data -- what a 100 TB gold layer stores so
+    downstream rollups never rescan facts. Rows-only (sketch estimates
+    are engine-specific); pytest pins estimate-vs-exact error."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000").alias("day")
+    daily = events.select(day, "user_id").groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count("*").alias("n_events"),
+    )
+    monthly = (
+        daily.groupBy((F.col("day") / 30).cast("int").alias("month_bucket"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_users"
+            ),
+            F.sum("n_events").alias("n_events"),
+            F.count("*").alias("days_merged"),
+        )
+        .orderBy("month_bucket")
+    )
+    return monthly

@@ -322,3 +322,62 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (signup -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+@query(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                 THEN epoch_us(ts) END) AS s_us,
+             MIN(CASE WHEN event_type = 'click'
+                 THEN epoch_us(ts) END) AS c_us,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN epoch_us(ts) END) AS p_us
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS users,
+           COUNT(s_us) AS signed_up,
+           COUNT(CASE WHEN c_us > s_us THEN 1 END) AS clicked_after_signup,
+           COUNT(CASE WHEN c_us > s_us AND p_us > c_us THEN 1 END)
+             AS purchased_after_click
+    FROM per_user
+    """,
+    tags=("llm-sessions", "A6"),
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose FIRST signup precedes their
+    first click precedes their first purchase. One groupBy(user) computing
+    three conditional-min timestamps, then a single-row rollup -- the
+    funnel never materializes event pairs, so cost is one keyed shuffle
+    regardless of corpus size."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, us))
+
+    per_user = events.groupBy("user_id").agg(
+        first_ts("signup").alias("s_us"),
+        first_ts("click").alias("c_us"),
+        first_ts("purchase").alias("p_us"),
+    )
+    return per_user.agg(
+        F.count("*").alias("users"),
+        F.count("s_us").alias("signed_up"),
+        F.count(F.when(F.col("c_us") > F.col("s_us"), 1)).alias(
+            "clicked_after_signup"
+        ),
+        F.count(
+            F.when(
+                (F.col("c_us") > F.col("s_us"))
+                & (F.col("p_us") > F.col("c_us")),
+                1,
+            )
+        ).alias("purchased_after_click"),
+    )

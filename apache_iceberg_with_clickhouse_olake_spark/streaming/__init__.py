@@ -178,6 +178,56 @@ def run_first_seen_stream(
     return spark.table("first_seen")
 
 
+def run_streaming_tumbling(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    window_secs: int = 900,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a file-sourced event
+    stream (the streaming twin of operators.windows.events_tumbling_windows
+    -- same buckets, incremental state instead of a batch shuffle)."""
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_epoch_us", LongType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_epoch_us")))
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", f"{window_secs} seconds"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            (F.unix_micros(F.col("window.start")) / 1_000_000)
+            .cast("long")
+            .alias("window_start_epoch"),
+            "n_events",
+            "approx_users",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_tumbling")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_tumbling")
+
+
 def run_streaming_sessionization(
     spark: SparkSession,
     events_dir: str,

@@ -81,3 +81,32 @@ def test_apply_in_pandas_with_state_streaming(spark, sf_dir, tmp_path):
     firsts = set(got[got.kind == "first"].user_id)
     repeats = set(got[got.kind == "repeat"].user_id)
     assert repeats and repeats <= firsts
+
+
+def test_hll_sketch_reagg_accuracy(spark, sf_dir):
+    """Merged per-day HLL sketches must estimate monthly distinct users
+    within 5% of the exact answer."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.analytics import (
+        daily_users_hll_reagg,
+    )
+
+    got = {
+        r.month_bucket: r.approx_users
+        for r in daily_users_hll_reagg(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r.month_bucket: r.exact
+        for r in events.select(
+            F.expr("cast((unix_micros(ts) div 86400000000) / 30 as int)").alias(
+                "month_bucket"
+            ),
+            "user_id",
+        )
+        .groupBy("month_bucket")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k])

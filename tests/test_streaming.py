@@ -131,3 +131,34 @@ def test_snapshot_backfill_then_cdc_tail(spark, sf_dir, tmp_path):
     want = apply_cdc_upsert(events)
     cols = ["key", "custkey", "price", "_op", "_seq", "_sync_ts_epoch"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming tumbling windows must reproduce the batch bucket counts
+    (same 15-min buckets as events_tumbling_windows)."""
+    from apache_iceberg_with_clickhouse_olake_spark.streaming import (
+        run_streaming_tumbling,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    flat = events.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_epoch_us"),
+        "user_id",
+        "value",
+    )
+    events_dir = str(tmp_path / "events")
+    flat.repartition(2).write.parquet(events_dir)
+
+    got = run_streaming_tumbling(spark, events_dir, str(tmp_path / "ckpt"))
+    batch = (
+        events.groupBy(
+            (F.expr("(unix_micros(ts) div 1000000) div 900") * 900).alias(
+                "window_start_epoch"
+            )
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    g = {r.window_start_epoch: r.n_events for r in got.collect()}
+    b = {r.window_start_epoch: r.n_events for r in batch.collect()}
+    assert g == b
