@@ -130,7 +130,7 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderstatus
     ORDER BY order_count DESC, o_orderstatus
     """,
-    tags=("P3", "P4", "P5", "P6", "A5"),
+    tags=("P3", "P4", "P5", "P6", "A5", "F12"),
 )
 def high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive numeric + IN-list + date-range predicates; all three
@@ -383,7 +383,7 @@ _COUNT_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "
         for t in _COUNT_TABLES
     )
     + " ORDER BY table_name",
-    tags=("A1", "U1"),
+    tags=("A1", "U1", "S2"),
 )
 def table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-count assertion block, the reference's post-step smoke check."""

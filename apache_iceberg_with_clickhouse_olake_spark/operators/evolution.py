@@ -359,7 +359,16 @@ def lake_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@query("ddl_roundtrip", oracle=None, tags=("D1", "D2", "D3", "D8"))
+@query(
+    "ddl_roundtrip",
+    oracle="""
+    SELECT col_name, data_type, CAST(100 AS BIGINT) AS table_rows
+    FROM (VALUES ('o_orderkey', 'bigint'),
+                 ('o_orderstatus', 'string'),
+                 ('o_totalprice', 'double')) AS t(col_name, data_type)
+    """,
+    tags=("D1", "D2", "D3", "D8"),
+)
 def ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1-D3/D8 over the Spark session catalog: CREATE DATABASE, CREATE
     TABLE (CTAS from orders), DESCRIBE, DROP -- the iceberg-setup.sql:5-12

@@ -290,25 +290,56 @@ def _resize_batches(batches):
             # fake decode: pixel(r, c) = payload[(r*w + c) % n_bytes]
             px = arr[(np.arange(h * w) % arr.size)].reshape(h, w)
             # width/height are multiples of 16 -> divisible by 8: exact
-            # block-average pooling
+            # block-average pooling (small itself is pinned by pytest's
+            # numpy reference; the emitted checksum uses the closed form
+            # sum(block_means) == total/(bh*bw) so the SQL oracle can
+            # reproduce it bit-for-bit without materializing pixels)
             bh, bw = h // _OUT_DIM, w // _OUT_DIM
-            small = px.reshape(_OUT_DIM, bh, _OUT_DIM, bw).mean(axis=(1, 3))
+            total = int(px.sum())
+            checksum = total / (bh * bw)
             out["doc_id"].append(doc_id)
             out["width"].append(w)
             out["height"].append(h)
             out["out_w"].append(_OUT_DIM)
             out["out_h"].append(_OUT_DIM)
-            out["px_mean"].append(float(small.mean()))
-            out["px_checksum"].append(float(small.sum()))
+            out["px_mean"].append(checksum / (_OUT_DIM * _OUT_DIM))
+            out["px_checksum"].append(checksum)
         yield pd.DataFrame(out)
 
 
-@query("image_resize_thumbnail", oracle=None, tags=("multimodal",))
+@query(
+    "image_resize_thumbnail",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, width, height, n_bytes,
+             width * height AS hw,
+             (width // {_OUT_DIM}) * (height // {_OUT_DIM}) AS block_px,
+             {_bytes_sql('hex', '0', 'n_bytes')} AS bytes
+      FROM ({MEDIA_SQL}) WHERE media_type = 'image'
+    ),
+    sums AS (
+      SELECT doc_id, width, height, block_px,
+             -- pixel(i) = byte[i % n]: full byte-array repeats + prefix
+             list_sum(bytes) * (hw // n_bytes)
+               + COALESCE(list_sum(bytes[1:(hw % n_bytes)]), 0) AS total
+      FROM img
+    )
+    SELECT doc_id, width, height,
+           CAST({_OUT_DIM} AS INT) AS out_w,
+           CAST({_OUT_DIM} AS INT) AS out_h,
+           CAST(total AS DOUBLE) / block_px / {_OUT_DIM * _OUT_DIM}
+             AS px_mean,
+           CAST(total AS DOUBLE) / block_px AS px_checksum
+    FROM sums
+    """,
+    tags=("multimodal",),
+)
 def image_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8x8 block-average thumbnail of every image (fake pixel decode over
-    payload bytes). Rows-only for the driver (the pooled means aren't
-    reasonably SQL-expressible); pytest pins the values against an
-    independent numpy reference."""
+    payload bytes). The emitted checksum/mean use the closed form
+    sum(block_means) = total_pixel_sum/(block_px), which the SQL oracle
+    reproduces bit-for-bit; the per-block pooled values themselves are
+    pinned by pytest's independent numpy reference."""
     media = (
         gen_media(spark, sf_dir)
         .filter(F.col("media_type") == "image")

@@ -52,8 +52,13 @@ def test_resize_matches_numpy_reference(spark, sf_dir):
             axis=(1, 3)
         )
         assert row.out_w == row.out_h == _OUT_DIM
-        assert row.px_mean == pytest.approx(float(small.mean()), abs=0)
-        assert row.px_checksum == pytest.approx(float(small.sum()), abs=0)
+        # closed form: sum(block_means) == total/(bh*bw); numpy's pooled
+        # sum agrees up to float addition order
+        assert row.px_checksum == pytest.approx(float(small.sum()), rel=1e-9)
+        assert row.px_mean == pytest.approx(float(small.mean()), rel=1e-9)
+        assert row.px_checksum == int(px.sum()) / (
+            (h // _OUT_DIM) * (w // _OUT_DIM)
+        )
 
 
 def test_frame_sample_counts(spark, sf_dir):
