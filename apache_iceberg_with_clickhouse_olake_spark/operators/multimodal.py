@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import davg_sql, dround, dround_sql
+from ..functions import davg_sql
 from ..sources.multimodal import CHUNK_BYTES, FRAME_STEP, MEDIA_SQL, gen_media
 from .registry import query
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import dround, dround_sql, dsum, dsum_sql
+from ..functions import dsum, dsum_sql
 from ..sources.parquet import load_table
 from .registry import query
 
