@@ -999,3 +999,162 @@ def daily_users_hll_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("month_bucket")
     )
     return monthly
+
+
+# ---------------------------------------------------------------------------
+# Left-outer join variant (J1 family): keep customers with zero orders
+# ---------------------------------------------------------------------------
+
+@query(
+    "customer_order_counts_outer",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS customers,
+           COUNT(o.order_count) AS customers_with_orders,
+           SUM(COALESCE(o.order_count, 0)) AS total_orders
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS order_count FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    tags=("J1", "F8"),
+)
+def customer_order_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join keeping order-less customers (COALESCE(...,0) --
+    F8). Aggregate-then-join: orders collapse to one row per customer
+    BEFORE the join, so the join input is bounded by |customer| rather
+    than |orders|."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("order_count")
+    )
+    return (
+        customer.join(
+            per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("customers"),
+            F.count("order_count").alias("customers_with_orders"),
+            F.sum(F.coalesce(F.col("order_count"), F.lit(0))).alias(
+                "total_orders"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT set operations (U-family extension)
+# ---------------------------------------------------------------------------
+
+@query(
+    "month_set_operations",
+    oracle="""
+    WITH early AS (
+      SELECT DISTINCT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT)
+               AS order_month
+      FROM orders WHERE o_orderdate < DATE '1997-01-01'
+    ),
+    jumbo AS (
+      SELECT DISTINCT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT)
+               AS order_month
+      FROM orders WHERE o_totalprice > 490000
+    )
+    SELECT 'intersect' AS op, order_month FROM (
+      SELECT order_month FROM early
+      INTERSECT SELECT order_month FROM jumbo)
+    UNION ALL
+    SELECT 'except', order_month FROM (
+      SELECT order_month FROM early
+      EXCEPT SELECT order_month FROM jumbo)
+    ORDER BY op, order_month
+    """,
+    tags=("U3",),
+)
+def month_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (distinct SQL semantics, free via
+    df.intersect/exceptAll): pre-1997 months with vs without a >490k
+    jumbo order."""
+    orders = load_table(spark, sf_dir, "orders")
+    early = (
+        orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        .select(to_yyyymm("o_orderdate").alias("order_month"))
+        .distinct()
+    )
+    jumbo = (
+        orders.filter(F.col("o_totalprice") > 490000)
+        .select(to_yyyymm("o_orderdate").alias("order_month"))
+        .distinct()
+    )
+    inter = early.intersect(jumbo).select(
+        F.lit("intersect").alias("op"), "order_month"
+    )
+    exc = early.exceptAll(jumbo).select(
+        F.lit("except").alias("op"), "order_month"
+    )
+    return inter.unionByName(exc).orderBy("op", "order_month")
+
+
+# ---------------------------------------------------------------------------
+# Ingest validation (ENUM domain + key/amount invariants, SURVEY §1.3)
+# ---------------------------------------------------------------------------
+
+_VALID_STATUSES = ("O", "F", "P")
+
+
+@query(
+    "validate_domains",
+    oracle=f"""
+    SELECT 'orders' AS table_name,
+           COUNT(*) AS rows_checked,
+           COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+             AS enum_violations,
+           COUNT(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL THEN 1 END)
+             AS null_key_rows,
+           COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END)
+             AS nonpositive_amounts
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', COUNT(*),
+           COUNT(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 END),
+           COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END),
+           COUNT(CASE WHEN l_quantity <= 0 THEN 1 END)
+    FROM lineitem
+    ORDER BY table_name
+    """,
+    tags=("D2", "S7"),
+)
+def validate_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-validation operator (SURVEY §1.3: Spark has no ENUM or
+    CHECK constraints, so domain enforcement is an explicit op): per-table
+    counts of enum violations, null keys, and non-positive amounts --
+    one scan per table, all predicates fused into a single aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def chk(cond):
+        return F.count(F.when(cond, 1))
+
+    o = orders.agg(
+        F.count("*").alias("rows_checked"),
+        chk(~F.col("o_orderstatus").isin(*_VALID_STATUSES)).alias(
+            "enum_violations"
+        ),
+        chk(
+            F.col("o_orderkey").isNull() | F.col("o_custkey").isNull()
+        ).alias("null_key_rows"),
+        chk(F.col("o_totalprice") <= 0).alias("nonpositive_amounts"),
+    ).select(F.lit("orders").alias("table_name"), "*")
+    li = lineitem.agg(
+        F.count("*").alias("rows_checked"),
+        chk(~F.col("l_returnflag").isin("A", "N", "R")).alias(
+            "enum_violations"
+        ),
+        chk(F.col("l_orderkey").isNull()).alias("null_key_rows"),
+        chk(F.col("l_quantity") <= 0).alias("nonpositive_amounts"),
+    ).select(F.lit("lineitem").alias("table_name"), "*")
+    return o.unionByName(li).orderBy("table_name")
