@@ -178,6 +178,37 @@ def run_first_seen_stream(
     return spark.table("first_seen")
 
 
+def run_streaming_dedup(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on the content fingerprint
+    across micro-batches (state = one fingerprint per distinct doc; with
+    event-time bounds, dropDuplicatesWithinWatermark caps that state --
+    the streaming twin of operators.dedup.dedup_keep_first)."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("fingerprint", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(events_dir)
+    deduped = stream.dropDuplicates(["fingerprint"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_dedup")
+
+
 def run_streaming_tumbling(
     spark: SparkSession,
     events_dir: str,

@@ -39,4 +39,8 @@ def test_entry_contract(spark):
     assert out.count() > 0
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
-    assert len(qs) >= 20
+    assert len(qs) >= 85
+    # oracle coverage must stay near-total: only inherently oracle-less
+    # ops (physical-layout stats, Python hashing, approx estimators) may
+    # be rows-only
+    assert len(qs) - len(oracles) <= 5

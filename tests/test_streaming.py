@@ -162,3 +162,24 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     g = {r.window_start_epoch: r.n_events for r in got.collect()}
     b = {r.window_start_epoch: r.n_events for r in batch.collect()}
     assert g == b
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming dropDuplicates(fingerprint) across micro-batches keeps
+    exactly one row per distinct fingerprint -- the same set the batch
+    dedup operator keeps."""
+    from apache_iceberg_with_clickhouse_olake_spark.functions import norm_text
+    from apache_iceberg_with_clickhouse_olake_spark.streaming import (
+        run_streaming_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(norm_text(F.col("text"))).alias("fingerprint")
+    )
+    events_dir = str(tmp_path / "docs")
+    docs.repartition(3).write.parquet(events_dir)
+
+    got = run_streaming_dedup(spark, events_dir, str(tmp_path / "ckpt"))
+    assert got.count() == docs.select("fingerprint").distinct().count()
+    # one row per fingerprint, each a real (doc_id, fingerprint) pair
+    assert got.groupBy("fingerprint").count().filter("count > 1").count() == 0
