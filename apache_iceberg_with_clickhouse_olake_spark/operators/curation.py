@@ -17,7 +17,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import dsum, dsum_sql, norm_text, norm_text_sql, tokens, tokens_sql
+from ..functions import (
+    dsum,
+    dsum_sql,
+    md5_int60_sql,
+    norm_text,
+    norm_text_sql,
+    tokens,
+    tokens_sql,
+)
 from ..sources.multimodal import MEDIA_SQL, gen_media
 from ..sources.parquet import load_table
 from .registry import query
@@ -94,4 +102,176 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").alias("media_bytes"),
         )
         .orderBy("media_type", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (fixed token windows with overlap)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48  # 16-token overlap
+
+
+@query(
+    "document_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(c AS INT) AS chunk_index,
+           CAST(LEAST(len(toks) - c * {_CHUNK_STRIDE}, {_CHUNK_TOKENS}) AS INT)
+             AS chunk_tokens,
+           array_to_string(
+             toks[c * {_CHUNK_STRIDE} + 1 : c * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}],
+             ' ') AS chunk_text
+    FROM t, LATERAL unnest(
+      range(0, GREATEST((len(toks) - {_CHUNK_TOKENS} + {_CHUNK_STRIDE} - 1)
+                          // {_CHUNK_STRIDE}, 0) + 1)) AS u(c)
+    WHERE len(toks) > 0
+    """,
+    tags=("llm-text",),
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking with overlap (64-token windows, stride 48):
+    the context-window packing step of a training pipeline. Pure per-row
+    explode -- chunk count is derived arithmetic, chunks never shuffle,
+    and output order is irrelevant (driver hash is order-insensitive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    n_chunks = F.greatest(
+        F.ceil((n - _CHUNK_TOKENS) / F.lit(_CHUNK_STRIDE)).cast("long"),
+        F.lit(0),
+    ) + 1
+    return t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("chunk_index").cast("int"),
+        F.least(
+            F.size("toks") - F.col("chunk_index") * _CHUNK_STRIDE,
+            F.lit(_CHUNK_TOKENS),
+        ).cast("int").alias("chunk_tokens"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("toks"),
+                F.col("chunk_index") * _CHUNK_STRIDE + 1,
+                _CHUNK_TOKENS,
+            ),
+        ).alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard assignment (hash-balanced output layout)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+@query(
+    "shard_assignment_stats",
+    oracle=f"""
+    SELECT CAST({md5_int60_sql("concat('shard-', CAST(doc_id AS VARCHAR))")}
+                % {_N_SHARDS} AS INT) AS shard,
+           COUNT(*) AS docs,
+           SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT lang) AS langs
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("llm-text", "O5"),
+)
+def shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sharding of the corpus into {16} balanced
+    training shards (what partitionBy(shard) writes at 100 TB): per-shard
+    doc/char/lang accounting proves the balance. Hash is md5-derived so
+    assignment is stable across engines, runs, and cluster topologies."""
+    from ..functions import md5_int60
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        md5_int60(F.concat(F.lit("shard-"), F.col("doc_id").cast("string")))
+        % _N_SHARDS
+    ).cast("int")
+    return (
+        docs.groupBy(shard.alias("shard"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("langs"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (probe n-gram containment scan)
+# ---------------------------------------------------------------------------
+
+_N_PROBES = 5
+_PROBE_TOKENS = 6
+
+
+@query(
+    "decontamination_scan",
+    oracle=f"""
+    WITH probes AS (
+      SELECT doc_id AS probe_id,
+             array_to_string(({_TOKS})[1:{_PROBE_TOKENS}], ' ') AS probe
+      FROM documents
+      WHERE doc_id < {_N_PROBES} AND len({_TOKS}) >= {_PROBE_TOKENS}
+    ),
+    norm AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+    SELECT p.probe_id,
+           COUNT(*) AS contaminated_docs,
+           COUNT(CASE WHEN n.doc_id <> p.probe_id THEN 1 END)
+             AS excluding_self
+    FROM probes p JOIN norm n ON contains(n.norm, p.probe)
+    GROUP BY p.probe_id
+    ORDER BY p.probe_id
+    """,
+    tags=("llm-text", "llm-dedup"),
+)
+def decontamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents containing any
+    probe n-gram (here: the first 6 tokens of docs 0-4 stand in for a
+    benchmark's probe set). The probe side is tiny and BROADCAST, so the
+    scan is one pass over the corpus with a containment predicate per
+    probe -- the shape that decontaminates 100 TB against a benchmark
+    suite in a single job."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    probes = (
+        docs.filter((F.col("doc_id") < _N_PROBES))
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.concat_ws(" ", F.slice(toks, 1, _PROBE_TOKENS)).alias("probe"),
+            F.size(toks).alias("n_toks"),
+        )
+        .filter(F.col("n_toks") >= _PROBE_TOKENS)
+        .drop("n_toks")
+    )
+    norm = docs.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    return (
+        norm.join(
+            F.broadcast(probes),
+            F.col("norm").contains(F.col("probe")),
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("*").alias("contaminated_docs"),
+            F.count(
+                F.when(F.col("doc_id") != F.col("probe_id"), 1)
+            ).alias("excluding_self"),
+        )
+        .orderBy("probe_id")
     )
