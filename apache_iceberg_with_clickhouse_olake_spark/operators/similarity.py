@@ -406,3 +406,91 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(davg("x", "centroid"))
         .orderBy("label", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization + reconstruction error (storage-path op)
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_int8_quantization",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, label, dv,
+             list_min(dv) AS lo, list_max(dv) AS hi
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, label, dv, lo,
+             (hi - lo) / 255.0 AS scale,
+             list_transform(dv, x -> CAST(round((x - lo) / ((hi - lo) / 255.0))
+                                         AS BIGINT)) AS iq
+      FROM s
+    )
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           {davg_sql(
+               'list_sum(list_transform(range(1, ' + str(_DIM) + ' + 1), '
+               'qi -> pow(dv[qi] - (iq[qi] * scale + lo), 2))) / ' + str(_DIM)
+           )} AS avg_mse,
+           MIN(lo) AS global_min,
+           CAST(MAX(list_max(iq)) AS INT) AS max_code
+    FROM q
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("llm-similarity",),
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization (per-vector min/max range -> 0..255 codes)
+    with dequantized reconstruction MSE per label -- the 4x storage
+    compression step of an embedding pipeline, validated end-to-end:
+    quantize, dequantize, and error accounting are all per-row array math
+    (no shuffle before the final label rollup)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", _dvec(F.col("embedding")).alias("dv"))
+    s = v.select(
+        "vec_id", "label", "dv",
+        F.array_min("dv").alias("lo"),
+        F.array_max("dv").alias("hi"),
+    )
+    q = s.select(
+        "vec_id", "label", "dv", "lo",
+        ((F.col("hi") - F.col("lo")) / 255.0).alias("scale"),
+        F.transform(
+            F.col("dv"),
+            lambda x: F.round(
+                (x - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 255.0)
+            ).cast("long"),
+        ).alias("iq"),
+    )
+    mse = (
+        F.aggregate(
+            F.zip_with(
+                F.col("dv"),
+                F.col("iq"),
+                lambda x, c: F.pow(x - (c * F.col("scale") + F.col("lo")), 2),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        / _DIM
+    )
+    from ..functions import davg
+
+    return (
+        q.select("label", F.col("lo"), mse.alias("mse"),
+                 F.array_max("iq").alias("max_code"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            davg("mse", "avg_mse"),
+            F.min("lo").alias("global_min"),
+            F.max("max_code").cast("int").alias("max_code"),
+        )
+        .orderBy("label")
+    )
