@@ -430,45 +430,14 @@ def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash (vectorized Pandas UDF -- the Arrow-batched Python path)
 # ---------------------------------------------------------------------------
 
-def _simhash_batch(texts) -> "list[int]":
-    """64-bit simhash over whitespace tokens, md5-derived per-token hashes.
-    Pure function -> deterministic across executors/partitionings."""
-    import hashlib
-
-    out = []
-    for t in texts:
-        counts = [0] * 64
-        toks = (t or "").lower().split()
-        for tok in toks:
-            h = int.from_bytes(
-                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
-            )
-            for bit in range(64):
-                counts[bit] += 1 if (h >> bit) & 1 else -1
-        v = 0
-        for bit in range(64):
-            if counts[bit] > 0:
-                v |= 1 << bit
-        # present as signed int64
-        out.append(v - (1 << 64) if v >= (1 << 63) else v)
-    return out
-
-
 @query("simhash_fingerprints", oracle=None, tags=("llm-dedup",))
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints via a vectorized Pandas UDF (Arrow batches --
-    the sanctioned Python path; ~100x row-at-a-time UDFs). Rows-only check:
-    Python-side hashing isn't oracle-expressible. Determinism is covered by
-    pytest (two runs, identical fingerprints)."""
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    # No type hints: `from __future__ import annotations` stringifies them,
-    # which pyspark's hint resolver can't evaluate here.
-    def _udf(texts):
-        return pd.Series(_simhash_batch(texts.tolist()))
-
-    simhash_udf = pandas_udf(_udf, "long", PandasUDFType.SCALAR)
+    the sanctioned Python path; ~100x row-at-a-time UDFs; see
+    _simhash_udf.py for why the UDF lives in its own module). Rows-only
+    check: Python-side hashing isn't oracle-expressible. Determinism is
+    covered by pytest (two runs, identical fingerprints)."""
+    from ._simhash_udf import simhash_udf
 
     docs = load_table(spark, sf_dir, "documents")
     # 16-bit bands of the fingerprint give the LSH bucketing for candidate

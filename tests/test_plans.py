@@ -130,3 +130,22 @@ def test_partitioned_read_prunes_directories(spark, sf_dir, tmp_path):
     scan = next(line for line in plan.splitlines() if "FileScan" in line)
     pf = scan.split("PartitionFilters:")[1].split("]")[0]
     assert "order_year" in pf and "o_orderstatus" in pf
+
+
+def test_survey_inventory_fully_covered():
+    """Every SURVEY.md §2 operator id must map to a registered query tag
+    or a documented non-query implementation (scripts/gen_coverage.py)."""
+    # id list inlined from scripts/gen_coverage.py (not an importable pkg)
+    groups = [("S", 7), ("P", 9), ("J", 3), ("A", 11), ("O", 5), ("U", 3),
+              ("F", 16), ("D", 13), ("C", 6), ("L", 4)]
+    non_query = {"S5", "C2", "C6", "D10", "D13", "L3"}
+    tags = set()
+    for spec in registry.REGISTRY.values():
+        tags.update(spec.tags)
+    missing = [
+        f"{p}{i}"
+        for p, n in groups
+        for i in range(1, n + 1)
+        if f"{p}{i}" not in tags and f"{p}{i}" not in non_query
+    ]
+    assert not missing, f"uncovered SURVEY ids: {missing}"
