@@ -51,11 +51,20 @@ def main() -> None:
     # Warm the JVM + file listing once (excluded from timings).
     queries["orders_by_status"](spark, sf_dir).collect()
 
+    def timed(fn, runs: int = 3) -> float:
+        """Median of N runs -- keeps the recorded number stable against
+        scheduler jitter."""
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        return round(samples[len(samples) // 2], 4)
+
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        timings[name] = timed(lambda: queries[name](spark, sf_dir).collect())
 
     # --- Per-layer comparison over MATERIALIZED silver/gold (the setup the
     # reference harness assumes: iceberg-setup.sql runs before timing). ---
@@ -73,43 +82,33 @@ def main() -> None:
         gold = spark.read.parquet(paths["gold_order_metrics"])
         silver.count(), gold.count()  # warm file listing
 
-        t0 = time.perf_counter()
-        (
-            silver.groupBy("status")
+        timings["silver_groupby_premat"] = timed(
+            lambda: silver.groupBy("status")
             .agg(
                 F.count("*").alias("order_count"),
                 davg("total_amount", "avg_order_value"),
             )
             .collect()
         )
-        timings["silver_groupby_premat"] = round(time.perf_counter() - t0, 4)
 
-        t0 = time.perf_counter()
-        (
-            gold.groupBy("status")
-            .agg(
-                F.sum("order_count").alias("total_orders"),
-                dsum("gross_revenue", "total_revenue"),
+        def gold_reagg(df):
+            return (
+                df.groupBy("status")
+                .agg(
+                    F.sum("order_count").alias("total_orders"),
+                    dsum("gross_revenue", "total_revenue"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        timings["gold_reagg_premat"] = round(time.perf_counter() - t0, 4)
+
+        timings["gold_reagg_premat"] = timed(lambda: gold_reagg(gold))
 
         # Cached-gold variant: the reference's gold is a warm local
         # MergeTree table (10-50 ms band); the Spark equivalent is the
         # in-memory columnar cache.
         gold_cached = gold.cache()
         gold_cached.count()  # populate cache (setup)
-        t0 = time.perf_counter()
-        (
-            gold_cached.groupBy("status")
-            .agg(
-                F.sum("order_count").alias("total_orders"),
-                dsum("gross_revenue", "total_revenue"),
-            )
-            .collect()
-        )
-        timings["gold_reagg_cached"] = round(time.perf_counter() - t0, 4)
+        timings["gold_reagg_cached"] = timed(lambda: gold_reagg(gold_cached))
         gold_cached.unpersist()
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
