@@ -32,6 +32,13 @@ def _simhash_batch(texts) -> list:
     return out
 
 
-@pandas_udf("long")
-def simhash_udf(texts: pd.Series) -> pd.Series:
+def _simhash_series(texts: pd.Series) -> pd.Series:
     return pd.Series(_simhash_batch(texts.tolist()))
+
+
+def make_simhash_udf():
+    """Build the UDF at call time: a module-level @pandas_udf decorator
+    would run during the EXECUTOR's import of this module (python workers
+    re-import referenced modules), where no SparkSession exists to
+    resolve the return type."""
+    return pandas_udf(_simhash_series, "long")

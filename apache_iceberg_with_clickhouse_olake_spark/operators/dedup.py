@@ -437,8 +437,9 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     _simhash_udf.py for why the UDF lives in its own module). Rows-only
     check: Python-side hashing isn't oracle-expressible. Determinism is
     covered by pytest (two runs, identical fingerprints)."""
-    from ._simhash_udf import simhash_udf
+    from ._simhash_udf import make_simhash_udf
 
+    simhash_udf = make_simhash_udf()
     docs = load_table(spark, sf_dir, "documents")
     # 16-bit bands of the fingerprint give the LSH bucketing for candidate
     # generation at scale (hamming-distance near-dups share >=1 band whp).

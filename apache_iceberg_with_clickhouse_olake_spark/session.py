@@ -32,6 +32,11 @@ from pyspark.sql import SparkSession
 # for multi-hundred-executor clusters.
 _ADVISORY_PARTITION_BYTES = str(128 * 1024 * 1024)
 
+# Local-mode scan splits: a 128 MiB split size leaves a laptop-scale file
+# on 1-2 of local[32]'s cores. 16 MiB exploits local cores; clusters
+# (spark-submit sets master externally) keep the 128 MiB scale setting.
+_LOCAL_SCAN_BYTES = str(16 * 1024 * 1024)
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -58,7 +63,12 @@ def get_spark(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             _ADVISORY_PARTITION_BYTES,
         )
-        .config("spark.sql.files.maxPartitionBytes", _ADVISORY_PARTITION_BYTES)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            _ADVISORY_PARTITION_BYTES
+            if os.environ.get("SPARK_MASTER")
+            else _LOCAL_SCAN_BYTES,
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
