@@ -1011,7 +1011,7 @@ def daily_users_hll_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_mktsegment AS segment,
            COUNT(*) AS customers,
            COUNT(o.order_count) AS customers_with_orders,
-           SUM(COALESCE(o.order_count, 0)) AS total_orders
+           CAST(SUM(COALESCE(o.order_count, 0)) AS BIGINT) AS total_orders
     FROM customer c
     LEFT JOIN (
       SELECT o_custkey, COUNT(*) AS order_count FROM orders GROUP BY o_custkey

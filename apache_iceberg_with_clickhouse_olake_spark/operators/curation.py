@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions import (
     dsum,
     dsum_sql,
+    md5_int60,
     md5_int60_sql,
     norm_text,
     norm_text_sql,
@@ -57,7 +58,7 @@ _TOKS = tokens_sql("text")
     SELECT m.media_type, d.lang,
            COUNT(*) AS docs,
            {dsum_sql('d.n_tokens')} AS total_tokens,
-           SUM(m.n_bytes) AS media_bytes
+           CAST(SUM(m.n_bytes) AS BIGINT) AS media_bytes
     FROM deduped d JOIN ({MEDIA_SQL}) m ON d.doc_id = m.doc_id
     GROUP BY m.media_type, d.lang
     ORDER BY m.media_type, d.lang
@@ -182,7 +183,7 @@ _N_SHARDS = 16
     SELECT CAST({md5_int60_sql("concat('shard-', CAST(doc_id AS VARCHAR))")}
                 % {_N_SHARDS} AS INT) AS shard,
            COUNT(*) AS docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS langs
     FROM documents
     GROUP BY 1
@@ -221,56 +222,93 @@ _N_PROBES = 5
 _PROBE_TOKENS = 6
 
 
+_PROBE_SHINGLE_H = md5_int60_sql(
+    f"array_to_string(({_TOKS})[1:{_PROBE_TOKENS}], ' ')"
+)
+_CORPUS_SHINGLE_H = md5_int60_sql(
+    f"array_to_string(t[i:i + {_PROBE_TOKENS - 1}], ' ')"
+)
+
+
 @query(
     "decontamination_scan",
     oracle=f"""
     WITH probes AS (
-      SELECT doc_id AS probe_id,
-             array_to_string(({_TOKS})[1:{_PROBE_TOKENS}], ' ') AS probe
+      SELECT doc_id AS probe_id, {_PROBE_SHINGLE_H} AS h
       FROM documents
       WHERE doc_id < {_N_PROBES} AND len({_TOKS}) >= {_PROBE_TOKENS}
     ),
-    norm AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    shingles AS (
+      SELECT doc_id, {_CORPUS_SHINGLE_H} AS h
+      FROM toks,
+           UNNEST(generate_series(1, len(t) - {_PROBE_TOKENS - 1})) AS g(i)
+      WHERE len(t) >= {_PROBE_TOKENS}
+    )
     SELECT p.probe_id,
-           COUNT(*) AS contaminated_docs,
-           COUNT(CASE WHEN n.doc_id <> p.probe_id THEN 1 END)
-             AS excluding_self
-    FROM probes p JOIN norm n ON contains(n.norm, p.probe)
+           COUNT(DISTINCT s.doc_id) AS contaminated_docs,
+           COUNT(DISTINCT CASE WHEN s.doc_id <> p.probe_id
+                               THEN s.doc_id END) AS excluding_self
+    FROM probes p JOIN shingles s USING (h)
     GROUP BY p.probe_id
     ORDER BY p.probe_id
     """,
     tags=("llm-text", "llm-dedup"),
 )
 def decontamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: flag corpus documents containing any
-    probe n-gram (here: the first 6 tokens of docs 0-4 stand in for a
-    benchmark's probe set). The probe side is tiny and BROADCAST, so the
-    scan is one pass over the corpus with a containment predicate per
-    probe -- the shape that decontaminates 100 TB against a benchmark
-    suite in a single job."""
+    """Benchmark decontamination as a shingle-hash EQUI-join (here: the
+    first 6 tokens of docs 0-4 stand in for a benchmark's probe set).
+
+    Each corpus doc explodes into its consecutive 6-token shingle hashes
+    (one pass, no shuffle); the probe hashes are tiny and BROADCAST, so
+    matching is a map-side hash lookup per shingle and the only shuffle
+    is the final per-probe rollup. Unlike a contains() theta-join
+    (O(corpus x probes) predicate evaluations), this stays linear in
+    corpus size with 10^4-10^5 probes -- the shape that decontaminates
+    100 TB against a full benchmark suite in one job. Matches are
+    token-aligned (a probe only hits where its tokens appear as a
+    contiguous token run, not mid-token substrings)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     probes = (
-        docs.filter((F.col("doc_id") < _N_PROBES))
+        docs.filter(F.col("doc_id") < _N_PROBES)
+        # materialize tokens once before slicing/hashing (higher-order-fn
+        # re-evaluation trap)
+        .select(F.col("doc_id").alias("probe_id"), toks.alias("t"))
+        .filter(F.size("t") >= _PROBE_TOKENS)
         .select(
-            F.col("doc_id").alias("probe_id"),
-            F.concat_ws(" ", F.slice(toks, 1, _PROBE_TOKENS)).alias("probe"),
-            F.size(toks).alias("n_toks"),
+            "probe_id",
+            md5_int60(
+                F.concat_ws(" ", F.slice("t", 1, _PROBE_TOKENS))
+            ).alias("h"),
         )
-        .filter(F.col("n_toks") >= _PROBE_TOKENS)
-        .drop("n_toks")
     )
-    norm = docs.select("doc_id", norm_text(F.col("text")).alias("norm"))
-    return (
-        norm.join(
-            F.broadcast(probes),
-            F.col("norm").contains(F.col("probe")),
+    shingles = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= _PROBE_TOKENS)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - (_PROBE_TOKENS - 1))
+            ).alias("i"),
         )
+        .select(
+            "doc_id",
+            md5_int60(
+                F.concat_ws(
+                    " ", F.slice(F.col("t"), F.col("i"), _PROBE_TOKENS)
+                )
+            ).alias("h"),
+        )
+    )
+    return (
+        shingles.join(F.broadcast(probes), "h")
         .groupBy("probe_id")
         .agg(
-            F.count("*").alias("contaminated_docs"),
-            F.count(
-                F.when(F.col("doc_id") != F.col("probe_id"), 1)
+            F.countDistinct("doc_id").alias("contaminated_docs"),
+            F.countDistinct(
+                F.when(F.col("doc_id") != F.col("probe_id"), F.col("doc_id"))
             ).alias("excluding_self"),
         )
         .orderBy("probe_id")

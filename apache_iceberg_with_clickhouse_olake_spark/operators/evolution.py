@@ -148,7 +148,7 @@ def time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             table,
         )
         parts = []
-        for v in snapshot_history(table):
+        for v in snapshot_history(spark, table):
             snap = read_snapshot(spark, table, v)
             parts.append(
                 snap.agg(
@@ -169,8 +169,8 @@ def time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "medallion_readback",
     oracle=f"""
     SELECT status,
-           SUM(order_count) AS total_orders,
-           SUM(user_count) AS total_user_slots,
+           CAST(SUM(order_count) AS BIGINT) AS total_orders,
+           CAST(SUM(user_count) AS BIGINT) AS total_user_slots,
            {dsum_sql('gross_revenue')} AS total_revenue,
            {davg_sql('gross_revenue')} AS avg_monthly_revenue
     FROM ({_GOLD_SQL_INNER})

@@ -126,8 +126,8 @@ def gold_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gold_reaggregate",
     oracle=f"""
     SELECT status,
-           SUM(order_count) AS total_orders,
-           SUM(user_count) AS total_user_slots,
+           CAST(SUM(order_count) AS BIGINT) AS total_orders,
+           CAST(SUM(user_count) AS BIGINT) AS total_user_slots,
            {dsum_sql('gross_revenue')} AS total_revenue,
            {davg_sql('gross_revenue')} AS avg_monthly_revenue
     FROM ({_GOLD_SQL_INNER})
@@ -168,7 +168,7 @@ def gold_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1
     ),
     gold AS (
-      SELECT status, SUM(order_count) AS gold_orders,
+      SELECT status, CAST(SUM(order_count) AS BIGINT) AS gold_orders,
              {dsum_sql('gross_revenue')} AS gold_revenue
       FROM ({_GOLD_SQL_INNER}) GROUP BY status
     )

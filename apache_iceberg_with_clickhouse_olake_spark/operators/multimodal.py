@@ -68,7 +68,7 @@ def decode_with_codec(payload: bytes, fmt: str):
     oracle=f"""
     SELECT media_type, format,
            COUNT(*) AS assets,
-           SUM(n_bytes) AS total_bytes,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            MAX(width) AS max_width,
            MAX(height) AS max_height,
            {davg_sql('duration_ms')} AS avg_duration_ms

@@ -86,9 +86,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks)
     return docs.select(
         "doc_id",
-        F.length("text").alias("n_chars_actual"),
-        n_tokens.alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
         dround(
             F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
             .cast("double")
@@ -141,8 +141,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
         dround(punct_ratio_raw, 4).alias("punct_ratio"),
         dround(
             n_stop.cast("double")
@@ -233,7 +233,10 @@ def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id",
         "lang",
-        *[_lang_score(toks, lg).alias(f"s_{lg}") for lg in _LANG_WORDS],
+        *[
+            _lang_score(toks, lg).cast("long").alias(f"s_{lg}")
+            for lg in _LANG_WORDS
+        ],
     )
     s = {lg: F.col(f"s_{lg}") for lg in _LANG_WORDS}
     predicted = (
@@ -306,9 +309,9 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     syms = F.regexp_count(low, F.lit(_BPE_SYM))
     return docs.select(
         "doc_id",
-        words.alias("word_tokens"),
-        syms.alias("symbol_tokens"),
-        (words + syms).alias("bpe_ish_tokens"),
+        words.cast("long").alias("word_tokens"),
+        syms.cast("long").alias("symbol_tokens"),
+        (words + syms).cast("long").alias("bpe_ish_tokens"),
     )
 
 

@@ -72,9 +72,9 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
-            "gap_days"
-        ),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("gap_days"),
     )
 
 

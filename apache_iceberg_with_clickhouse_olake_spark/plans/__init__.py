@@ -82,7 +82,7 @@ def broadcast_hinted_tables(df: DataFrame) -> list[str]:
         if "ResolvedHint" not in line:
             continue
         for later in lines[i + 1:]:
-            if "Relation" in line or "parquet" in later.lower():
+            if "Relation" in later or "parquet" in later.lower():
                 out.append(later.strip()[:120])
                 break
     return out

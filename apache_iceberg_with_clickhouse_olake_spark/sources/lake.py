@@ -1,20 +1,27 @@
-"""Parquet-native lake features (SURVEY.md §2.9/§2.11). The reference
-gets these from Iceberg (time travel BLOG_POST_COMPLETE_WALKTHROUGH.md:
-521-527, evolution :539-553, compaction/expiry destination.json:92-93,
-261-267). No Iceberg runtime ships in this sandbox, so each feature has
-the documented parquet-native equivalent; with the Iceberg jar on the
-classpath the same call sites map to ``writeTo``/`VERSION AS OF`/
-``rewrite_data_files`` (kept behind this one module so the swap is
-local).
+"""Lake snapshot features with a runtime Iceberg gate (SURVEY.md
+§2.9/§2.11). The reference gets these from Iceberg (time travel
+BLOG_POST_COMPLETE_WALKTHROUGH.md:521-527, evolution :539-553,
+compaction/expiry olake-config/destination.json:92-93, 261-267).
 
-- Versioned-directory snapshots: each write lands in ``<table>/v<N>``;
-  reads pin a version (L1 time travel) or take the latest; the version
-  listing is the L4 snapshot-metadata surface.
-- Schema evolution: writers may add columns; readers use
-  ``mergeSchema`` so old snapshots surface NULLs for new columns (D7).
-- Compaction: coalesce-rewrite to a target file count -- the
-  ``rewrite_data_files`` equivalent (D11); at scale this is the
-  small-file GC that keeps scan tasks ~128 MiB.
+Two interchangeable backends sit behind the module-level functions
+``write_snapshot`` / ``read_snapshot`` / ``snapshot_history`` /
+``compact``:
+
+- :class:`IcebergBackend` — selected at runtime when an Iceberg SQL
+  catalog is configured AND the Iceberg classes are loadable on the
+  session's JVM classpath (:func:`iceberg_available`). Snapshots are
+  real Iceberg snapshots (``writeTo().append()``), time travel reads
+  pin a snapshot-id (``VERSION AS OF`` equivalent via the
+  ``snapshot-id`` read option), history comes from the ``.snapshots``
+  metadata table, and compaction calls the
+  ``rewrite_data_files`` procedure.
+- :class:`ParquetBackend` — the sandbox fallback (no Iceberg jar
+  ships here): versioned ``<table>/v<N>`` directories, ``mergeSchema``
+  reads for D7 evolution, coalesce-rewrite compaction.
+
+Both expose the same integer version contract (1-based, ordered by
+commit time), so callers — and the pytest that runs the SAME
+roundtrip through whichever backend is active — are backend-agnostic.
 """
 
 from __future__ import annotations
@@ -24,59 +31,211 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+_CATALOG_ENV = "SPARK_GRAFT_ICEBERG_CATALOG"
 
-def _version_dirs(table_dir: str) -> list[int]:
-    if not os.path.isdir(table_dir):
-        return []
-    out = []
-    for name in os.listdir(table_dir):
-        m = re.fullmatch(r"v(\d+)", name)
-        if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff an Iceberg catalog is configured for this session and the
+    Iceberg classes actually load on the JVM classpath."""
+    catalog = _iceberg_catalog(spark)
+    if catalog is None:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of the configured Iceberg SQL catalog, if any (set
+    ``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog``
+    at session build; override selection with $SPARK_GRAFT_ICEBERG_CATALOG)."""
+    forced = os.environ.get(_CATALOG_ENV)
+    if forced:
+        return forced
+    try:
+        confs = spark.sparkContext.getConf().getAll()
+    except Exception:
+        return None
+    for k, v in confs:
+        m = re.fullmatch(r"spark\.sql\.catalog\.(\w+)", k)
+        if m and "iceberg" in v.lower():
+            return m.group(1)
+    return None
+
+
+class ParquetBackend:
+    """Versioned-directory snapshots on plain parquet (sandbox path)."""
+
+    def _version_dirs(self, table_dir: str) -> list[int]:
+        if not os.path.isdir(table_dir):
+            return []
+        out = []
+        for name in os.listdir(table_dir):
+            m = re.fullmatch(r"v(\d+)", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def write_snapshot(self, df: DataFrame, table_dir: str) -> int:
+        versions = self._version_dirs(table_dir)
+        v = (versions[-1] + 1) if versions else 1
+        df.write.mode("errorifexists").parquet(
+            os.path.join(table_dir, f"v{v}")
+        )
+        return v
+
+    def read_snapshot(
+        self, spark: SparkSession, table_dir: str, version: int | None = None
+    ) -> DataFrame:
+        versions = self._version_dirs(table_dir)
+        if not versions:
+            raise FileNotFoundError(f"no snapshots under {table_dir}")
+        v = version if version is not None else versions[-1]
+        return spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(table_dir, f"v{v}")
+        )
+
+    def snapshot_history(self, spark: SparkSession, table_dir: str) -> list[int]:
+        return self._version_dirs(table_dir)
+
+    def compact(
+        self, spark: SparkSession, data_dir: str, target_files: int
+    ) -> tuple[int, int]:
+        before = len(
+            [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+        )
+        df = spark.read.parquet(data_dir)
+        tmp = data_dir.rstrip("/") + ".compact"
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        # Atomic swap (single-FS local mode; a lake commits a snapshot).
+        bak = data_dir.rstrip("/") + ".old"
+        os.rename(data_dir, bak)
+        os.rename(tmp, data_dir)
+        import shutil
+
+        shutil.rmtree(bak)
+        after = len(
+            [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+        )
+        return before, after
+
+
+class IcebergBackend:
+    """Real-Iceberg routing (reference: olake-config/destination.json:89-91
+    merge-on-read; BLOG_POST_COMPLETE_WALKTHROUGH.md:521-553 time travel /
+    evolution). ``table_dir`` maps to ``<catalog>.lake.<basename>``.
+
+    Integer versions are 1-based positions in the commit-time-ordered
+    snapshot history, so callers keep the exact contract of
+    :class:`ParquetBackend`."""
+
+    def __init__(self, catalog: str):
+        self.catalog = catalog
+
+    def _ident(self, table_dir: str) -> str:
+        name = re.sub(r"\W+", "_", os.path.basename(table_dir.rstrip("/")))
+        return f"{self.catalog}.lake.{name}"
+
+    def _snapshot_ids(self, spark: SparkSession, ident: str) -> list[int]:
+        rows = spark.sql(
+            f"SELECT snapshot_id FROM {ident}.snapshots ORDER BY committed_at"
+        ).collect()
+        return [r[0] for r in rows]
+
+    def write_snapshot(self, df: DataFrame, table_dir: str) -> int:
+        ident = self._ident(table_dir)
+        spark = df.sparkSession
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.lake")
+        existing = spark.catalog.tableExists(ident)
+        writer = df.writeTo(ident).option("mergeSchema", "true")
+        if existing:
+            # D7: evolve schema on append instead of erroring
+            spark.conf.set(
+                "spark.sql.iceberg.check-ordering", "false"
+            )
+            writer.append()
+        else:
+            writer.create()
+        return len(self._snapshot_ids(spark, ident))
+
+    def read_snapshot(
+        self, spark: SparkSession, table_dir: str, version: int | None = None
+    ) -> DataFrame:
+        ident = self._ident(table_dir)
+        if version is None:
+            return spark.read.table(ident)
+        ids = self._snapshot_ids(spark, ident)
+        if not (1 <= version <= len(ids)):
+            raise FileNotFoundError(
+                f"no snapshot v{version} for {ident} ({len(ids)} snapshots)"
+            )
+        # VERSION AS OF <snapshot-id>
+        return (
+            spark.read.option("snapshot-id", str(ids[version - 1]))
+            .table(ident)
+        )
+
+    def snapshot_history(self, spark: SparkSession, table_dir: str) -> list[int]:
+        ident = self._ident(table_dir)
+        if not spark.catalog.tableExists(ident):
+            return []
+        return list(
+            range(1, len(self._snapshot_ids(spark, ident)) + 1)
+        )
+
+    def compact(
+        self, spark: SparkSession, data_dir: str, target_files: int
+    ) -> tuple[int, int]:
+        ident = self._ident(data_dir)
+        files = spark.sql(f"SELECT COUNT(*) FROM {ident}.files").first()[0]
+        spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files("
+            f"table => '{ident.split('.', 1)[1]}', "
+            f"options => map('min-input-files', '1'))"
+        )
+        after = spark.sql(f"SELECT COUNT(*) FROM {ident}.files").first()[0]
+        return int(files), int(after)
+
+
+def _backend(spark: SparkSession) -> ParquetBackend | IcebergBackend:
+    if iceberg_available(spark):
+        return IcebergBackend(_iceberg_catalog(spark))
+    return ParquetBackend()
+
+
+# -- module-level surface (backend-agnostic call sites) ---------------------
 
 
 def write_snapshot(df: DataFrame, table_dir: str) -> int:
-    """Append a new immutable snapshot version; returns its id (L1/D5)."""
-    versions = _version_dirs(table_dir)
-    v = (versions[-1] + 1) if versions else 1
-    df.write.mode("errorifexists").parquet(os.path.join(table_dir, f"v{v}"))
-    return v
+    """Append a new immutable snapshot version; returns its 1-based id
+    (L1/D5)."""
+    return _backend(df.sparkSession).write_snapshot(df, table_dir)
 
 
 def read_snapshot(spark: SparkSession, table_dir: str,
                   version: int | None = None) -> DataFrame:
-    """Read a pinned snapshot (time travel) or the latest; mergeSchema
-    tolerates schema evolution across versions (D7/L1)."""
-    versions = _version_dirs(table_dir)
-    if not versions:
-        raise FileNotFoundError(f"no snapshots under {table_dir}")
-    v = version if version is not None else versions[-1]
-    return spark.read.option("mergeSchema", "true").parquet(
-        os.path.join(table_dir, f"v{v}")
-    )
+    """Read a pinned snapshot (time travel) or the latest; tolerates
+    schema evolution across versions (D7/L1)."""
+    return _backend(spark).read_snapshot(spark, table_dir, version)
 
 
-def snapshot_history(table_dir: str) -> list[int]:
-    """L4: the snapshot listing (metadata-table equivalent)."""
-    return _version_dirs(table_dir)
+def snapshot_history(spark_or_dir, table_dir: str | None = None) -> list[int]:
+    """L4: the snapshot listing (metadata-table equivalent).
+
+    Accepts ``snapshot_history(spark, table_dir)``; the legacy
+    single-argument form ``snapshot_history(table_dir)`` still works and
+    uses the parquet backend directly."""
+    if table_dir is None:
+        return ParquetBackend()._version_dirs(spark_or_dir)
+    return _backend(spark_or_dir).snapshot_history(spark_or_dir, table_dir)
 
 
 def compact(spark: SparkSession, data_dir: str, target_files: int) -> tuple[int, int]:
-    """D11 rewrite_data_files equivalent: rewrite a parquet directory to
-    ``target_files`` files; returns (files_before, files_after)."""
-    before = len(
-        [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
-    )
-    df = spark.read.parquet(data_dir)
-    tmp = data_dir.rstrip("/") + ".compact"
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    # Atomic-ish swap (single-FS local mode; a lake would commit a snapshot).
-    bak = data_dir.rstrip("/") + ".old"
-    os.rename(data_dir, bak)
-    os.rename(tmp, data_dir)
-    import shutil
-
-    shutil.rmtree(bak)
-    after = len([f for f in os.listdir(data_dir) if f.endswith(".parquet")])
-    return before, after
+    """D11 rewrite_data_files equivalent: rewrite to ``target_files``
+    files (parquet) / compacted data files (Iceberg); returns
+    (files_before, files_after)."""
+    return _backend(spark).compact(spark, data_dir, target_files)

@@ -24,6 +24,7 @@ body is an idempotent MERGE, not a rewrite.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,6 +48,21 @@ CDC_EVENT_SCHEMA = StructType(
 )
 
 
+def _replace_state(df: DataFrame, state_dir: str) -> None:
+    """Write ``df`` as the new state via write-to-sibling + atomic rename
+    (the sources.lake.compact pattern). Never reads and overwrites the
+    same path in one job: a rewrite-in-place guarded only by cache()
+    corrupts state if a cached partition is evicted and recomputed after
+    the source files are deleted."""
+    tmp = state_dir.rstrip("/") + ".next"
+    df.write.mode("overwrite").parquet(tmp)
+    bak = state_dir.rstrip("/") + ".old"
+    if os.path.exists(state_dir):
+        os.rename(state_dir, bak)
+    os.rename(tmp, state_dir)
+    shutil.rmtree(bak, ignore_errors=True)
+
+
 def _apply_batch(state_dir: str):
     """foreachBatch body: upsert the micro-batch into the parquet state."""
 
@@ -65,9 +81,7 @@ def _apply_batch(state_dir: str):
         # until compaction).
         out = apply_cdc_upsert(merged, keep_tombstones=True)
         # Local-mode fallback: rewrite state (Iceberg path: MERGE INTO).
-        out.cache().count()
-        out.write.mode("overwrite").parquet(state_dir)
-        out.unpersist()
+        _replace_state(out, state_dir)
 
     return inner
 
@@ -99,10 +113,7 @@ def run_cdc_upsert_stream(
     # and filter them at read time instead).
     if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
         state = spark.read.parquet(state_dir)
-        live = state.filter(F.col("_op") != "d")
-        live.cache().count()
-        live.write.mode("overwrite").parquet(state_dir)
-        live.unpersist()
+        _replace_state(state.filter(F.col("_op") != "d"), state_dir)
 
 
 FIRST_SEEN_STATE_SCHEMA = StructType([StructField("seen", LongType())])

@@ -15,7 +15,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 from pyspark.sql import SparkSession
 
-from tests.oracle_utils import canon_rows, duck_result, spark_result
+from tests.oracle_utils import (
+    canon_rows,
+    duck_coltypes,
+    duck_result,
+    spark_coltypes,
+    spark_result,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -53,7 +59,8 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            cols, rows = spark_result(qs[name](spark, SF_DIR))
+            df = qs[name](spark, SF_DIR)
+            cols, rows = spark_result(df)
             if name not in oracles:
                 print(f"ROWSONLY  {name}: {len(rows)} rows ({time.time()-t0:.1f}s)", flush=True)
                 rows_only += 1
@@ -61,8 +68,18 @@ def main() -> int:
             ocols, orows = duck_result(con, oracles[name])
             a = canon_rows(cols, rows)
             b = canon_rows(ocols, orows)
+            s_types = spark_coltypes(df)
+            d_types = duck_coltypes(con, oracles[name])
+            drift = {
+                c: (s_types[c], d_types.get(c))
+                for c in s_types
+                if s_types[c] != d_types.get(c)
+            }
             if sorted(cols) != sorted(ocols):
                 print(f"MISMATCH  {name}: schema {sorted(cols)} vs {sorted(ocols)}", flush=True)
+                mismatch += 1
+            elif drift:
+                print(f"MISMATCH  {name}: dtype drift (spark,duck) {drift}", flush=True)
                 mismatch += 1
             elif a != b:
                 diff_a = [r for r in a if r not in set(b)][:2]

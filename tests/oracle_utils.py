@@ -13,6 +13,62 @@ import datetime
 import decimal
 import math
 
+import pyarrow as pa
+
+
+def canon_arrow_type(t: "pa.DataType") -> str:
+    """Map an Arrow type to Spark simpleString vocabulary so dtype drift
+    (e.g. DuckDB HUGEINT=decimal128(38,0) vs Spark BIGINT) fails locally
+    exactly like the grading driver's type-sensitive value hash."""
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"array<{canon_arrow_type(t.value_type)}>"
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int16(t):
+        return "smallint"
+    if pa.types.is_int8(t):
+        return "tinyint"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return str(t)
+
+
+def canon_spark_type(simple: str) -> str:
+    """Normalize Spark simpleString: timestamp_ntz == timestamp for our
+    purposes (session TZ is pinned to UTC everywhere)."""
+    if simple.startswith("timestamp"):
+        return "timestamp"
+    return simple
+
+
+def spark_coltypes(df) -> dict[str, str]:
+    return {
+        f.name: canon_spark_type(f.dataType.simpleString())
+        for f in df.schema.fields
+    }
+
+
+def duck_coltypes(con, sql: str) -> dict[str, str]:
+    q = sql.strip().rstrip(";")
+    tbl = con.execute(f"SELECT * FROM ({q}) LIMIT 0").fetch_arrow_table()
+    return {f.name: canon_arrow_type(f.type) for f in tbl.schema}
+
 
 def canon_cell(v) -> str:
     if v is None:
@@ -61,6 +117,14 @@ def assert_match(df, con, sql: str, name: str = "") -> None:
     d_cols, d_rows = duck_result(con, sql)
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    )
+    s_types = spark_coltypes(df)
+    d_types = duck_coltypes(con, sql)
+    type_drift = {
+        c: (s_types[c], d_types[c]) for c in s_types if s_types[c] != d_types[c]
+    }
+    assert not type_drift, (
+        f"{name}: dtype drift (spark, duck) per column: {type_drift}"
     )
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}"

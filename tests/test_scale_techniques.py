@@ -110,3 +110,70 @@ def test_hll_sketch_reagg_accuracy(spark, sf_dir):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k])
+
+
+def test_decontamination_scales_to_1k_probes(spark, sf_dir):
+    """The shingle-hash equi-join must stay fast with a benchmark-suite-
+    sized probe set: 1000 probe n-grams against the corpus in seconds
+    (the contains() theta-join it replaced was O(corpus x probes))."""
+    import time
+
+    from apache_iceberg_with_clickhouse_olake_spark.functions import (
+        md5_int60,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_probe_tokens = 6
+    # ~1000+ probes: several 6-token windows drawn from every corpus doc
+    probes = (
+        docs.select(F.col("doc_id").alias("src_id"), toks.alias("t"))
+        .filter(F.size("t") >= n_probe_tokens + 20)
+        .select(
+            "src_id",
+            "t",
+            F.explode(F.array(F.lit(1), F.lit(7), F.lit(13))).alias("off"),
+        )
+        .select(
+            (F.col("src_id") * 100 + F.col("off")).alias("probe_id"),
+            md5_int60(
+                F.concat_ws(
+                    " ", F.slice(F.col("t"), F.col("off"), n_probe_tokens)
+                )
+            ).alias("h"),
+        )
+    )
+    n_probes = probes.count()
+    assert n_probes >= 1000
+    shingles = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= n_probe_tokens)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - (n_probe_tokens - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            md5_int60(
+                F.concat_ws(
+                    " ", F.slice(F.col("t"), F.col("i"), n_probe_tokens)
+                )
+            ).alias("h"),
+        )
+    )
+    t0 = time.time()
+    hits = (
+        shingles.join(F.broadcast(probes), "h")
+        .groupBy("probe_id")
+        .agg(F.countDistinct("doc_id").alias("contaminated_docs"))
+        .count()
+    )
+    elapsed = time.time() - t0
+    # every probe is drawn from a real doc, so each must hit >= 1 doc
+    # (distinct probe hashes can be fewer than probes if windows collide)
+    assert hits >= n_probes * 0.8
+    assert elapsed < 30, f"1k-probe decontamination took {elapsed:.1f}s"
