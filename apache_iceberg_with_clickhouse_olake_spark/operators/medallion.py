@@ -89,8 +89,13 @@ def build_medallion(spark: SparkSession, sf_dir: str, warehouse: str) -> dict[st
         "silver_orders": write_layer(
             silver, warehouse, "silver_orders", ("order_month", "status")
         ),
+        # gold is bounded (months x statuses) at ANY corpus scale, so one
+        # file is the right layout: single scan task, no listing overhead
         "gold_order_metrics": write_layer(
-            gold, warehouse, "gold_order_metrics", ("order_month", "status")
+            gold.coalesce(1),
+            warehouse,
+            "gold_order_metrics",
+            ("order_month", "status"),
         ),
     }
 
