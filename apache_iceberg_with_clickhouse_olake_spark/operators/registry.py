@@ -146,6 +146,7 @@ _MODULES = (
     "evolution",
     "medallion",
     "multimodal",
+    "sampling",
     "sessions",
     "similarity",
     "streaming_queries",

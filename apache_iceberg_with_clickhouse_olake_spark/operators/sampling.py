@@ -1,0 +1,205 @@
+"""Training-data sampling / mixing / sequence-packing operators — the
+corpus-assembly stage of an LLM data pipeline (extension family beyond
+the reference's SQL surface, same first-class contract: Spark twin +
+DuckDB oracle per query).
+
+All randomness is md5-hash-derived (functions.md5_int60), so every
+"sample" is deterministic, reproducible across engines and cluster
+topologies, and — critically at 100 TB — embarrassingly parallel: a
+row's fate depends only on its own key, never on a global RNG stream
+or a driver-side shuffle of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import (
+    dround,
+    dround_sql,
+    md5_int60,
+    md5_int60_sql,
+    tokens,
+    tokens_sql,
+)
+from ..sources.parquet import load_table
+from .registry import query
+
+_TOKS = tokens_sql("text")
+
+# target mix: per-language sampling rate in permille (a "data recipe":
+# upsample English, downsample the tail — the knob a training-mix config
+# exposes per source/language)
+_MIX_PERMILLE = {"en": 900, "de": 700, "fr": 600, "es": 500, "zh": 400}
+
+_SAMPLE_K = 100          # uniform-sample size for the reservoir twin
+_SEQ_BUDGET = 2048       # tokens per packed training sequence
+_N_PACK_SHARDS = 8
+
+
+def _mix_rate_spark():
+    rate = F.lit(0)
+    for lang, permille in _MIX_PERMILLE.items():
+        rate = F.when(F.col("lang") == lang, F.lit(permille)).otherwise(rate)
+    return rate
+
+
+_MIX_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lg}' THEN {pm}" for lg, pm in _MIX_PERMILLE.items()
+) + " ELSE 0 END"
+
+_MIX_HASH = "concat('mix-', CAST(doc_id AS VARCHAR))"
+
+
+@query(
+    "training_mix_sample",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS total_docs,
+           CAST(COUNT(CASE WHEN {md5_int60_sql(_MIX_HASH)} % 1000
+                           < {_MIX_RATE_SQL} THEN 1 END) AS BIGINT)
+             AS sampled_docs,
+           CAST(SUM(CASE WHEN {md5_int60_sql(_MIX_HASH)} % 1000
+                         < {_MIX_RATE_SQL} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS sampled_chars,
+           CAST({_MIX_RATE_SQL} AS BIGINT) AS target_permille
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("llm-sampling", "llm-text"),
+)
+def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mix sampling: each language keeps a
+    configured permille of its documents, decided per-row by a stable
+    md5 draw on doc_id. One corpus pass + a tiny rollup shuffle; rates
+    are a config literal, so re-running the pipeline (or running it on
+    two clusters) selects the SAME documents — the property a training
+    mix needs for reproducibility."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = _mix_rate_spark()
+    draw = md5_int60(
+        F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))
+    ) % 1000
+    kept = draw < rate
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("total_docs"),
+            F.count(F.when(kept, 1)).alias("sampled_docs"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("sampled_chars"),
+        )
+        .withColumn("target_permille", rate.cast("long"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "uniform_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    ORDER BY {md5_int60_sql("concat('unif-', CAST(doc_id AS VARCHAR))")},
+             doc_id
+    LIMIT {_SAMPLE_K}
+    """,
+    tags=("llm-sampling",),
+)
+def uniform_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-sample without replacement as hash-order top-k: the
+    k smallest md5 draws ARE a uniform sample, and Spark executes the
+    ORDER BY + LIMIT as TakeOrderedAndProject (per-partition heap of k,
+    merge on the driver) — no global sort shuffle, no RNG state; the
+    distributed replacement for reservoir sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    draw = md5_int60(
+        F.concat(F.lit("unif-"), F.col("doc_id").cast("string"))
+    )
+    return (
+        docs.orderBy(draw, "doc_id")
+        .select("doc_id", "lang", "source")
+        .limit(_SAMPLE_K)
+    )
+
+
+_PACK_SHARD = md5_int60_sql("concat('pack-', CAST(doc_id AS VARCHAR))")
+
+
+@query(
+    "sequence_packing_stats",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST({_PACK_SHARD} % {_N_PACK_SHARDS} AS BIGINT) AS shard,
+             len({_TOKS}) AS n_toks
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, n_toks,
+             CAST(FLOOR(
+               (SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_toks) / {_SEQ_BUDGET}.0) AS BIGINT) AS bin
+      FROM sized
+    )
+    SELECT shard,
+           COUNT(*) AS docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT bin) AS bins,
+           {dround_sql(
+               f'CAST(SUM(n_toks) AS DOUBLE) '
+               f'/ (COUNT(DISTINCT bin) * {_SEQ_BUDGET})', 4)}
+             AS fill_ratio
+    FROM packed
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    tags=("llm-sampling", "llm-text"),
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: within each hash shard, docs
+    (in stable doc_id order) fill {2048}-token training sequences; a
+    doc's bin is its running-token offset div the budget. Per-shard
+    window cumsum = one narrow shuffle keyed by shard; shards are
+    independent, so packing parallelizes to any cluster size while
+    staying byte-reproducible. Reports bins and fill ratio per shard
+    (the packing-efficiency metric a data pipeline monitors)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        md5_int60(F.concat(F.lit("pack-"), F.col("doc_id").cast("string")))
+        % _N_PACK_SHARDS
+    ).cast("long")
+    sized = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "bin",
+        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / _SEQ_BUDGET),
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.countDistinct("bin").alias("bins"),
+        )
+        .withColumn(
+            "fill_ratio",
+            dround(
+                F.col("total_tokens").cast("double")
+                / (F.col("bins") * F.lit(_SEQ_BUDGET)),
+                4,
+            ),
+        )
+        .orderBy("shard")
+    )

@@ -417,3 +417,58 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TFIDF_TOP)
         .select("doc_id", "term", "rank", dround(F.col("score"), 4).alias("tfidf"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality score (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+@query(
+    "unigram_logprob_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM tf)
+    SELECT t.doc_id,
+           COUNT(*) AS n_toks,
+           {dround_sql('AVG(ln(tf.cnt / tot.total))', 6)} AS avg_logprob
+    FROM tok t JOIN tf USING (term) CROSS JOIN tot
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("llm-text",),
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: average corpus-unigram log
+    probability per document (low = rare/garbled tokens, the cheap
+    LM-quality filter run before an expensive model-based one).
+
+    Shape at scale: explode -> one keyed groupBy for term frequencies
+    (vocabulary-sized), join tokens back to frequencies on the term key
+    (AQE broadcasts when the vocabulary is small, shuffles otherwise --
+    no forced hint since vocabulary grows with the corpus), one scalar
+    total via a 1-row broadcast cross join, then a per-doc rollup.
+    DuckDB ln == JVM log bit-for-bit (functions/__init__.py determinism
+    note), so the oracle pins exact values."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = tf.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        tok.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            dround(
+                F.avg(F.log(F.col("cnt") / F.col("total"))), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
