@@ -149,3 +149,27 @@ def test_survey_inventory_fully_covered():
         if f"{p}{i}" not in tags and f"{p}{i}" not in non_query
     ]
     assert not missing, f"uncovered SURVEY ids: {missing}"
+
+
+def test_uniform_sample_is_take_ordered(spark, sf_dir):
+    # the hash-order k-sample must plan as TakeOrderedAndProject
+    # (per-partition heap + driver merge), never a global sort shuffle
+    plan = physical_plan(_Q["uniform_hash_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decontamination_is_broadcast_equi_join(spark, sf_dir):
+    # probe side broadcast, corpus side never shuffled before the join
+    plan = physical_plan(_Q["decontamination_scan"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_packing_reuses_shard_partitioning(spark, sf_dir):
+    # the window cumsum shuffles once on shard; the per-shard rollup must
+    # reuse that partitioning (no second hash exchange on the same key)
+    plan = physical_plan(_Q["sequence_packing_stats"](spark, sf_dir))
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges <= 1, plan
