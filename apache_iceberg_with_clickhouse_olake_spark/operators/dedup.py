@@ -250,9 +250,7 @@ def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_band_hashes(docs)
 
 
-@query(
-    "minhash_lsh_candidates",
-    oracle=f"""
+_CANDIDATES_SQL = f"""
     WITH {_SIG_CTE},
     bands AS (
       {' UNION ALL '.join(
@@ -279,7 +277,12 @@ def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs p
     JOIN sh sa ON p.doc_a = sa.doc_id
     JOIN sh sb ON p.doc_b = sb.doc_id
-    """,
+"""
+
+
+@query(
+    "minhash_lsh_candidates",
+    oracle=_CANDIDATES_SQL,
     tags=("llm-dedup",),
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,4 +457,95 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"band{b}")
             for b in range(4)
         ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over verified near-dup pairs
+# ---------------------------------------------------------------------------
+
+_CC_ROUNDS = 4
+
+
+def _cc_rounds_sql() -> str:
+    """Unrolled min-label-propagation rounds (l0..lK): identical iteration
+    count to the Spark loop, so both engines compute the same labels."""
+    # AS MATERIALIZED: each round references the previous one twice;
+    # an inlined CTE would re-evaluate it, doubling work per round
+    parts = [
+        "l0 AS MATERIALIZED "
+        "(SELECT DISTINCT a AS doc_id, a AS label FROM sym)"
+    ]
+    for i in range(1, _CC_ROUNDS + 1):
+        parts.append(f"""
+    l{i} AS MATERIALIZED (
+      SELECT x.doc_id, MIN(x.lbl) AS label FROM (
+        SELECT doc_id, label AS lbl FROM l{i - 1}
+        UNION ALL
+        SELECT s.a AS doc_id, p.label AS lbl
+        FROM sym s JOIN l{i - 1} p ON s.b = p.doc_id
+      ) x GROUP BY x.doc_id
+    )""")
+    return ",\n".join(parts)
+
+
+@query(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH verified AS MATERIALIZED ({_CANDIDATES_SQL}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM verified WHERE near_dup),
+    sym AS MATERIALIZED (
+      SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+    ),
+    {_cc_rounds_sql()}
+    SELECT label AS cluster_id,
+           COUNT(*) AS members
+    FROM l{_CC_ROUNDS}
+    GROUP BY label
+    ORDER BY members DESC, cluster_id
+    """,
+    tags=("llm-dedup",),
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: connected components over the
+    verified near-dup edge set via {4} rounds of min-label propagation
+    (cluster id = smallest doc_id reachable). Keep-one-per-cluster is the
+    policy real dedup ships — pairs alone over-delete transitive groups.
+
+    Each round is one keyed join + one min-groupBy on doc_id — no
+    all-pairs step, state is one (doc_id, label) row per clustered doc.
+    A fixed round count bounds the plan (near-dup clusters have tiny
+    diameters); a production fixpoint loop adds iterate-until-converged
+    with checkpointing between rounds, same per-round shape. The DuckDB
+    oracle unrolls the identical rounds, so labels match exactly."""
+    verified = minhash_lsh_candidates(spark, sf_dir)
+    edges = verified.filter(F.col("near_dup")).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    # Iterative algorithm hygiene: materialize the edge set once and cut
+    # lineage every round (localCheckpoint), else each round re-embeds
+    # the full LSH pipeline in the plan and it grows exponentially. On a
+    # cluster this is persist()/checkpoint() between supersteps.
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(_CC_ROUNDS):
+        neighbor_labels = sym.join(
+            labels, sym["b"] == labels["doc_id"]
+        ).select(sym["a"].alias("doc_id"), "label")
+        labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count("*").alias("members"))
+        .orderBy(F.col("members").desc(), "cluster_id")
     )

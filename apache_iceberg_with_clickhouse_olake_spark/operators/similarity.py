@@ -494,3 +494,105 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: LSH-bucketed top-k vs exact top-k on a query sample
+# ---------------------------------------------------------------------------
+
+_N_EVAL_Q = 20
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket
+          FROM b WHERE vec_id < {_N_EVAL_Q}),
+    scored AS MATERIALIZED (
+      SELECT q.qid, e.vec_id, e.bucket, q.qbucket,
+             {dround_sql('list_cosine_similarity(e.v, q.qv)', 6)} AS cos_sim
+      FROM b e, q WHERE e.vec_id <> q.qid
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM scored
+      QUALIFY row_number() OVER (PARTITION BY qid
+                ORDER BY cos_sim DESC, vec_id) <= {_TOP_K}
+    ),
+    approx AS (
+      SELECT qid, vec_id, 1 AS hit FROM scored WHERE bucket = qbucket
+      QUALIFY row_number() OVER (PARTITION BY qid
+                ORDER BY cos_sim DESC, vec_id) <= {_TOP_K}
+    )
+    SELECT x.qid,
+           COUNT(*) AS exact_k,
+           CAST(COUNT(a.hit) AS BIGINT) AS ann_hits,
+           {dround_sql(f'COUNT(a.hit) / {_TOP_K}.0', 4)} AS recall_at_k
+    FROM exact x
+    LEFT JOIN approx a ON x.qid = a.qid AND x.vec_id = a.vec_id
+    GROUP BY x.qid
+    ORDER BY x.qid
+    """,
+    tags=("llm-similarity",),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against exact cosine top-k over a
+    {20}-query evaluation sample — the accuracy/cost dial every ANN
+    deployment must report before swapping approximate for exact.
+
+    Shape at scale: the query sample is tiny and BROADCAST; exact
+    scoring is corpus x sample (the standard sampled-recall eval, NOT
+    corpus x corpus); ranking is a per-qid window over the sample's
+    score lists. Recall here is an eval metric on a sample, so the same
+    job works unchanged when the corpus is partitioned by bucket."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", _dvec(F.col("embedding")).alias("v")
+    ).withColumn("bucket", _bucket(F.col("v")))
+    q = e.filter(F.col("vec_id") < _N_EVAL_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        e.join(F.broadcast(q), e.vec_id != q.qid)
+        .select(
+            "qid",
+            "vec_id",
+            "bucket",
+            "qbucket",
+            dround(_cos(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("qid", "vec_id")
+    )
+    approx = (
+        scored.filter(F.col("bucket") == F.col("qbucket"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("qid", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(approx, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("exact_k"),
+            F.count("hit").alias("ann_hits"),
+            dround(F.count("hit") / F.lit(float(_TOP_K)), 4).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("qid")
+    )
