@@ -433,13 +433,72 @@ def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash (vectorized Pandas UDF -- the Arrow-batched Python path)
 # ---------------------------------------------------------------------------
 
-@query("simhash_fingerprints", oracle=None, tags=("llm-dedup",))
+def _simhash_votes_sql() -> str:
+    """64 per-bit vote aggregates. The 64-bit token hash (big-endian first
+    8 md5 bytes, matching _simhash_udf) is carried as two 32-bit BIGINT
+    halves because DuckDB can't cast 16 hex chars to an integer; bit b
+    reads from the low or high half."""
+    cols = []
+    for b in range(64):
+        src = f"(lo >> {b})" if b < 32 else f"(hi >> {b - 32})"
+        cols.append(
+            f"SUM(CASE WHEN {src} & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        )
+    return ", ".join(cols)
+
+
+def _simhash_assemble_sql() -> str:
+    """Reassemble the signed int64 fingerprint from the 64 vote signs.
+    Bit 63 contributes -2^63 (two's complement), so the sum stays inside
+    BIGINT with no unsigned intermediate."""
+    parts = [
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for b in range(63)
+    ]
+    parts.append(
+        "CASE WHEN v63 > 0 THEN CAST(-9223372036854775807 AS BIGINT) - 1 "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    return " + ".join(parts)
+
+
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ),
+    th AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS hi,
+             CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT) AS lo
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, {_simhash_votes_sql()}
+      FROM th GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id, ({_simhash_assemble_sql()}) AS simhash FROM votes
+    )
+    SELECT d.doc_id,
+           COALESCE(f.simhash, CAST(0 AS BIGINT)) AS simhash,
+           {', '.join(
+               f"(COALESCE(f.simhash, CAST(0 AS BIGINT)) >> {16 * b})"
+               f" & 65535 AS band{b}"
+               for b in range(4)
+           )}
+    FROM documents d LEFT JOIN fp f USING (doc_id)
+"""
+
+
+@query("simhash_fingerprints", oracle=_SIMHASH_ORACLE, tags=("llm-dedup",))
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints via a vectorized Pandas UDF (Arrow batches --
-    the sanctioned Python path; ~100x row-at-a-time UDFs; see
-    _simhash_udf.py for why the UDF lives in its own module). Rows-only
-    check: Python-side hashing isn't oracle-expressible. Determinism is
-    covered by pytest (two runs, identical fingerprints)."""
+    the sanctioned Python path; see _simhash_udf.py for why the UDF lives
+    in its own module). The DuckDB oracle re-derives the identical
+    fingerprints in pure SQL (per-token md5 halves -> 64 bit-vote
+    aggregates -> two's-complement reassembly), so even the Python path
+    is value-checked cross-engine, not just rows-only."""
     from ._simhash_udf import make_simhash_udf
 
     simhash_udf = make_simhash_udf()
