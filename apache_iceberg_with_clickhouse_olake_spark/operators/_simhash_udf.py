@@ -18,8 +18,15 @@ def _simhash_batch(texts) -> list:
     to the scalar reference implementation (pinned by the determinism
     test)."""
     import hashlib
+    import re
 
     import numpy as np
+
+    # ASCII-whitespace split, matching Java/RE2 '\\s+' used by the
+    # Spark/DuckDB tokens() twins — Python str.split() also breaks on
+    # Unicode whitespace (\xa0,  , ...), which would silently
+    # diverge from the SQL oracle on non-ASCII corpora
+    ws = re.compile(r"[ \t\n\r\f\v]+")
 
     # column j of unpackbits(bitorder='big') is bit (63-j) of the
     # big-endian uint64, so this weight vector re-assembles the hash in
@@ -28,7 +35,7 @@ def _simhash_batch(texts) -> list:
 
     out = []
     for t in texts:
-        toks = (t or "").lower().split()
+        toks = [x for x in ws.split((t or "").lower()) if x]
         if not toks:
             out.append(0)
             continue

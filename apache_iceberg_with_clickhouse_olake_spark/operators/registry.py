@@ -106,7 +106,10 @@ _PRIORITY = (
     "shard_assignment_stats",
     "cosine_topk",
     "ann_ivf_topk",
-    "text_token_stats",
+    # training_mix_sample carries BOTH llm-sampling and llm-text, so the
+    # text family stays covered (curation_pipeline/shard_assignment_stats
+    # are also in-window) while the sampling family gets its driver row
+    "training_mix_sample",
     "media_catalog_stats",
     # window functions family
     "top_orders_per_customer",

@@ -150,16 +150,19 @@ class IcebergBackend:
         ident = self._ident(table_dir)
         spark = df.sparkSession
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.lake")
-        existing = spark.catalog.tableExists(ident)
-        writer = df.writeTo(ident).option("mergeSchema", "true")
-        if existing:
-            # D7: evolve schema on append instead of erroring
-            spark.conf.set(
-                "spark.sql.iceberg.check-ordering", "false"
-            )
-            writer.append()
+        if spark.catalog.tableExists(ident):
+            # D7: schema evolution on append needs BOTH the Iceberg write
+            # option 'merge-schema' (not Spark's parquet 'mergeSchema')
+            # and the accept-any-schema table property set below at
+            # create time; without the property the analyzer rejects the
+            # extra columns before Iceberg sees them.
+            df.writeTo(ident).option("merge-schema", "true").append()
         else:
-            writer.create()
+            (
+                df.writeTo(ident)
+                .tableProperty("write.spark.accept-any-schema", "true")
+                .create()
+            )
         return len(self._snapshot_ids(spark, ident))
 
     def read_snapshot(
@@ -191,14 +194,23 @@ class IcebergBackend:
         self, spark: SparkSession, data_dir: str, target_files: int
     ) -> tuple[int, int]:
         ident = self._ident(data_dir)
-        files = spark.sql(f"SELECT COUNT(*) FROM {ident}.files").first()[0]
+        before, total_bytes = spark.sql(
+            f"SELECT COUNT(*), COALESCE(SUM(file_size_in_bytes), 0) "
+            f"FROM {ident}.files"
+        ).first()
+        # rewrite_data_files targets a file SIZE, not a count: derive the
+        # size that yields ~target_files outputs so the ParquetBackend
+        # contract (compact to N files) holds on this backend too.
+        target_size = max(int(total_bytes) // max(target_files, 1) + 1,
+                          1024 * 1024)
         spark.sql(
             f"CALL {self.catalog}.system.rewrite_data_files("
             f"table => '{ident.split('.', 1)[1]}', "
-            f"options => map('min-input-files', '1'))"
+            f"options => map('min-input-files', '1', "
+            f"'target-file-size-bytes', '{target_size}'))"
         )
         after = spark.sql(f"SELECT COUNT(*) FROM {ident}.files").first()[0]
-        return int(files), int(after)
+        return int(before), int(after)
 
 
 def _backend(spark: SparkSession) -> ParquetBackend | IcebergBackend:

@@ -48,6 +48,19 @@ CDC_EVENT_SCHEMA = StructType(
 )
 
 
+def _recover_state(state_dir: str) -> None:
+    """Crash recovery for the sibling-rename protocol: a crash between
+    the two renames leaves the state at '<dir>.old' and no live dir —
+    restore it (losing only the not-yet-published batch, which the
+    checkpoint will NOT have committed, so it replays); stale '.next'
+    staging dirs are discarded."""
+    bak = state_dir.rstrip("/") + ".old"
+    if os.path.exists(bak) and not os.path.exists(state_dir):
+        os.rename(bak, state_dir)
+    shutil.rmtree(bak, ignore_errors=True)
+    shutil.rmtree(state_dir.rstrip("/") + ".next", ignore_errors=True)
+
+
 def _replace_state(df: DataFrame, state_dir: str) -> None:
     """Write ``df`` as the new state via write-to-sibling + atomic rename
     (the sources.lake.compact pattern). Never reads and overwrites the
@@ -55,8 +68,10 @@ def _replace_state(df: DataFrame, state_dir: str) -> None:
     corrupts state if a cached partition is evicted and recomputed after
     the source files are deleted."""
     tmp = state_dir.rstrip("/") + ".next"
+    shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
     bak = state_dir.rstrip("/") + ".old"
+    shutil.rmtree(bak, ignore_errors=True)
     if os.path.exists(state_dir):
         os.rename(state_dir, bak)
     os.rename(tmp, state_dir)
@@ -96,6 +111,9 @@ def run_cdc_upsert_stream(
     """Tail a directory of CDC event parquet files (C2: chunked reads via
     maxFilesPerTrigger) and apply them to the state table; drains the
     backlog with availableNow and blocks until done."""
+    # C6: if a prior run died between the state renames, restore the
+    # backup before the checkpointed replay re-applies the lost batch.
+    _recover_state(state_dir)
     reader = (
         spark.readStream.schema(CDC_EVENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger or 1)

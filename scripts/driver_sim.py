@@ -17,8 +17,7 @@ from pyspark.sql import SparkSession
 
 from tests.oracle_utils import (
     canon_rows,
-    duck_coltypes,
-    duck_result,
+    duck_result_typed,
     spark_coltypes,
     spark_result,
 )
@@ -65,11 +64,10 @@ def main() -> int:
                 print(f"ROWSONLY  {name}: {len(rows)} rows ({time.time()-t0:.1f}s)", flush=True)
                 rows_only += 1
                 continue
-            ocols, orows = duck_result(con, oracles[name])
+            ocols, orows, d_types = duck_result_typed(con, oracles[name])
             a = canon_rows(cols, rows)
             b = canon_rows(ocols, orows)
             s_types = spark_coltypes(df)
-            d_types = duck_coltypes(con, oracles[name])
             drift = {
                 c: (s_types[c], d_types.get(c))
                 for c in s_types

@@ -64,6 +64,19 @@ def spark_coltypes(df) -> dict[str, str]:
     }
 
 
+def duck_result_typed(
+    con, sql: str
+) -> tuple[list[str], list[tuple], dict[str, str]]:
+    """One DuckDB execution yielding rows AND canonical column types (via
+    Arrow) — dtype checking must not re-run the oracle query."""
+    tbl = con.execute(sql.strip().rstrip(";")).fetch_arrow_table()
+    cols = list(tbl.column_names)
+    types = {f.name: canon_arrow_type(f.type) for f in tbl.schema}
+    data = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    rows = [tuple(r) for r in zip(*data)] if tbl.num_rows else []
+    return cols, rows, types
+
+
 def duck_coltypes(con, sql: str) -> dict[str, str]:
     q = sql.strip().rstrip(";")
     tbl = con.execute(f"SELECT * FROM ({q}) LIMIT 0").fetch_arrow_table()
@@ -114,12 +127,11 @@ def duck_result(con, sql: str) -> tuple[list[str], list[tuple]]:
 
 def assert_match(df, con, sql: str, name: str = "") -> None:
     s_cols, s_rows = spark_result(df)
-    d_cols, d_rows = duck_result(con, sql)
+    d_cols, d_rows, d_types = duck_result_typed(con, sql)
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
     )
     s_types = spark_coltypes(df)
-    d_types = duck_coltypes(con, sql)
     type_drift = {
         c: (s_types[c], d_types[c]) for c in s_types if s_types[c] != d_types[c]
     }

@@ -25,6 +25,7 @@ _FAMILIES = {
     "llm-similarity",
     "llm-text",
     "llm-sessions",
+    "llm-sampling",
     "multimodal",
     "W-ext",
 }
