@@ -608,3 +608,88 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("members"))
         .orderBy(F.col("members").desc(), "cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing fingerprint index
+# ---------------------------------------------------------------------------
+
+@query(
+    "incremental_dedup_stats",
+    oracle=f"""
+    WITH fp AS MATERIALIZED (
+      SELECT doc_id, source, md5({_NORM}) AS fp,
+             doc_id % 5 = 0 AS incoming
+      FROM documents
+    ),
+    existing AS (SELECT DISTINCT fp FROM fp WHERE NOT incoming),
+    batch AS (
+      SELECT b.doc_id, b.source, b.fp,
+             e.fp IS NOT NULL AS dup_of_existing,
+             row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) > 1
+               AS dup_within_batch
+      FROM (SELECT * FROM fp WHERE incoming) b
+      LEFT JOIN existing e ON b.fp = e.fp
+    )
+    SELECT source,
+           COUNT(*) AS incoming_docs,
+           CAST(COUNT(CASE WHEN dup_of_existing THEN 1 END) AS BIGINT)
+             AS dup_of_existing,
+           CAST(COUNT(CASE WHEN NOT dup_of_existing AND dup_within_batch
+                           THEN 1 END) AS BIGINT) AS dup_within_batch,
+           CAST(COUNT(CASE WHEN NOT dup_of_existing AND NOT dup_within_batch
+                           THEN 1 END) AS BIGINT) AS net_new
+    FROM batch
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm-dedup",),
+)
+def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: classify an incoming batch (here: every 5th
+    doc stands in for a new crawl shard) against the EXISTING corpus
+    fingerprint index — dup-of-existing, dup-within-batch (keep-first),
+    or net-new. This is the shape that keeps 100 TB dedup incremental:
+    the index side is just (fingerprint) keys, the join is keyed on the
+    uniform md5 fingerprint (no skew), and only the new batch shuffles —
+    never the historical corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(norm_text(F.col("text"))).alias("fp"),
+        (F.col("doc_id") % 5 == 0).alias("incoming"),
+    )
+    existing = (
+        fp.filter(~F.col("incoming")).select("fp").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    batch = (
+        fp.filter(F.col("incoming"))
+        .join(existing, "fp", "left")
+        .withColumn("dup_of_existing", F.col("seen").isNotNull())
+        .withColumn("dup_within_batch", F.row_number().over(w) > 1)
+    )
+    return (
+        batch.groupBy("source")
+        .agg(
+            F.count("*").alias("incoming_docs"),
+            F.count(F.when(F.col("dup_of_existing"), 1)).alias(
+                "dup_of_existing"
+            ),
+            F.count(
+                F.when(
+                    ~F.col("dup_of_existing") & F.col("dup_within_batch"), 1
+                )
+            ).alias("dup_within_batch"),
+            F.count(
+                F.when(
+                    ~F.col("dup_of_existing") & ~F.col("dup_within_batch"), 1
+                )
+            ).alias("net_new"),
+        )
+        .orderBy("source")
+    )

@@ -49,6 +49,7 @@ KEY_COLS = {
 # windowed packing, per-row scoring.
 CORPUS_QUERIES = (
     "minhash_lsh_candidates",
+    "dedup_cluster_sizes",
     "decontamination_scan",
     "sequence_packing_stats",
     "unigram_logprob_quality",
