@@ -503,3 +503,60 @@ def partition_pruning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# D10: bucketed hash index with bucket-pruned point lookup
+# ---------------------------------------------------------------------------
+
+_BUCKET_N = 16
+_BUCKET_KEY = 1  # o_custkey present at every SF
+
+
+@query(
+    "bucket_index_lookup",
+    oracle=f"""
+    SELECT CAST({_BUCKET_KEY} AS BIGINT) AS custkey,
+           COUNT(*) AS orders_for_key,
+           {dsum_sql('o_totalprice')} AS total_spent
+    FROM orders WHERE o_custkey = {_BUCKET_KEY}
+    """,
+    tags=("D10", "P9", "O5"),
+)
+def bucket_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 secondary index, Spark-native: persist orders BUCKETED (+
+    sorted) by o_custkey -- a precomputed hash index over the key -- then
+    point-look-up one customer. The scan prunes to 1 of {16} buckets
+    (SelectedBucketsCount, asserted in tests/test_plans.py), and a join
+    on the bucketed key would skip its shuffle entirely. This is what
+    the reference's MergeTree ORDER BY/secondary indexes buy it; at
+    100 TB the bucket count scales with the cluster, not the data.
+
+    Reference: compare-query-performance.sql point lookups;
+    BLOG_POST_COMPLETE_WALKTHROUGH.md MergeTree ordering discussion."""
+    orders = load_table(spark, sf_dir, "orders")
+    tbl = "orders_bucketed_d10"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        orders.write.bucketBy(_BUCKET_N, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    try:
+        out = (
+            spark.table(tbl)
+            .filter(F.col("o_custkey") == _BUCKET_KEY)
+            .agg(
+                F.count("*").alias("orders_for_key"),
+                dsum("o_totalprice", "total_spent"),
+            )
+            .select(
+                F.lit(_BUCKET_KEY).cast("long").alias("custkey"),
+                "orders_for_key",
+                "total_spent",
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -173,3 +173,37 @@ def test_sequence_packing_reuses_shard_partitioning(spark, sf_dir):
     plan = physical_plan(_Q["sequence_packing_stats"](spark, sf_dir))
     hash_exchanges = plan.count("Exchange hashpartitioning")
     assert hash_exchanges <= 1, plan
+
+
+def test_bucketed_lookup_prunes_buckets(spark, sf_dir):
+    # the bucketed table is a persistent hash index: an equality filter
+    # on the bucket key must scan 1 bucket, not the whole table (D10)
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import (
+        load_table,
+    )
+
+    tbl = "orders_bucketed_plan_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # autoBucketedScan drops bucketed reading when it sees no benefit;
+    # bucket PRUNING is the benefit here, so pin it on for the assert
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.bucketBy(16, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        plan = physical_plan(
+            spark.table(tbl).filter(F.col("o_custkey") == 1)
+        )
+        assert "SelectedBucketsCount: 1 out of 16" in plan, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
