@@ -94,6 +94,7 @@ _PRIORITY = (
     "seed_literal_insert",
     "partition_pruning_roundtrip",
     "parquet_layout_roundtrip",
+    "bucket_index_lookup",
     # streaming twins (C2, C3, C6) + sessions
     "streaming_chunked_state",
     "streaming_restart_state",
@@ -105,7 +106,6 @@ _PRIORITY = (
     "curation_pipeline",
     "shard_assignment_stats",
     "cosine_topk",
-    "ann_ivf_topk",
     # training_mix_sample carries BOTH llm-sampling and llm-text, so the
     # text family stays covered (curation_pipeline/shard_assignment_stats
     # are also in-window) while the sampling family gets its driver row
