@@ -818,6 +818,114 @@ def orders_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pivot: month x status cross-tab (A8 presented wide -- the reference
+# renders the same rollup long, compare-query-performance.sql:52-60; the
+# wide form is ClickHouse's sumIf() idiom as a Spark pivot)
+# ---------------------------------------------------------------------------
+
+_PIVOT_STATUSES = ("F", "O", "P")
+
+
+@query(
+    "monthly_status_pivot",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT)
+             AS order_month,
+           {', '.join(
+               "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))"
+               f" FILTER (WHERE o_orderstatus = '{s}') AS DOUBLE)"
+               f" AS revenue_{s.lower()}"
+               for s in _PIVOT_STATUSES
+           )}
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("A8",),
+)
+def monthly_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide month x status revenue cross-tab via ``pivot()`` with an
+    EXPLICIT value list: naming the statuses up front keeps the plan a
+    single scan+shuffle (pivot without values adds a distinct-collect
+    pre-pass on the driver -- a 100 TB anti-pattern). A month with no
+    orders in a status yields NULL in both engines (pivot empty cell ==
+    SUM FILTER over empty set). The physical plan is identical to a
+    grouped conditional aggregation -- no row explosion."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy(to_yyyymm("o_orderdate").alias("order_month"))
+        .pivot("o_orderstatus", list(_PIVOT_STATUSES))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"))
+    )
+    return wide.select(
+        "order_month",
+        *[F.col(s).alias(f"revenue_{s.lower()}") for s in _PIVOT_STATUSES],
+    ).orderBy("order_month")
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join against a literal tier dimension -- the J-family
+# extension beyond the reference's equi-joins (mysql-init/01-setup.sql:
+# 308-320): each fact row matches the one dim row whose [lo, hi) interval
+# contains it.
+# ---------------------------------------------------------------------------
+
+# (name, lo, hi) -- contiguous, non-overlapping, covering [0, 1e12).
+_VALUE_TIERS = (
+    ("small", 0.0, 50_000.0),
+    ("medium", 50_000.0, 200_000.0),
+    ("large", 200_000.0, 400_000.0),
+    ("jumbo", 400_000.0, 1e12),
+)
+
+
+@query(
+    "order_value_tier_stats",
+    oracle=f"""
+    WITH tiers(tier, lo, hi) AS (
+      VALUES {', '.join(f"('{n}', {lo!r}, {hi!r})"
+                        for n, lo, hi in _VALUE_TIERS)}
+    )
+    SELECT t.tier, COUNT(*) AS order_count,
+           {dsum_sql('o.o_totalprice')} AS revenue
+    FROM orders o
+    JOIN tiers t ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+    GROUP BY t.tier, t.lo
+    ORDER BY t.lo
+    """,
+    tags=("J1-ext",),
+)
+def order_value_tier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: orders banded into value tiers by interval containment.
+    The tier table is a handful of literal rows, so the non-equi join is a
+    broadcast nested-loop against a constant-size build side -- O(facts x
+    n_tiers) with no shuffle, which is the correct 100 TB plan for a
+    bounded band dimension (a shuffle range join would buy nothing). The
+    per-tier rollup then shuffles only n_tiers rows after map-side
+    combine."""
+    orders = load_table(spark, sf_dir, "orders")
+    tiers = F.broadcast(
+        spark.createDataFrame(
+            list(_VALUE_TIERS), "tier string, lo double, hi double"
+        )
+    )
+    return (
+        orders.join(
+            tiers,
+            (orders.o_totalprice >= tiers.lo)
+            & (orders.o_totalprice < tiers.hi),
+        )
+        .groupBy("tier", "lo")
+        .agg(
+            F.count("*").alias("order_count"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("lo")
+        .select("tier", "order_count", "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semi-join variant (J1 family; df.join(how="left_semi") is free in Spark)
 # ---------------------------------------------------------------------------
 

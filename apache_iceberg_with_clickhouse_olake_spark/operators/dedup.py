@@ -463,8 +463,11 @@ def _simhash_assemble_sql() -> str:
     return " + ".join(parts)
 
 
-_SIMHASH_ORACLE = f"""
-    WITH tok AS (
+# Shared CTE chain ending in fps(doc_id, simhash) -- one row per document,
+# untokenizable docs carrying fingerprint 0.  Both simhash queries build on
+# this so the fingerprint derivation exists exactly once.
+_SIMHASH_FP_CTES = f"""
+    tok AS (
       SELECT doc_id, unnest({_TOKS}) AS t FROM documents
     ),
     th AS MATERIALIZED (
@@ -479,15 +482,21 @@ _SIMHASH_ORACLE = f"""
     ),
     fp AS (
       SELECT doc_id, ({_simhash_assemble_sql()}) AS simhash FROM votes
+    ),
+    fps AS MATERIALIZED (
+      SELECT d.doc_id, COALESCE(f.simhash, CAST(0 AS BIGINT)) AS simhash
+      FROM documents d LEFT JOIN fp f USING (doc_id)
     )
-    SELECT d.doc_id,
-           COALESCE(f.simhash, CAST(0 AS BIGINT)) AS simhash,
+"""
+
+_SIMHASH_ORACLE = f"""
+    WITH {_SIMHASH_FP_CTES}
+    SELECT doc_id, simhash,
            {', '.join(
-               f"(COALESCE(f.simhash, CAST(0 AS BIGINT)) >> {16 * b})"
-               f" & 65535 AS band{b}"
+               f"(simhash >> {16 * b}) & 65535 AS band{b}"
                for b in range(4)
            )}
-    FROM documents d LEFT JOIN fp f USING (doc_id)
+    FROM fps
 """
 
 
@@ -516,6 +525,97 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"band{b}")
             for b in range(4)
         ],
+    )
+
+
+# Hamming radius for "near-duplicate" on 64-bit simhash; with 4 16-bit
+# bands, any pair within radius 8 differs in <=8 bits, so by pigeonhole a
+# pair with <=3 of the 4 bands corrupted always shares a band -- the
+# standard simhash banding guarantee the candidate join relies on.
+_SIMHASH_HAMMING = 8
+
+
+@query(
+    "simhash_neardup_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_FP_CTES},
+    bands AS (
+      SELECT doc_id, simhash, o.band_id,
+             (simhash >> (16 * o.band_id)) & 65535 AS band_val
+      FROM fps, (SELECT unnest([0, 1, 2, 3]) AS band_id) o
+      WHERE simhash <> 0
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.simhash AS sh_a, y.simhash AS sh_b
+      FROM bands x
+      JOIN bands y ON x.band_id = y.band_id
+                  AND x.band_val = y.band_val
+                  AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming,
+           bit_count(xor(sh_a, sh_b)) <= {_SIMHASH_HAMMING} AS near_dup
+    FROM cand
+    """,
+    tags=("llm-dedup",),
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs: band-bucketed self-join (docs meet
+    only when a 16-bit fingerprint band collides -- never all-pairs), then
+    exact Hamming verification via bit_count(xor). The bucketing is the
+    same LSH shape as MinHash (dedup.py:253) but over a single int64, so
+    the join key is 4 rows/doc and the verify step is pure bit arithmetic
+    -- the cheapest near-dedup cascade stage at 100 TB. Fingerprint-0
+    (untokenizable) docs are excluded: they are byte-identical blanks and
+    belong to exact dedup, and keeping them would create a degenerate
+    all-blank clique in the band join. Oracle re-derives fingerprints in
+    SQL from the shared CTE chain, so the Python UDF path is value-checked
+    end-to-end. DuckDB bit_count/xor and Spark bit_count/bitwiseXOR agree
+    on two's-complement int64 (verified: xor(-1,0)->64, xor(MIN,1)->2)."""
+    from ._simhash_udf import make_simhash_udf
+
+    simhash_udf = make_simhash_udf()
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", simhash_udf(F.col("text")).alias("simhash")
+    ).filter(F.col("simhash") != 0)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        ham.alias("hamming"),
+        (ham <= _SIMHASH_HAMMING).alias("near_dup"),
     )
 
 

@@ -200,3 +200,77 @@ def events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_epoch")
     )
+
+
+# Sliding (hopping) windows: width = 2 x slide, so every event lands in
+# exactly width/slide = 2 overlapping windows.
+_SLIDE_SECS = 900
+_SLIDE_WIDTH = 2 * _SLIDE_SECS
+
+
+@query(
+    "events_sliding_windows",
+    oracle=f"""
+    WITH e AS (
+      SELECT (epoch_us(ts) // 1000000) // {_SLIDE_SECS} * {_SLIDE_SECS}
+               AS base,
+             user_id, value
+      FROM events
+    ),
+    s AS (
+      SELECT base - {_SLIDE_SECS} * o.off AS window_start_epoch,
+             user_id, value
+      FROM e, (SELECT unnest([0, 1]) AS off) o
+    )
+    SELECT window_start_epoch,
+           window_start_epoch + {_SLIDE_WIDTH} AS window_end_epoch,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS active_users,
+           {dsum_sql('value')} AS window_value
+    FROM s
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("C3", "W-ext"),
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 30-minute windows hopping every 15 minutes (the batch twin
+    of streaming ``window(ts, '30 minutes', '15 minutes')``). Implemented
+    as explicit window-start replication -- each event explodes into its
+    width/slide = 2 covering windows, then one groupBy on the window
+    start -- which is exactly what Spark's window() generator does
+    physically, but kept as epoch arithmetic so the DuckDB oracle is
+    expression-identical (and ns-timestamp-safe). At scale this is a
+    2x row amplification into a map-side-combining shuffle keyed by the
+    window bucket: amplification is bounded by width/slide, never by
+    data volume."""
+    events = load_table(spark, sf_dir, "events")
+    base = (
+        F.expr(f"(unix_micros(ts) div 1000000) div {_SLIDE_SECS}")
+        * _SLIDE_SECS
+    )
+    exploded = events.select(
+        F.explode(
+            F.array(base - _SLIDE_SECS, base)
+        ).alias("window_start_epoch"),
+        "user_id",
+        "value",
+    )
+    return (
+        exploded.groupBy("window_start_epoch")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("active_users"),
+            dsum("value", "window_value"),
+        )
+        .select(
+            "window_start_epoch",
+            (F.col("window_start_epoch") + _SLIDE_WIDTH).alias(
+                "window_end_epoch"
+            ),
+            "n_events",
+            "active_users",
+            "window_value",
+        )
+        .orderBy("window_start_epoch")
+    )

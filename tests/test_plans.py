@@ -207,3 +207,35 @@ def test_bucketed_lookup_prunes_buckets(spark, sf_dir):
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
         )
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_simhash_pairs_join_is_bucketed_not_allpairs(spark, sf_dir):
+    # the band self-join must be an equi-join on (band_id, band_val) --
+    # a cartesian/NLJ would mean the LSH bucketing degenerated to all-pairs
+    plan = physical_plan(_Q["simhash_neardup_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_value_tier_range_join_broadcasts_constant_dim(spark, sf_dir):
+    # a non-equi band join against a 4-row literal dim must broadcast the
+    # dim (NLJ over a constant build side), never shuffle the fact table
+    plan = physical_plan(_Q["order_value_tier_stats"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pivot_is_single_aggregate_no_explosion(spark, sf_dir):
+    # explicit pivot values => one scan, partial+final hash aggregate,
+    # no Expand/Generate row amplification and no extra jobs
+    plan = physical_plan(_Q["monthly_status_pivot"](spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "Generate" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_sliding_windows_single_shuffle(spark, sf_dir):
+    # explode(2 windows/event) then ONE shuffle keyed by window start;
+    # countDistinct adds its expand/agg but no second scan of events
+    plan = physical_plan(_Q["events_sliding_windows"](spark, sf_dir))
+    assert plan.count("FileScan") == 1
