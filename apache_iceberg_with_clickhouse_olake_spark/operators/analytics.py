@@ -1078,6 +1078,62 @@ def salted_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Replication factor for the salted join's build side.
+_JOIN_SALT = 4
+
+
+@query(
+    "salted_skew_join",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS order_count,
+           {dsum_sql('o.o_totalprice')} AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("J1", "A2"),
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join: the manual hot-key defense for fact-dim joins
+    where the dim is too big to broadcast and one join key dominates.
+    Facts get a deterministic salt (orderkey % {4}); the dim side is
+    replicated once per salt value via explode(sequence(...)); the join
+    key becomes (custkey, _salt), spreading each hot key's rows over {4}
+    reducers instead of one. The oracle is the UNSALTED join -- salting
+    must be answer-invariant, which is exactly what the driver hash
+    checks. At 100 TB prefer AQE skew-join splitting when it applies
+    (sort-merge joins, post-shuffle); this operator is the fallback for
+    plans AQE can't rewrite and the pattern for pre-salting a known-hot
+    key at write time. Salt from the key column, never rand(): retries
+    and speculative tasks must re-derive identical salt."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    facts = orders.withColumn(
+        "_salt", (F.col("o_orderkey") % _JOIN_SALT).cast("int")
+    )
+    dim = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_JOIN_SALT - 1))
+        ).alias("_salt"),
+    )
+    return (
+        facts.join(
+            dim,
+            (facts.o_custkey == dim.c_custkey)
+            & (facts._salt == dim._salt),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("order_count"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mergeable HLL sketches: the scale path for re-aggregable distincts
 # ---------------------------------------------------------------------------

@@ -239,3 +239,13 @@ def test_sliding_windows_single_shuffle(spark, sf_dir):
     # countDistinct adds its expand/agg but no second scan of events
     plan = physical_plan(_Q["events_sliding_windows"](spark, sf_dir))
     assert plan.count("FileScan") == 1
+
+
+def test_salted_join_keys_include_salt(spark, sf_dir):
+    # the whole point of salting: the physical join key must be
+    # (custkey, _salt), not custkey alone, so hot keys spread over
+    # _JOIN_SALT reducers; and replication must not degenerate to NLJ
+    plan = physical_plan(_Q["salted_skew_join"](spark, sf_dir))
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
