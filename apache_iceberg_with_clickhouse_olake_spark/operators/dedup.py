@@ -290,7 +290,13 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact shingle-Jaccard verification of ONLY those pairs. The join is
     keyed on (band_id, band_hash) so cost scales with bucket collisions,
     not n^2 -- the 100 TB-safe shape."""
-    docs = load_table(spark, sf_dir, "documents")
+    # Explicit-numPartitions repartitions (AQE-coalesce-exempt), same
+    # rationale as simhash_neardup_pairs above: band rows are bytes, so
+    # byte-targeted AQE would fold the bucket join (whose real cost is
+    # the per-bucket pair loop + signature hashing, invisible to shuffle
+    # byte stats) down to ~1 task.
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
     bands_wide = _with_band_hashes(docs)
     # One posexplode pass instead of an N_BANDS-way union: the signature
     # pipeline runs once per doc, not once per band.
@@ -299,7 +305,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(*[F.col(f"b{b}") for b in range(_N_BANDS)])
         ).alias("band_id", "band_hash"),
-    )
+    ).repartition(par, "band_id", "band_hash")
     x, y = bands.alias("x"), bands.alias("y")
     pairs = (
         x.join(
@@ -554,9 +560,9 @@ _SIMHASH_HAMMING = 8
                   AND x.doc_id < y.doc_id
     )
     SELECT doc_a, doc_b,
-           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming,
-           bit_count(xor(sh_a, sh_b)) <= {_SIMHASH_HAMMING} AS near_dup
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
     FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {_SIMHASH_HAMMING}
     """,
     tags=("llm-dedup",),
 )
@@ -576,7 +582,16 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._simhash_udf import make_simhash_udf
 
     simhash_udf = make_simhash_udf()
-    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    # Explicit-numPartitions repartitions, deliberately: the band rows are
+    # a few BYTES each, so AQE's byte-targeted coalescing would fold the
+    # join down to one partition -- and this join's cost is the n^2
+    # per-bucket pair loop plus the UDF, neither of which AQE's shuffle-
+    # byte heuristic can see (the classic explosive-join blind spot).
+    # REPARTITION_BY_NUM shuffles are exempt from AQE coalescing, so the
+    # UDF fans out over all cores and the bucket loops spread across
+    # hash(band) reducers (measured single-task before the fix).
+    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
     fp = docs.select(
         "doc_id", simhash_udf(F.col("text")).alias("simhash")
     ).filter(F.col("simhash") != 0)
@@ -593,29 +608,45 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band_id", "band_val"),
-    )
+    ).repartition(par, "band_id", "band_val")
     x, y = bands.alias("x"), bands.alias("y")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_val") == F.col("y.band_val"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash").alias("sh_a"),
-            F.col("y.simhash").alias("sh_b"),
-        )
-        .distinct()
+    joined = x.join(
+        y,
+        (F.col("x.band_id") == F.col("y.band_id"))
+        & (F.col("x.band_val") == F.col("y.band_val"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.select(
-        "doc_a",
-        "doc_b",
+    # First-matching-band emission instead of distinct(): a pair sharing
+    # k bands comes out of the join k times, and a distinct() would
+    # shuffle the entire (quadratic-in-duplicate-group-size) candidate
+    # stream.  Both fingerprints ride along, so band membership is
+    # recomputable in-expression: keep the row only where band_id is the
+    # FIRST band on which the fingerprints agree -- exactly-once per
+    # pair, as a map-side filter, no pair-stream shuffle at all.
+    xorv = F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    earlier_match = F.lit(False)
+    for b in range(3):
+        earlier_match = earlier_match | (
+            (F.col("x.band_id") > b)
+            & (
+                F.shiftright(xorv, 16 * b).bitwiseAND(F.lit(0xFFFF))
+                == 0
+            )
+        )
+    # Emit VERIFIED near-dups only (hamming <= radius), not the raw
+    # candidate stream: 16-bit bands over correlated document text are
+    # weakly selective (~10x more candidates than true near-dups here),
+    # and the candidate set is a diagnostic intermediate, not the
+    # operator's answer. Filtering executor-side keeps the quadratic
+    # blow-up away from the sink: measured on the 8x-replicated corpus,
+    # 12.2M candidates -> ~1.2M true pairs.
+    ham = F.bit_count(xorv)
+    return joined.filter(
+        ~earlier_match & (ham <= _SIMHASH_HAMMING)
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
         ham.alias("hamming"),
-        (ham <= _SIMHASH_HAMMING).alias("near_dup"),
     )
 
 

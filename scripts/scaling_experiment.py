@@ -36,6 +36,8 @@ QUERIES = (
     "pricing_summary",
     "segment_lineitem_revenue",
     "daily_active_users",
+    "salted_skew_join",
+    "events_sliding_windows",
 )
 KEY_COLS = {
     "orders": "o_orderkey",
@@ -49,6 +51,7 @@ KEY_COLS = {
 # windowed packing, per-row scoring.
 CORPUS_QUERIES = (
     "minhash_lsh_candidates",
+    "simhash_neardup_pairs",
     "dedup_cluster_sizes",
     "decontamination_scan",
     "sequence_packing_stats",
@@ -134,7 +137,11 @@ def main() -> None:
         corpus_rows = []
         for k in (1, 2, 4, 8):
             sf_dir = build_corpus_scale(spark, root, k)
-            qs["text_token_stats"](spark, sf_dir).collect()  # warm listing
+            # warm file listing AND the Python UDF workers (first
+            # pandas_udf call pays worker-pool spawn, ~5 s once per JVM --
+            # excluded from timings like the JVM warmup above)
+            qs["text_token_stats"](spark, sf_dir).collect()
+            qs["simhash_fingerprints"](spark, sf_dir).collect()
             timings = {}
             for name in CORPUS_QUERIES:
                 t0 = time.perf_counter()
@@ -190,10 +197,18 @@ def main() -> None:
     )
     lines += [
         "",
-        f"Worst corpus 8x/1x ratio: {corpus_worst:.1f} (near-dup pair",
-        "counts grow quadratically inside replica groups, yet wall-clock",
-        "stays at-or-below linear: blocking keeps candidate generation",
-        "bucket-local).",
+        f"Worst corpus 8x/1x ratio: {corpus_worst:.1f}. Replicating the",
+        "corpus k-fold grows every duplicate group k-fold, so ops that",
+        "ENUMERATE near-dup pairs (minhash candidates, simhash pairs) and",
+        "the edge sets under cluster propagation have OUTPUT growing k^2",
+        "(64x rows at 8x input) -- a wall-clock ratio above 8 on those",
+        "reflects quadratic output, not a broken plan (blocking keeps all",
+        "joins bucket-local; nothing all-pairs). The production cascade",
+        "caps this by construction: exact dedup (dedup_keep_first /",
+        "incremental_dedup_stats) collapses replica groups to one",
+        "representative BEFORE any near-dup pairing runs, so pair",
+        "enumeration never sees an exact-duplicate clique. Per-row-output",
+        "ops (scan/score/pack) stay at-or-below linear.",
         "",
         f"Worst 8x/1x ratio observed: {worst:.1f} — far below 8 (linear).",
         "Flat-to-sublinear wall-clock at 8x the data means the extra input",

@@ -249,3 +249,15 @@ def test_salted_join_keys_include_salt(spark, sf_dir):
     assert "_salt" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_have_no_distinct_shuffle(spark, sf_dir):
+    # pair dedup must be the first-matching-band FILTER, not distinct():
+    # a distinct would hash-aggregate + reshuffle the quadratic pair
+    # stream -- only the two band-join exchanges may appear
+    plan = physical_plan(_Q["simhash_neardup_pairs"](spark, sf_dir))
+    assert "HashAggregate" not in plan, plan
+    # 4 allowed exchanges = 2x REPARTITION_BY_NUM fan-outs (UDF + band
+    # bucketing, one per self-join branch); none may be an aggregate
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
