@@ -251,6 +251,16 @@ def test_salted_join_keys_include_salt(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_minhash_pairs_have_no_distinct_shuffle(spark, sf_dir):
+    # candidate-pair dedup must be the first-matching-band FILTER (band
+    # hashes ride the exploded rows), not distinct(): a distinct would
+    # hash-aggregate + reshuffle the quadratic candidate stream before
+    # the Jaccard-verify joins
+    plan = physical_plan(_Q["minhash_lsh_candidates"](spark, sf_dir))
+    assert "HashAggregate" not in plan, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+
+
 def test_simhash_pairs_have_no_distinct_shuffle(spark, sf_dir):
     # pair dedup must be the first-matching-band FILTER, not distinct():
     # a distinct would hash-aggregate + reshuffle the quadratic pair
