@@ -13,6 +13,7 @@ answer directly.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -259,14 +260,41 @@ def lake_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@query("parquet_layout_roundtrip", oracle=None, tags=("S6", "D12"))
+_LAYOUT_ROWS_PER_FILE = 10_000
+
+_LAYOUT_ORACLE = f"""
+    SELECT CAST(CEIL(COUNT(*) / {_LAYOUT_ROWS_PER_FILE}.0) AS INT) AS n_files,
+           CAST(LEAST({_LAYOUT_ROWS_PER_FILE}, COUNT(*)) AS BIGINT)
+               AS max_rows_per_file,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           'snappy' AS compression,
+           TRUE AS dictionary_encoded,
+           TRUE AS row_groups_exceed_default,
+           TRUE AS metadata_readers_agree
+    FROM lineitem
+"""
+
+
+@query("parquet_layout_roundtrip", oracle=_LAYOUT_ORACLE, tags=("S6", "D12"))
 def parquet_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Physical parquet layout control (S6, destination.json:29-36:
-    row-group 128 MiB / page 1 MiB / dictionary on / snappy): write
-    lineitem with a deliberately small row-group size and verify via
-    parquet footer metadata (pyarrow) that the layout took effect --
-    more row groups than the default write, dictionary-encoded status
-    column, snappy compression, rows preserved."""
+    """Physical parquet layout control (S6/D12, destination.json:29-36 +
+    84-87: row-group 128 MiB / page 1 MiB / dictionary on / snappy).
+
+    Three writes, three verifications, all against the real parquet
+    footers via TWO independent metadata readers (pyarrow footers AND
+    DuckDB ``parquet_metadata()``/``parquet_file_metadata()``), which
+    must agree or the query raises:
+
+    * ``maxRecordsPerFile`` file-splitting is exact: a single-task write
+      of N rows with a 10k cap produces ceil(N/10k) files whose max
+      per-file row count is min(10k, N) -- these numbers are
+      deterministic from ``COUNT(*)`` alone, so the driver oracle can
+      re-derive them in pure SQL on the lineitem view.
+    * a 64 KiB row-group write yields strictly more row groups than the
+      default 128 MiB write (row-group sizing took effect), and
+    * the snappy codec + dictionary encoding requested on the write are
+      what landed in the footers.
+    """
     import pyarrow.parquet as pq
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -274,7 +302,14 @@ def parquet_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="layout_")
     try:
+        limited_dir = f"{tmp}/row_limited"
         small_dir, default_dir = f"{tmp}/small_rg", f"{tmp}/default_rg"
+        (
+            li.coalesce(1)
+            .write.option("maxRecordsPerFile", _LAYOUT_ROWS_PER_FILE)
+            .option("compression", "snappy")
+            .parquet(limited_dir)
+        )
         (
             li.coalesce(1)
             .write.option("parquet.block.size", 64 * 1024)
@@ -284,41 +319,80 @@ def parquet_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         li.coalesce(1).write.option("compression", "snappy").parquet(default_dir)
 
-        def _file_meta(d: str):
-            import os
-
-            path = next(
+        def _parquet_files(d: str) -> list[str]:
+            return sorted(
                 os.path.join(d, f)
-                for f in sorted(os.listdir(d))
+                for f in os.listdir(d)
                 if f.endswith(".parquet")
             )
-            f = pq.ParquetFile(path)
-            col0 = f.metadata.row_group(0).column(1)
-            return (
-                f.metadata.num_row_groups,
-                f.metadata.num_rows,
-                str(col0.compression).lower(),
-                "PLAIN_DICTIONARY" in str(col0.encodings)
-                or "RLE_DICTIONARY" in str(col0.encodings),
-            )
 
-        rg_small, rows_small, comp, dict_enc = _file_meta(small_dir)
-        rg_default, rows_default, _, _ = _file_meta(default_dir)
+        # --- reader 1: pyarrow footers ---
+        limited_files = _parquet_files(limited_dir)
+        pa_rows = [pq.ParquetFile(p).metadata.num_rows for p in limited_files]
+        first = pq.ParquetFile(limited_files[0])
+        col = first.metadata.row_group(0).column(1)  # l_returnflag
+        pa_comp = str(col.compression).lower()
+        pa_dict = "PLAIN_DICTIONARY" in str(col.encodings) or (
+            "RLE_DICTIONARY" in str(col.encodings)
+        )
+        pa_rg_small = pq.ParquetFile(_parquet_files(small_dir)[0]).metadata
+        pa_rg_default = pq.ParquetFile(_parquet_files(default_dir)[0]).metadata
+
+        # --- reader 2: DuckDB parquet metadata functions ---
+        import duckdb
+
+        con = duckdb.connect()
+        dd_files, dd_total = con.execute(
+            "SELECT COUNT(DISTINCT file_name), SUM(num_rows) "
+            f"FROM parquet_file_metadata('{limited_dir}/*.parquet')"
+        ).fetchone()
+        dd_comp, dd_enc = con.execute(
+            "SELECT LOWER(MIN(compression)), MIN(encodings) "
+            f"FROM parquet_metadata('{limited_dir}/*.parquet') "
+            "WHERE path_in_schema = 'l_returnflag'"
+        ).fetchone()
+        dd_rg_small, dd_rg_default = (
+            con.execute(
+                "SELECT num_row_groups "
+                f"FROM parquet_file_metadata('{d}/*.parquet')"
+            ).fetchone()[0]
+            for d in (small_dir, default_dir)
+        )
+        con.close()
+
+        readers_agree = (
+            dd_files == len(limited_files)
+            and int(dd_total) == sum(pa_rows)
+            and dd_comp == pa_comp
+            and ("RLE_DICTIONARY" in dd_enc or "PLAIN_DICTIONARY" in dd_enc)
+            == pa_dict
+            and dd_rg_small == pa_rg_small.num_row_groups
+            and dd_rg_default == pa_rg_default.num_row_groups
+        )
+        if not readers_agree:
+            raise RuntimeError(
+                "pyarrow and DuckDB disagree on parquet layout metadata: "
+                f"files {len(limited_files)} vs {dd_files}, "
+                f"rows {sum(pa_rows)} vs {dd_total}, codec {pa_comp} vs "
+                f"{dd_comp}, row groups ({pa_rg_small.num_row_groups}, "
+                f"{pa_rg_default.num_row_groups}) vs ({dd_rg_small}, "
+                f"{dd_rg_default})"
+            )
         return spark.createDataFrame(
             [
                 (
-                    rg_small,
-                    rg_default,
-                    rg_small > rg_default,
-                    comp,
-                    dict_enc,
-                    rows_small,
-                    rows_small == rows_default,
+                    len(limited_files),
+                    max(pa_rows),
+                    sum(pa_rows),
+                    pa_comp,
+                    pa_dict,
+                    pa_rg_small.num_row_groups > pa_rg_default.num_row_groups,
+                    readers_agree,
                 )
             ],
-            "row_groups_small int, row_groups_default int, "
-            "layout_took_effect boolean, compression string, "
-            "dictionary_encoded boolean, rows long, rows_preserved boolean",
+            "n_files int, max_rows_per_file long, total_rows long, "
+            "compression string, dictionary_encoded boolean, "
+            "row_groups_exceed_default boolean, metadata_readers_agree boolean",
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
