@@ -271,3 +271,16 @@ def test_simhash_pairs_have_no_distinct_shuffle(spark, sf_dir):
     # bucketing, one per self-join branch); none may be an aggregate
     assert plan.count("Exchange hashpartitioning") <= 4, plan
     assert "REPARTITION_BY_NUM" in plan, plan
+
+
+def test_embedding_neardup_join_keyed_on_lsh_band(spark, sf_dir):
+    # the self-join must be an equi-join whose key includes the LSH
+    # band_val (bucket granularity that scales with the corpus), not the
+    # label alone (fixed cardinality => per-bucket linear growth =>
+    # quadratic pair loop at scale); pair dedup must be the
+    # first-matching-band filter, not a distinct() shuffle
+    plan = physical_plan(_Q["embedding_near_dup_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "band_val" in plan, plan
+    assert "HashAggregate" not in plan, plan
