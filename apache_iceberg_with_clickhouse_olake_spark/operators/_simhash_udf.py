@@ -15,8 +15,12 @@ def _simhash_batch(texts) -> list:
     Vectorized: all token digests in a batch unpack to one (n_tokens, 64)
     bit matrix (np.unpackbits), so the per-bit +-1 vote is a numpy column
     sum instead of a 64x-per-token Python loop. Output is bit-identical
-    to the scalar reference implementation (pinned by the determinism
-    test)."""
+    to a scalar implementation using the SAME ASCII-whitespace tokenizer
+    (pinned by the determinism test). Note the tokenizer is deliberately
+    ASCII-only to match the Java/DuckDB '\\s' twins -- it is NOT
+    equivalent to Python str.split(), which also breaks on Unicode
+    whitespace, so fingerprints differ from a str.split()-based
+    implementation on non-ASCII-whitespace documents."""
     import hashlib
     import re
 

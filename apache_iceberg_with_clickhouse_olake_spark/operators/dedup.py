@@ -156,11 +156,15 @@ def _with_band_hashes(docs: DataFrame) -> DataFrame:
     )
 
 
-_SIG_CTE = f"""
+def _sig_cte_sql(src: str) -> str:
+    """sigs + bands_wide CTE chain over an arbitrary (doc_id, text) source
+    relation -- ``documents`` for the standalone minhash ops, ``reps`` for
+    the cascade that pairs only exact-dedup representatives."""
+    return f"""
     sigs AS (
       SELECT doc_id,
              {', '.join(f'{_minhash_sig_sql(i)} AS h{i}' for i in range(_N_HASHES))}
-      FROM (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents)
+      FROM (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM {src})
     ),
     bands_wide AS (
       SELECT doc_id,
@@ -168,6 +172,9 @@ _SIG_CTE = f"""
       FROM sigs
     )
 """
+
+
+_SIG_CTE = _sig_cte_sql("documents")
 
 
 # ---------------------------------------------------------------------------
@@ -280,23 +287,11 @@ _CANDIDATES_SQL = f"""
 """
 
 
-@query(
-    "minhash_lsh_candidates",
-    oracle=_CANDIDATES_SQL,
-    tags=("llm-dedup",),
-)
-def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pipeline: band-bucket join for candidates, then
-    exact shingle-Jaccard verification of ONLY those pairs. The join is
-    keyed on (band_id, band_hash) so cost scales with bucket collisions,
-    not n^2 -- the 100 TB-safe shape."""
-    # Explicit-numPartitions repartitions (AQE-coalesce-exempt), same
-    # rationale as simhash_neardup_pairs above: band rows are bytes, so
-    # byte-targeted AQE would fold the bucket join (whose real cost is
-    # the per-bucket pair loop + signature hashing, invisible to shuffle
-    # byte stats) down to ~1 task.
-    par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+def _minhash_verified_pairs(docs: DataFrame, par: int) -> DataFrame:
+    """Band-bucket candidate join + exact shingle-Jaccard verify over an
+    arbitrary (doc_id, text) frame (pre-repartitioned by doc_id). Body
+    shared by minhash_lsh_candidates and dedup_cascade_stats; see
+    minhash_lsh_candidates for the plan rationale."""
     bands_wide = _with_band_hashes(docs)
     # One posexplode pass instead of an N_BANDS-way union: the signature
     # pipeline runs once per doc, not once per band.  All band hashes ride
@@ -347,6 +342,118 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             dround(jac_raw, 4).alias("jaccard"),
             (jac_raw >= _JACCARD_THRESHOLD).alias("near_dup"),
+        )
+    )
+
+
+@query(
+    "minhash_lsh_candidates",
+    oracle=_CANDIDATES_SQL,
+    tags=("llm-dedup",),
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: band-bucket join for candidates, then
+    exact shingle-Jaccard verification of ONLY those pairs. The join is
+    keyed on (band_id, band_hash) so cost scales with bucket collisions,
+    not n^2 -- the 100 TB-safe shape.
+
+    Plan rationale for the explicit-numPartitions repartitions inside
+    _minhash_verified_pairs (AQE-coalesce-exempt, same as
+    simhash_neardup_pairs): band rows are bytes, so byte-targeted AQE
+    would fold the bucket join (whose real cost is the per-bucket pair
+    loop + signature hashing, invisible to shuffle byte stats) down to
+    ~1 task."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    return _minhash_verified_pairs(docs, par)
+
+
+_CASCADE_ORACLE = f"""
+    WITH reps AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      QUALIFY row_number() OVER (
+        PARTITION BY md5({_NORM}) ORDER BY doc_id) = 1
+    ),
+    {_sig_cte_sql('reps')},
+    bands AS (
+      {' UNION ALL '.join(
+          f"SELECT doc_id, {b} AS band_id, b{b} AS band_hash FROM bands_wide"
+          for b in range(_N_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM reps),
+    verified AS (
+      SELECT CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+               >= {_JACCARD_THRESHOLD} AS near_dup
+      FROM cand p
+      JOIN sh sa ON p.doc_a = sa.doc_id
+      JOIN sh sb ON p.doc_b = sb.doc_id
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS total_docs,
+           (SELECT COUNT(*) FROM reps) AS representatives,
+           (SELECT COUNT(*) FROM documents)
+             - (SELECT COUNT(*) FROM reps) AS exact_dup_rows,
+           COUNT(*) AS candidate_pairs,
+           CAST(COALESCE(SUM(CASE WHEN near_dup THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS near_dup_pairs
+    FROM verified
+"""
+
+
+@query("dedup_cascade_stats", oracle=_CASCADE_ORACLE, tags=("llm-dedup",))
+def dedup_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup cascade, one composed plan: exact dedup collapses
+    byte-identical replica groups to their lowest-doc_id representative
+    (row_number over the canonical fingerprint -- one uniform-key
+    shuffle), and MinHash-LSH candidate pairing + Jaccard verify run over
+    the REPRESENTATIVES ONLY. This is the mitigation SCALING.md relies on
+    for replicated corpora: an r-times-replicated document contributes
+    r*(r-1)/2 intra-group candidate pairs to a direct minhash pass but
+    exactly 0 to the cascade (the group is one rep), so cascade cost
+    tracks the number of DISTINCT documents, not the replication factor.
+    Returns the one-row accounting: corpus size, representative count,
+    rows removed by exact dedup, and candidate/verified near-dup pair
+    counts over the representatives."""
+    from pyspark.sql import Window
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(norm_text(F.col("text")))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    reps = (
+        docs.select("doc_id", "text", fp.alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+    )
+    verified = _minhash_verified_pairs(reps, par)
+    total = docs.agg(F.count("*").alias("total_docs"))
+    repc = reps.agg(F.count("*").alias("representatives"))
+    pair_agg = verified.agg(
+        F.count("*").alias("candidate_pairs"),
+        F.coalesce(
+            F.sum(F.col("near_dup").cast("long")), F.lit(0).cast("long")
+        ).alias("near_dup_pairs"),
+    )
+    return (
+        total.crossJoin(repc)
+        .crossJoin(pair_agg)
+        .select(
+            "total_docs",
+            "representatives",
+            (F.col("total_docs") - F.col("representatives")).alias(
+                "exact_dup_rows"
+            ),
+            "candidate_pairs",
+            "near_dup_pairs",
         )
     )
 

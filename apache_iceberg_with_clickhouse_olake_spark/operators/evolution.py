@@ -310,10 +310,13 @@ def parquet_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("compression", "snappy")
             .parquet(limited_dir)
         )
+        # 16 KiB row groups: small enough that even the sf0.001 fixture
+        # (6k rows) splits into multiple groups, so the strict
+        # small > default row-group comparison holds at every test SF.
         (
             li.coalesce(1)
-            .write.option("parquet.block.size", 64 * 1024)
-            .option("parquet.page.size", 8 * 1024)
+            .write.option("parquet.block.size", 16 * 1024)
+            .option("parquet.page.size", 4 * 1024)
             .option("compression", "snappy")
             .parquet(small_dir)
         )
@@ -396,6 +399,60 @@ def parquet_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# The engine's session-settings contract (D13): the reference pins
+# engine behavior via session SETs (scripts/iceberg-setup.sql:1-3
+# partition pruning + manifest cache toggles; ClickHouse users.xml:26-33
+# spill/thread/analyzer settings). These are the Spark equivalents that
+# session.get_spark installs; the roundtrip query SETs them on whatever
+# session the driver hands us, reads back the EFFECTIVE values, and
+# restores the caller's originals -- so the oracle is a stable literal
+# table regardless of the harness session's own configuration.
+_SESSION_SETTINGS = (
+    ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "134217728"),
+    ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+    ("spark.sql.adaptive.enabled", "true"),
+    ("spark.sql.adaptive.skewJoin.enabled", "true"),
+    ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ("spark.sql.parquet.compression.codec", "snappy"),
+    ("spark.sql.session.timeZone", "UTC"),
+)
+
+_SESSION_SETTINGS_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{k}', '{v}', TRUE)" for k, v in _SESSION_SETTINGS)
+    + ") AS t(setting, effective, roundtrip_ok) ORDER BY setting"
+)
+
+
+@query(
+    "session_settings_roundtrip",
+    oracle=_SESSION_SETTINGS_ORACLE,
+    tags=("D13",),
+)
+def session_settings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-settings surface (D13): apply the engine's tuning contract
+    via runtime SET, read back the effective values, restore the caller's
+    originals. Mirrors the reference's session SETs
+    (scripts/iceberg-setup.sql:1-3, users.xml:26-33); the Spark-side
+    meaning of each key is documented in session.py."""
+    saved = {k: spark.conf.get(k, None) for k, _ in _SESSION_SETTINGS}
+    rows = []
+    try:
+        for key, target in _SESSION_SETTINGS:
+            spark.conf.set(key, target)
+            effective = spark.conf.get(key)
+            rows.append((key, effective, effective == target))
+    finally:
+        for key, prev in saved.items():
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+    return spark.createDataFrame(
+        sorted(rows), "setting string, effective string, roundtrip_ok boolean"
+    )
 
 
 _COMPACT_ORACLE = """

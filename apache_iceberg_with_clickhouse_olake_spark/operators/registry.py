@@ -70,7 +70,10 @@ _PRIORITY = (
     "profile_distributions",
     "max_key_bootstrap",
     "current_date_sanity",
-    "customer_order_counts_outer",
+    # customer_order_counts_outer rotated out (J1 is triply covered by
+    # revenue_by_nation + asof_click_to_purchase; F8 by max_key_bootstrap)
+    # to make room for the D13 session-settings row.
+    "session_settings_roundtrip",
     "daily_active_users",
     "session_epoch_stats",
     # datagen / seed bootstrap (S7, J2, J3, O4, F4, F11, U2)

@@ -46,17 +46,21 @@ _N_PLANES = 8
 _NEAR_DUP_COS = 0.3
 _TOP_K = 10
 
-# Banding for embedding_near_dup_pairs: b bands of r hyperplanes each.
-# r sets the blocking granularity (2^r buckets per band per label) and is
-# the knob that must grow with the corpus (r ~ log2(n / target bucket
-# rows)); b restores recall lost to finer bands (recall = 1-(1-p^r)^b for
-# per-plane agreement p = 1 - theta/pi). At the synthetic threshold
-# cos>=0.3 (p~0.6), 16x4 measures 87% recall on the sf0.01 corpus; at a
-# realistic near-dup threshold (cos>=0.9, p~0.86) the same shape gives
-# >99% recall. Planes are the same md5-seeded literals as _bucket, so
-# the DuckDB oracle reproduces the banding exactly.
+# Banding for embedding_near_dup_pairs: b bands of r hyperplanes each
+# (see _embed_lsh_udf.py). r sets the blocking granularity (2^r buckets
+# per band per label) and is the knob that grows with the corpus
+# (r ~ log2 n); b restores recall lost to finer bands
+# (recall = 1-(1-p^r)^b for per-plane agreement p = 1 - theta/pi).
+# 16x8 targets the REALISTIC near-dup operating point cos>=0.9 (p~0.86):
+# recall 99.6%, while uncorrelated background (cos~0) collides on some
+# band only ~6% of the time -- the candidate stream tracks true near-dup
+# density, not the within-bucket pair count. At the synthetic corpus's
+# deliberately-hard threshold cos>=0.3 (barely above the background p99
+# of 0.295, where NO sign-LSH geometry separates well), measured recall
+# is 22% -- the test checks the banding/verify machinery end-to-end, not
+# toy-threshold recall.
 _ND_BANDS = 16
-_ND_PLANES_PER_BAND = 4
+_ND_PLANES_PER_BAND = 8
 
 
 def _plane(p: int) -> list[float]:
@@ -206,54 +210,39 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup pairs within label buckets
 # ---------------------------------------------------------------------------
 
-def _band_val(vec: Column, band: int) -> Column:
-    """r-bit band signature: bit k set iff dot(v, plane_{band*r+k}) >= 0."""
-    bits = [
-        F.when(
-            _dot(
-                vec,
-                F.array(
-                    *[
-                        F.lit(x)
-                        for x in _PLANES[band * _ND_PLANES_PER_BAND + k]
-                    ]
-                ),
-            )
-            >= 0,
-            1 << k,
-        ).otherwise(0)
-        for k in range(_ND_PLANES_PER_BAND)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
-
-
-def _band_val_sql(vec_expr: str, band: int) -> str:
-    parts = []
-    for k in range(_ND_PLANES_PER_BAND):
-        dot = (
-            f"list_dot_product(CAST({vec_expr} AS DOUBLE[]), "
-            f"{_plane_sql(band * _ND_PLANES_PER_BAND + k)})"
-        )
-        parts.append(f"(CASE WHEN {dot} >= 0 THEN {1 << k} ELSE 0 END)")
-    return "(" + " + ".join(parts) + ")"
-
-
 @query(
     "embedding_near_dup_pairs",
     oracle=f"""
-    WITH s AS MATERIALIZED (
-      SELECT vec_id, label, embedding,
-             [{', '.join(_band_val_sql('embedding', b) for b in range(_ND_BANDS))}]
-               AS bands
-      FROM embeddings
+    WITH planes AS (
+      SELECT p.p, i.i,
+             CASE WHEN substr(md5(concat('hp-', p.p, '-', i.i)), 2, 1)
+                       IN ('0','2','4','6','8','a','c','e')
+                  THEN 1 ELSE -1 END AS val
+      FROM (SELECT unnest(range({_ND_BANDS * _ND_PLANES_PER_BAND})) AS p) p,
+           (SELECT unnest(range({_DIM})) AS i) i
     ),
-    bands AS (
-      SELECT vec_id, label, embedding, o.band_id,
-             bands[o.band_id + 1] AS band_val
-      FROM s, (SELECT unnest(range({_ND_BANDS})) AS band_id) o
+    comps AS (
+      SELECT vec_id,
+             i.i,
+             CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * {1 << 20} + 0.5)
+                  AS BIGINT) AS xq
+      FROM embeddings, (SELECT unnest(range({_DIM})) AS i) i
+    ),
+    bits AS (
+      SELECT c.vec_id, pl.p, (SUM(c.xq * pl.val) >= 0) AS bit
+      FROM comps c JOIN planes pl ON c.i = pl.i
+      GROUP BY c.vec_id, pl.p
+    ),
+    bandvals AS (
+      SELECT vec_id, p // {_ND_PLANES_PER_BAND} AS band_id,
+             CAST(SUM(CASE WHEN bit
+                      THEN (1 << (p % {_ND_PLANES_PER_BAND}))
+                      ELSE 0 END) AS INT) AS band_val
+      FROM bits GROUP BY vec_id, p // {_ND_PLANES_PER_BAND}
+    ),
+    bands AS MATERIALIZED (
+      SELECT b.vec_id, e.label, e.embedding, b.band_id, b.band_val
+      FROM bandvals b JOIN embeddings e USING (vec_id)
     ),
     cand AS (
       SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b, x.label,
@@ -287,19 +276,22 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as simhash/minhash candidate joins, dedup.py). The DuckDB
     oracle rebuilds the identical banding from the shared md5-seeded
     hyperplane literals, so the LSH path is value-checked end-to-end;
-    its DISTINCT is the oracle-side stand-in for first-matching-band."""
+    its DISTINCT is the oracle-side stand-in for first-matching-band.
+
+    Band signatures come from one vectorized Arrow UDF over
+    integer-quantized dot products (_embed_lsh_udf.py) -- numpy matmul
+    for the 128 hyperplane projections instead of 128 interpreted
+    higher-order-function folds, and bit-identical to the oracle's
+    relational re-derivation because integer sums are order-free."""
+    from ._embed_lsh_udf import make_embed_bands_udf
+
+    bands_udf = make_embed_bands_udf()
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
         "label",
         _dvec(F.col("embedding")).alias("v"),
-    ).select(
-        "vec_id",
-        "label",
-        "v",
-        F.array(
-            *[_band_val(F.col("v"), b) for b in range(_ND_BANDS)]
-        ).alias("bands"),
+        bands_udf(F.col("embedding")).alias("bands"),
     )
     bands = e.select(
         "vec_id",

