@@ -10,6 +10,10 @@ Layers, from exact to scale-path:
   multi-band random-hyperplane LSH -- the self-join is keyed on
   (label, band_id, band_val), so bucket granularity is a knob that
   scales with the corpus, never an all-pairs or per-label-linear join.
+- ``embedding_dedup_cascade_stats``: exact vector dedup (quantized-
+  component fingerprint) collapses replica groups BEFORE the banded
+  pairing -- the cascade shape that keeps pair enumeration linear on
+  corpora with replicated vectors (measured in SCALING.md).
 - ``ann_lsh_bucketed_topk``: random-hyperplane LSH (sign bits -> bucket),
   search only the query's bucket. Hyperplanes are md5-seeded +/-1
   literals shared with the oracle, so even the ANN path is oracle-exact.
@@ -210,10 +214,15 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup pairs within label buckets
 # ---------------------------------------------------------------------------
 
-@query(
-    "embedding_near_dup_pairs",
-    oracle=f"""
-    WITH planes AS (
+def _embed_band_ctes(src: str) -> str:
+    """planes/comps/bits/bandvals/bands/cand CTE chain over an arbitrary
+    (vec_id, label, embedding) relation -- ``embeddings`` for the direct
+    pair op, ``reps`` for the cascade. Re-derives the UDF's banding
+    relationally: md5-hex-parity +-1 planes, integer-quantized dots
+    (order-free, hence bit-identical to numpy), sign bits packed into
+    r-bit band values."""
+    return f"""
+    planes AS (
       SELECT p.p, i.i,
              CASE WHEN substr(md5(concat('hp-', p.p, '-', i.i)), 2, 1)
                        IN ('0','2','4','6','8','a','c','e')
@@ -226,7 +235,7 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              i.i,
              CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * {1 << 20} + 0.5)
                   AS BIGINT) AS xq
-      FROM embeddings, (SELECT unnest(range({_DIM})) AS i) i
+      FROM {src}, (SELECT unnest(range({_DIM})) AS i) i
     ),
     bits AS (
       SELECT c.vec_id, pl.p, (SUM(c.xq * pl.val) >= 0) AS bit
@@ -242,7 +251,7 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bands AS MATERIALIZED (
       SELECT b.vec_id, e.label, e.embedding, b.band_id, b.band_val
-      FROM bandvals b JOIN embeddings e USING (vec_id)
+      FROM bandvals b JOIN {src} e USING (vec_id)
     ),
     cand AS (
       SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b, x.label,
@@ -253,6 +262,13 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AND x.band_val = y.band_val
                   AND x.vec_id < y.vec_id
     )
+"""
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH {_embed_band_ctes('embeddings')}
     SELECT vec_a, vec_b, label,
            {dround_sql(_COS_SQL.format(a='ea', b='eb'), 4)} AS cos_sim
     FROM cand
@@ -293,6 +309,19 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dvec(F.col("embedding")).alias("v"),
         bands_udf(F.col("embedding")).alias("bands"),
     )
+    return (
+        _embed_candidate_pairs(e)
+        .filter(F.col("near_dup"))
+        .drop("near_dup")
+    )
+
+
+def _embed_candidate_pairs(e: DataFrame) -> DataFrame:
+    """Band-keyed candidate self-join + exact-cosine annotation over an
+    arbitrary (vec_id, label, v, bands) frame: every band-colliding pair
+    exactly once, with its cosine and the near_dup verdict (callers
+    filter or aggregate). Body shared by embedding_near_dup_pairs and
+    embedding_dedup_cascade_stats."""
     bands = e.select(
         "vec_id",
         "label",
@@ -318,14 +347,115 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.bands").getItem(b) == F.col("y.bands").getItem(b))
         )
     cos = _cos(F.col("x.v"), F.col("y.v"))
-    return (
-        joined.filter(~earlier_match)
-        .filter(cos >= _NEAR_DUP_COS)
+    return joined.filter(~earlier_match).select(
+        F.col("x.vec_id").alias("vec_a"),
+        F.col("y.vec_id").alias("vec_b"),
+        F.col("x.label").alias("label"),
+        dround(cos, 4).alias("cos_sim"),
+        (cos >= _NEAR_DUP_COS).alias("near_dup"),
+    )
+
+
+def _vec_fp() -> Column:
+    """Exact-duplicate fingerprint for vectors: md5 of the comma-joined
+    quantized components (same floor(x*2^20+0.5) quantization as the LSH
+    dots), so byte-identical embeddings -- and only those -- share a
+    fingerprint, and both engines derive it from integer strings (no
+    float formatting). Built lazily: Column construction needs an active
+    SparkContext, which module import must not assume."""
+    return F.md5(
+        F.array_join(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(1 << 20)) + F.lit(0.5)
+                ).cast("string"),
+            ),
+            ",",
+        )
+    )
+
+_VEC_FP_SQL = (
+    "md5(array_to_string(list_transform(CAST(embedding AS DOUBLE[]), "
+    f"x -> CAST(CAST(floor(x * {1 << 20} + 0.5) AS BIGINT) AS VARCHAR)), "
+    "','))"
+)
+
+
+@query(
+    "embedding_dedup_cascade_stats",
+    oracle=f"""
+    WITH reps AS MATERIALIZED (
+      SELECT vec_id, label, embedding FROM embeddings
+      QUALIFY row_number() OVER (
+        PARTITION BY {_VEC_FP_SQL} ORDER BY vec_id) = 1
+    ),
+    {_embed_band_ctes('reps')},
+    verified AS (
+      SELECT {_COS_SQL.format(a='ea', b='eb')} >= {_NEAR_DUP_COS} AS near_dup
+      FROM cand
+    )
+    SELECT (SELECT COUNT(*) FROM embeddings) AS total_vectors,
+           (SELECT COUNT(*) FROM reps) AS representatives,
+           (SELECT COUNT(*) FROM embeddings)
+             - (SELECT COUNT(*) FROM reps) AS exact_dup_rows,
+           COUNT(*) AS candidate_pairs,
+           CAST(COALESCE(SUM(CASE WHEN near_dup THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS near_dup_pairs
+    FROM verified
+    """,
+    tags=("llm-similarity", "llm-dedup"),
+)
+def embedding_dedup_cascade_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vector dedup cascade (the embedding twin of dedup_cascade_stats):
+    collapse byte-identical embeddings to their lowest-vec_id
+    representative (row_number over the quantized-component fingerprint,
+    one uniform-key shuffle), then run the banded LSH near-dup pairing
+    over REPRESENTATIVES ONLY. On a corpus with replicated vectors the
+    direct pair op's output grows quadratically in the replication
+    factor (every replica pair shares every band); the cascade's pair
+    stage sees each replica group once, so its cost tracks distinct
+    vectors -- the same mitigation SCALING.md measures for documents."""
+    from pyspark.sql import Window
+
+    from ._embed_lsh_udf import make_embed_bands_udf
+
+    bands_udf = make_embed_bands_udf()
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("fp").orderBy("vec_id")
+    reps = (
+        emb.select("vec_id", "label", "embedding", _vec_fp().alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
         .select(
-            F.col("x.vec_id").alias("vec_a"),
-            F.col("y.vec_id").alias("vec_b"),
-            F.col("x.label").alias("label"),
-            dround(cos, 4).alias("cos_sim"),
+            "vec_id",
+            "label",
+            _dvec(F.col("embedding")).alias("v"),
+            bands_udf(F.col("embedding")).alias("bands"),
+        )
+    )
+    candidates = _embed_candidate_pairs(reps)
+    total = emb.agg(F.count("*").alias("total_vectors"))
+    repc = reps.agg(F.count("*").alias("representatives"))
+    pair_agg = candidates.agg(
+        F.count("*").alias("candidate_pairs"),
+        F.coalesce(
+            F.sum(F.col("near_dup").cast("long")), F.lit(0).cast("long")
+        ).alias("near_dup_pairs"),
+    )
+    return (
+        total.crossJoin(repc)
+        .crossJoin(pair_agg)
+        .select(
+            "total_vectors",
+            "representatives",
+            (F.col("total_vectors") - F.col("representatives")).alias(
+                "exact_dup_rows"
+            ),
+            "candidate_pairs",
+            "near_dup_pairs",
         )
     )
 
@@ -378,6 +508,90 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(
             F.broadcast(q),
             (e.bucket == q.qbucket) & (e.vec_id != q.qid),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            dround(_cos(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH top-k: query bucket + all Hamming-1 neighbor buckets
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_multiprobe_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
+          FROM b ORDER BY vec_id LIMIT 1),
+    probes AS (
+      SELECT qid, qv,
+             xor(qbucket,
+                 CASE WHEN j.j = {_N_PLANES} THEN 0 ELSE (1 << j.j) END)
+               AS bucket
+      FROM q, (SELECT unnest(range({_N_PLANES + 1})) AS j) j
+    )
+    SELECT e.vec_id, e.label, e.bucket,
+           {dround_sql(_COS_SQL.format(a='e.embedding', b='p.qv'), 6)} AS cos_sim
+    FROM b e JOIN probes p ON e.bucket = p.bucket AND e.vec_id <> p.qid
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT {_TOP_K}
+    """,
+    tags=("llm-similarity",),
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: search the query's sign-bit bucket AND its 8
+    Hamming-1 neighbors (flip one hyperplane bit each) -- the standard
+    recall fix for single-bucket LSH, since true neighbors straddling
+    ONE hyperplane land one bit-flip away. Probes are a 9-row exploded
+    broadcast equi-joined on the bucket column, so the scan touches
+    ~9/256 of the corpus instead of 1/256 with no nonequi join anywhere;
+    each corpus vector matches at most one probe (probe buckets are
+    distinct), so no pair dedup is needed. Bucket assignment is the same
+    md5-seeded hyperplane fold as ann_lsh_bucketed_topk, so the whole
+    approximate path stays oracle-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        _dvec(F.col("embedding")).alias("v"),
+    ).withColumn("bucket", _bucket(F.col("v")))
+    q = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    probes = q.select(
+        "qid",
+        "qv",
+        F.explode(
+            F.array(
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(_N_PLANES)
+                ],
+                F.col("qbucket"),
+            )
+        ).alias("pbucket"),
+    )
+    return (
+        e.join(
+            F.broadcast(probes),
+            (e.bucket == probes.pbucket) & (e.vec_id != probes.qid),
         )
         .select(
             "vec_id",
