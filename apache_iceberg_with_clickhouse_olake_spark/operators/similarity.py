@@ -910,3 +910,152 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@query(
+    "ann_probe_sweep_recall",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket
+          FROM b WHERE vec_id < {_N_EVAL_Q}),
+    scored AS MATERIALIZED (
+      SELECT q.qid, e.vec_id, e.bucket, q.qbucket,
+             {dround_sql('list_cosine_similarity(e.v, q.qv)', 6)} AS cos_sim
+      FROM b e, q WHERE e.vec_id <> q.qid
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM scored
+      QUALIFY row_number() OVER (PARTITION BY qid
+                ORDER BY cos_sim DESC, vec_id) <= {_TOP_K}
+    ),
+    cand AS (
+      SELECT 'multi_probe' AS method, * FROM scored
+      WHERE bit_count(xor(bucket, qbucket)) <= 1
+      UNION ALL
+      SELECT 'single_bucket' AS method, * FROM scored
+      WHERE bucket = qbucket
+    ),
+    approx AS (
+      SELECT method, qid, vec_id FROM cand
+      QUALIFY row_number() OVER (PARTITION BY method, qid
+                ORDER BY cos_sim DESC, vec_id) <= {_TOP_K}
+    ),
+    methods AS (SELECT unnest(['multi_probe', 'single_bucket']) AS method),
+    per_q_recall AS (
+      SELECT m.method, x.qid,
+             COUNT(a.vec_id) / {_TOP_K}.0 AS recall
+      FROM exact x
+      CROSS JOIN methods m
+      LEFT JOIN approx a ON a.method = m.method AND a.qid = x.qid
+                        AND a.vec_id = x.vec_id
+      GROUP BY m.method, x.qid
+    ),
+    per_q_cost AS (
+      SELECT m.method, q.qid, CAST(COUNT(c.vec_id) AS BIGINT) AS n_cand
+      FROM q CROSS JOIN methods m
+      LEFT JOIN cand c ON c.method = m.method AND c.qid = q.qid
+      GROUP BY m.method, q.qid
+    )
+    SELECT r.method,
+           {davg_sql('r.recall')} AS mean_recall_at_k,
+           {davg_sql('c.n_cand')} AS avg_candidates
+    FROM per_q_recall r
+    JOIN per_q_cost c ON r.method = c.method AND r.qid = c.qid
+    GROUP BY r.method
+    ORDER BY r.method
+    """,
+    tags=("llm-similarity",),
+)
+def ann_probe_sweep_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN accuracy/cost dial, measured: mean recall@k and mean
+    candidate-set size per query for single-bucket LSH vs multi-probe
+    (bucket + all Hamming-1 neighbors, the ann_multiprobe_topk shape)
+    over the same evaluation sample as ann_recall_eval. Multi-probe
+    should buy substantially higher recall for ~9x the (still tiny)
+    candidate cost -- this op turns that claim into a number a pipeline
+    owner can read before choosing a probe count. Same scale shape as
+    ann_recall_eval: broadcast query sample, corpus x sample scoring,
+    per-(method, qid) windows."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", _dvec(F.col("embedding")).alias("v")
+    ).withColumn("bucket", _bucket(F.col("v")))
+    q = e.filter(F.col("vec_id") < _N_EVAL_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = e.join(F.broadcast(q), e.vec_id != q.qid).select(
+        "qid",
+        "vec_id",
+        "bucket",
+        "qbucket",
+        dround(_cos(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("qid", "vec_id")
+    )
+    hamming = F.bit_count(
+        F.col("bucket").bitwiseXOR(F.col("qbucket"))
+    )
+    cand = scored.filter(hamming <= 1).withColumn(
+        "method", F.lit("multi_probe")
+    ).unionByName(
+        scored.filter(F.col("bucket") == F.col("qbucket")).withColumn(
+            "method", F.lit("single_bucket")
+        )
+    )
+    wm = Window.partitionBy("method", "qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    approx = (
+        cand.withColumn("rnk", F.row_number().over(wm))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("method", "qid", "vec_id")
+    )
+    methods = spark.createDataFrame(
+        [("multi_probe",), ("single_bucket",)], "method string"
+    )
+    per_q_recall = (
+        exact.crossJoin(F.broadcast(methods))
+        .join(approx, ["method", "qid", "vec_id"], "left_semi")
+        .groupBy("method", "qid")
+        .agg((F.count("*") / F.lit(float(_TOP_K))).alias("recall"))
+    )
+    # zero-recall (method, qid) cells vanish from the left-semi count;
+    # re-anchor on the full method x qid grid so means divide by all
+    # sample queries on both engines
+    grid = q.select("qid").crossJoin(F.broadcast(methods))
+    per_q_recall = (
+        grid.join(per_q_recall, ["method", "qid"], "left")
+        .select(
+            "method",
+            "qid",
+            F.coalesce(F.col("recall"), F.lit(0.0)).alias("recall"),
+        )
+    )
+    per_q_cost = (
+        grid.join(cand, ["method", "qid"], "left")
+        .groupBy("method", "qid")
+        .agg(F.count("vec_id").cast("long").alias("n_cand"))
+    )
+    return (
+        per_q_recall.join(per_q_cost, ["method", "qid"])
+        .groupBy("method")
+        .agg(
+            davg("recall", "mean_recall_at_k"),
+            davg("n_cand", "avg_candidates"),
+        )
+        .orderBy("method")
+    )
