@@ -195,3 +195,20 @@ def test_embed_lsh_planes_match_similarity_planes():
     mat = u.plane_matrix()
     for p in range(u.N_BANDS * u.PLANES_PER_BAND):
         assert np.array_equal(mat[p], np.array(s._plane(p), dtype=np.int64))
+
+
+def test_embed_band_values_batch_split_invariant():
+    # pandas_udf batch boundaries are runtime-dependent (Arrow batch
+    # size, partitioning); band signatures must not depend on them
+    import numpy as np
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators import _embed_lsh_udf as u
+
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((50, u.DIM)).astype(np.float32)
+    whole = u.band_values(v)
+    for split in (1, 7, 49):
+        parts = np.vstack([u.band_values(v[:split]), u.band_values(v[split:])])
+        assert np.array_equal(whole, parts), f"split at {split} diverged"
+    # and appending rows never changes earlier rows' signatures
+    assert np.array_equal(u.band_values(v[:10]), whole[:10])
