@@ -290,7 +290,7 @@ def parquet_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-file row count is min(10k, N) -- these numbers are
       deterministic from ``COUNT(*)`` alone, so the driver oracle can
       re-derive them in pure SQL on the lineitem view.
-    * a 64 KiB row-group write yields strictly more row groups than the
+    * a 16 KiB row-group write yields strictly more row groups than the
       default 128 MiB write (row-group sizing took effect), and
     * the snappy codec + dictionary encoding requested on the write are
       what landed in the footers.

@@ -321,11 +321,19 @@ def _embed_candidate_pairs(e: DataFrame) -> DataFrame:
     arbitrary (vec_id, label, v, bands) frame: every band-colliding pair
     exactly once, with its cosine and the near_dup verdict (callers
     filter or aggregate). Body shared by embedding_near_dup_pairs and
-    embedding_dedup_cascade_stats."""
+    embedding_dedup_cascade_stats.
+
+    Shuffle discipline (same as _minhash_verified_pairs): the exploded
+    band rows carry ONLY (vec_id, label, bands, band key) -- the 64-dim
+    vector does NOT ride the 16-way band explosion through the self-join
+    shuffle (that would amplify shuffled bytes ~16x over the corpus
+    vector data). Vectors join back by vec_id AFTER pair formation, so
+    the heavy payload moves once per surviving pair side, not once per
+    band row."""
+    vecs = e.select("vec_id", F.col("v").alias("vv"))
     bands = e.select(
         "vec_id",
         "label",
-        "v",
         "bands",
         F.posexplode("bands").alias("band_id", "band_val"),
     )
@@ -346,23 +354,37 @@ def _embed_candidate_pairs(e: DataFrame) -> DataFrame:
             (F.col("x.band_id") > b)
             & (F.col("x.bands").getItem(b) == F.col("y.bands").getItem(b))
         )
-    cos = _cos(F.col("x.v"), F.col("y.v"))
-    return joined.filter(~earlier_match).select(
+    pairs = joined.filter(~earlier_match).select(
         F.col("x.vec_id").alias("vec_a"),
         F.col("y.vec_id").alias("vec_b"),
         F.col("x.label").alias("label"),
-        dround(cos, 4).alias("cos_sim"),
-        (cos >= _NEAR_DUP_COS).alias("near_dup"),
+    )
+    va, vb = vecs.alias("va"), vecs.alias("vb")
+    cos = _cos(F.col("va.vv"), F.col("vb.vv"))
+    return (
+        pairs.join(va, pairs.vec_a == F.col("va.vec_id"))
+        .join(vb, pairs.vec_b == F.col("vb.vec_id"))
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            dround(cos, 4).alias("cos_sim"),
+            (cos >= _NEAR_DUP_COS).alias("near_dup"),
+        )
     )
 
 
 def _vec_fp() -> Column:
-    """Exact-duplicate fingerprint for vectors: md5 of the comma-joined
+    """Duplicate fingerprint for vectors: md5 of the comma-joined
     quantized components (same floor(x*2^20+0.5) quantization as the LSH
-    dots), so byte-identical embeddings -- and only those -- share a
-    fingerprint, and both engines derive it from integer strings (no
-    float formatting). Built lazily: Column construction needs an active
-    SparkContext, which module import must not assume."""
+    dots). Byte-identical embeddings always share a fingerprint; so do
+    vectors whose every component falls in the same 2^-20 quantization
+    cell -- i.e. "exact dedup" here means equal-to-within-quantization,
+    which is the practically useful contract for float embeddings (true
+    bitwise equality modulo sub-1e-6 noise) and is what both engines
+    can derive identically from integer strings (no float formatting).
+    Built lazily: Column construction needs an active SparkContext,
+    which module import must not assume."""
     return F.md5(
         F.array_join(
             F.transform(

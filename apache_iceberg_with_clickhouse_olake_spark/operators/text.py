@@ -200,9 +200,7 @@ def _lang_score(toks_col, lang: str):
     )
 
 
-@query(
-    "language_id_heuristic",
-    oracle=f"""
+_LANGID_ORACLE = f"""
     WITH s AS (
       SELECT doc_id, lang,
         {', '.join(
@@ -220,7 +218,12 @@ def _lang_score(toks_col, lang: str):
                 ELSE 'es' END AS predicted_lang,
            s_en, s_de, s_fr, s_es
     FROM s
-    """,
+"""
+
+
+@query(
+    "language_id_heuristic",
+    oracle=_LANGID_ORACLE,
     tags=("llm-text",),
 )
 def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,6 +259,45 @@ def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", predicted.alias("predicted_lang"),
         "s_en", "s_de", "s_fr", "s_es",
     )
+
+
+@query(
+    "language_id_confusion",
+    oracle=f"""
+    WITH p AS ({_LANGID_ORACLE})
+    SELECT lang, predicted_lang, COUNT(*) AS docs,
+           {dround_sql(
+               'COUNT(*) / CAST(SUM(COUNT(*)) '
+               'OVER (PARTITION BY lang) AS DOUBLE)', 4)}
+             AS share_of_lang
+    FROM p
+    GROUP BY lang, predicted_lang
+    ORDER BY lang, predicted_lang
+    """,
+    tags=("llm-text",),
+)
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the language-ID heuristic against the corpus's
+    labeled ``lang`` column: (actual, predicted) doc counts plus each
+    cell's share of its actual-language row -- the eval artifact a
+    pipeline owner reads before trusting a lang filter. One extra
+    low-cardinality groupBy over the per-doc scorer; the share is a
+    window over the tiny (5x5 max) result, not the corpus."""
+    from pyspark.sql import Window
+
+    per_doc = language_id_heuristic(spark, sf_dir)
+    counts = per_doc.groupBy("lang", "predicted_lang").agg(
+        F.count("*").alias("docs")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "predicted_lang",
+        "docs",
+        dround(
+            F.col("docs") / F.sum("docs").over(w).cast("double"), 4
+        ).alias("share_of_lang"),
+    ).orderBy("lang", "predicted_lang")
 
 
 # ---------------------------------------------------------------------------

@@ -183,15 +183,19 @@ def main() -> None:
             # the driver wraps bench stdout under "parsed"
             prev = prev.get("parsed", prev)
             prev_q = prev.get("queries", {})
-            delta_vs_prev = {
-                "prev_file": os.path.basename(prev_files[-1]),
-                "total": round(total - prev.get("value", 0.0), 4),
-                "queries": {
-                    n: round(t - prev_q[n], 4)
-                    for n, t in timings.items()
-                    if n in prev_q
-                },
-            }
+            # a prior artifact without a total (e.g. a failed run that
+            # recorded only {n, rc, tail}) yields no delta, not a bogus
+            # full-total "regression"
+            if isinstance(prev.get("value"), (int, float)):
+                delta_vs_prev = {
+                    "prev_file": os.path.basename(prev_files[-1]),
+                    "total": round(total - prev["value"], 4),
+                    "queries": {
+                        n: round(t - prev_q[n], 4)
+                        for n, t in timings.items()
+                        if n in prev_q
+                    },
+                }
         except (json.JSONDecodeError, OSError):
             delta_vs_prev = None
 

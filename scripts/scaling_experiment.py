@@ -139,6 +139,18 @@ def main() -> None:
     qs = registry.all_queries()
     root = tempfile.mkdtemp(prefix="scaling_")
     rows = []
+
+    def timed(name: str, sf_dir: str) -> float:
+        """Warm run (untimed), then one timed run. The first execution of
+        a (query, scale) pair pays one-time costs the ratio math must not
+        see -- codegen compile, Python-UDF worker spawn, file-listing --
+        which inflated x1 baselines up to 2-4x in earlier single-run
+        revisions and made 8x/1x ratios look sub-linear for free."""
+        _run_to_sink(qs[name](spark, sf_dir))
+        t0 = time.perf_counter()
+        _run_to_sink(qs[name](spark, sf_dir))
+        return time.perf_counter() - t0
+
     try:
         for k in (1, 2, 4, 8):
             sf_dir = build_scale(spark, root, k)
@@ -146,9 +158,7 @@ def main() -> None:
             qs["orders_by_status"](spark, sf_dir).collect()
             timings = {}
             for name in QUERIES:
-                t0 = time.perf_counter()
-                _run_to_sink(qs[name](spark, sf_dir))
-                timings[name] = time.perf_counter() - t0
+                timings[name] = timed(name, sf_dir)
             rows.append((k, timings))
             print(k, {n: round(v, 2) for n, v in timings.items()}, flush=True)
         corpus_rows = []
@@ -161,9 +171,7 @@ def main() -> None:
             qs["simhash_fingerprints"](spark, sf_dir).collect()
             timings = {}
             for name in CORPUS_QUERIES:
-                t0 = time.perf_counter()
-                _run_to_sink(qs[name](spark, sf_dir))
-                timings[name] = time.perf_counter() - t0
+                timings[name] = timed(name, sf_dir)
             corpus_rows.append((k, timings))
             print(
                 "docs", k, {n: round(v, 2) for n, v in timings.items()},
@@ -216,17 +224,36 @@ def main() -> None:
             f"| {name} | {t['x1']:.2f} | {t['x2']:.2f} | {t['x4']:.2f} "
             f"| {t['x8']:.2f} | {t['ratio_8x_over_1x']:.1f} |"
         )
+    # Verdict sentences are DERIVED from the measured numbers -- the
+    # prose must never assert a conclusion the table above contradicts.
+    if fact_worst <= 2.0:
+        fact_verdict = (
+            "far below 8 (linear would be 8): flat-to-sublinear "
+            "wall-clock at 8x the data means the extra input splits land "
+            "on cores that were idle at 1x — exactly the executor-scaling "
+            "behavior the 100 TB design relies on (more data -> more "
+            "splits -> more parallel tasks; no super-linear stage, no "
+            "driver-side bottleneck)."
+        )
+    elif fact_worst <= 9.0:
+        fact_verdict = (
+            "at-or-below linear (8 would be exactly linear): cores are "
+            "saturated and wall-clock tracks input size; no super-linear "
+            "stage appears."
+        )
+    else:
+        fact_verdict = (
+            "ABOVE LINEAR — a super-linear stage (all-pairs join, skewed "
+            "reducer, or driver bottleneck) appears at this scale and "
+            "needs investigation before trusting the 100 TB story."
+        )
     lines += [
         "",
         f"**Worst FACT-TABLE 8x/1x ratio: {fact_worst:.1f}**",
-        f"({fact_worst_name}) — far below 8 (linear would be 8).",
-        "Flat-to-sublinear wall-clock at 8x the data means the extra",
-        "input splits land on cores that were idle at 1x — exactly the",
-        "executor-scaling behavior the 100 TB design relies on (more data",
-        "-> more splits -> more parallel tasks; no super-linear stage, no",
-        "driver-side bottleneck). A ratio near 8 would still be linear;",
-        "well above 8 would indicate an all-pairs join or skewed reducer,",
-        "and none appears. This statement is scoped to the fact-table",
+        f"({fact_worst_name}) — {fact_verdict}",
+        "Every (query, scale) cell is warm-run-then-timed, so one-time",
+        "codegen/UDF-spawn/listing costs never inflate the 1x baseline.",
+        "This statement is scoped to the fact-table",
         "suite above; the replicated-corpus suite below is measured and",
         "scoped separately because its adversarial construction grows",
         "OUTPUT quadratically for pair-enumeration ops.",
