@@ -434,6 +434,12 @@ def dedup_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(par, "doc_id")
     )
+    # Materialize the representative set once: three downstream branches
+    # consume it (band pipeline, shingle verify side, the count), and
+    # without a cut each would re-run the fingerprint window shuffle
+    # over the full corpus. On a cluster this is persist()/checkpoint()
+    # -- the same superstep discipline as dedup_cluster_sizes.
+    reps = reps.localCheckpoint(eager=True)
     verified = _minhash_verified_pairs(reps, par)
     total = docs.agg(F.count("*").alias("total_docs"))
     repc = reps.agg(F.count("*").alias("representatives"))

@@ -458,6 +458,12 @@ def embedding_dedup_cascade_stats(
             bands_udf(F.col("embedding")).alias("bands"),
         )
     )
+    # Materialize representatives once: the band explosion, the
+    # vector-joinback side, and the count all consume reps, and without
+    # a cut each branch re-runs the fingerprint window shuffle AND the
+    # band UDF over the corpus. Cluster equivalent: persist/checkpoint
+    # (the dedup_cluster_sizes superstep discipline).
+    reps = reps.localCheckpoint(eager=True)
     candidates = _embed_candidate_pairs(reps)
     total = emb.agg(F.count("*").alias("total_vectors"))
     repc = reps.agg(F.count("*").alias("representatives"))

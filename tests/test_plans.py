@@ -288,18 +288,21 @@ def test_embedding_neardup_join_keyed_on_lsh_band(spark, sf_dir):
 
 def test_dedup_cascade_pair_join_sees_representatives_only(spark, sf_dir):
     # the cascade's whole point: minhash banding must consume the
-    # row_number-filtered representative set, in one composed plan with
-    # no cartesian and no distinct over the pair stream
+    # MATERIALIZED representative set (localCheckpoint superstep -- the
+    # fingerprint window runs once, not once per consuming branch), in
+    # one composed plan with no cartesian and no distinct over pairs.
+    # The checkpoint cuts lineage, so the final plan shows the banding
+    # reading from the materialized RDD rather than re-deriving reps.
     plan = physical_plan(_Q["dedup_cascade_stats"](spark, sf_dir))
     # (the two 1-row stat crossJoins legitimately appear as broadcast
     # NLJ-Cross -- only a cartesian over DATA rows would be a bug)
-    assert "RunningWindowFunction" in plan or "Window" in plan, plan
+    assert "ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "band_hash" in plan, plan
 
 
 def test_embedding_cascade_pair_join_sees_representatives_only(spark, sf_dir):
     plan = physical_plan(_Q["embedding_dedup_cascade_stats"](spark, sf_dir))
-    assert "Window" in plan, plan
+    assert "ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "band_val" in plan, plan
