@@ -203,14 +203,51 @@ def unique_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("unique_customers_approx", oracle=None, tags=("A6",))
+# HLL with rsd=0.01 has ~1% standard error; 0.05 is a 5-sigma envelope a
+# healthy sketch never leaves, so a bound violation means a real defect.
+_APPROX_REL_ERR = 0.05
+
+
+@query(
+    "unique_customers_approx",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS within_bound
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("A6",),
+)
 def unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch distinct count -- the 100 TB-scale variant of A6 (single
-    pass, no per-key state explosion). No oracle: approximate by design."""
+    pass, mergeable partials, no per-key state explosion).
+
+    Bounds oracle: sketch estimates are engine-specific, so the hashable
+    contract is the ERROR ENVELOPE, not the estimate. The Spark side
+    computes both the sketch and the exact distinct and emits
+    ``within_bound`` = |approx-exact|/exact <= 0.05; the DuckDB oracle
+    computes the exact distinct and asserts the literal TRUE. A sketch
+    regression (bad rsd plumbing, broken merge) flips the boolean and
+    fails the value hash. The exact column here is the verification
+    harness -- at 100 TB production runs only the approx aggregate."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"))
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.01).alias("_approx"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            (
+                F.abs(F.col("_approx") - F.col("exact_customers"))
+                / F.col("exact_customers").cast("double")
+                <= _APPROX_REL_ERR
+            ).alias("within_bound"),
+        )
         .orderBy("o_orderstatus")
     )
 
@@ -1138,31 +1175,70 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Mergeable HLL sketches: the scale path for re-aggregable distincts
 # ---------------------------------------------------------------------------
 
-@query("daily_users_hll_reagg", oracle=None, tags=("A6", "A9"))
+@query(
+    "daily_users_hll_reagg",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+    )
+    SELECT CAST(day // 30 AS INT) AS month_bucket,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT day) AS days_merged,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM d
+    GROUP BY month_bucket
+    ORDER BY month_bucket
+    """,
+    tags=("A6", "A9"),
+)
 def daily_users_hll_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch re-aggregation (the A9 pattern for distinct counts): per-day
     HLL sketches of user_id built once, then UNIONED up to the month level
     without touching raw data -- what a 100 TB gold layer stores so
-    downstream rollups never rescan facts. Rows-only (sketch estimates
-    are engine-specific); pytest pins estimate-vs-exact error."""
+    downstream rollups never rescan facts.
+
+    Bounds oracle: the merged-sketch estimate is engine-specific, so the
+    hashable contract is the error envelope. The Spark side also computes
+    the exact month-level distinct (verification harness only -- the
+    production path is sketch-only) and emits ``within_bound`` =
+    |approx-exact|/exact <= 0.05 (default lgConfigK=12 => ~1.6% standard
+    error; 0.05 is a ~3-sigma envelope); the DuckDB oracle computes the
+    exact distinct and asserts the literal TRUE, so a broken sketch merge
+    fails the value hash."""
     events = load_table(spark, sf_dir, "events")
     day = F.expr("unix_micros(ts) div 86400000000").alias("day")
     daily = events.select(day, "user_id").groupBy("day").agg(
         F.hll_sketch_agg("user_id").alias("sketch"),
         F.count("*").alias("n_events"),
     )
-    monthly = (
-        daily.groupBy((F.col("day") / 30).cast("int").alias("month_bucket"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
-                "approx_users"
-            ),
-            F.sum("n_events").alias("n_events"),
-            F.count("*").alias("days_merged"),
+    monthly = daily.groupBy(
+        (F.col("day") / 30).cast("int").alias("month_bucket")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("_approx"),
+        F.sum("n_events").alias("n_events"),
+        F.count("*").alias("days_merged"),
+    )
+    exact = (
+        events.select(day, "user_id")
+        .groupBy((F.col("day") / 30).cast("int").alias("month_bucket"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        monthly.join(exact, "month_bucket")
+        .select(
+            "month_bucket",
+            "n_events",
+            "days_merged",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                / F.col("exact_users").cast("double")
+                <= _APPROX_REL_ERR
+            ).alias("within_bound"),
         )
         .orderBy("month_bucket")
     )
-    return monthly
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import (
+    dround,
+    dround_sql,
     dsum,
     dsum_sql,
     md5_int60,
@@ -312,4 +314,240 @@ def decontamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("excluding_self"),
         )
         .orderBy("probe_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: end-to-end corpus build as ONE Catalyst plan
+# ---------------------------------------------------------------------------
+
+_SEQ_BUDGET = 2048
+_N_BUILD_SHARDS = 8
+
+from .sampling import _MIX_RATE_SQL  # noqa: E402  (shared mix recipe)
+
+# DuckDB twin fragments for the composition oracle. DuckDB's range() is
+# end-exclusive, Spark's sequence() is inclusive -- both below enumerate
+# shingle start positions 1 .. n_toks - (_PROBE_TOKENS - 1).
+_BUILD_SHARD_SQL = md5_int60_sql("concat('pack-', CAST(doc_id AS VARCHAR))")
+_MIX_DRAW_SQL = md5_int60_sql("concat('mix-', CAST(doc_id AS VARCHAR))")
+_DOC_SHINGLES_SQL = (
+    f"list_transform(range(1, n_toks - {_PROBE_TOKENS - 2}), i -> "
+    + md5_int60_sql(
+        f"array_to_string(toks[i:i + {_PROBE_TOKENS - 1}], ' ')"
+    )
+    + ")"
+)
+
+
+@query(
+    "corpus_build_pipeline",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang, text, {_TOKS} AS toks, len({_TOKS}) AS n_toks
+      FROM documents
+      WHERE len({_TOKS}) >= 5 AND len({_TOKS}) <= 10000
+        AND CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+            / NULLIF(length(text), 0) < 0.2
+    ),
+    probes AS (
+      SELECT list({{PROBE_H}}) AS ph FROM documents
+      WHERE doc_id < {_N_PROBES} AND len({_TOKS}) >= {_PROBE_TOKENS}
+    ),
+    flagged AS (
+      SELECT doc_id, lang, n_toks,
+             row_number() OVER (
+               PARTITION BY md5({_NORM}) ORDER BY doc_id) = 1 AS is_rep,
+             CASE WHEN n_toks >= {_PROBE_TOKENS} THEN
+               len(list_intersect({_DOC_SHINGLES_SQL}, ph)) > 0
+             ELSE FALSE END AS contaminated,
+             {_MIX_DRAW_SQL} % 1000 < {{MIX_RATE}} AS sampled,
+             CAST({_BUILD_SHARD_SQL} % {_N_BUILD_SHARDS} AS BIGINT) AS shard
+      FROM q CROSS JOIN probes
+    ),
+    kept AS (
+      SELECT *, is_rep AND NOT contaminated AND sampled AS final_kept
+      FROM flagged
+    ),
+    packed AS (
+      SELECT *,
+             CASE WHEN final_kept THEN CAST(FLOOR(
+               (SUM(CASE WHEN final_kept THEN n_toks ELSE 0 END) OVER (
+                  PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_toks) / {_SEQ_BUDGET}.0) AS BIGINT) END AS bin
+      FROM kept
+    )
+    SELECT shard,
+           COUNT(*) AS quality_docs,
+           CAST(SUM(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT)
+             AS representatives,
+           CAST(SUM(CASE WHEN is_rep AND contaminated THEN 1 ELSE 0 END)
+                AS BIGINT) AS contaminated_docs,
+           CAST(SUM(CASE WHEN final_kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS sampled_docs,
+           CAST(SUM(CASE WHEN final_kept THEN n_toks ELSE 0 END) AS BIGINT)
+             AS packed_tokens,
+           COUNT(DISTINCT CASE WHEN final_kept THEN bin END) AS sequences,
+           {dround_sql(
+               f'CAST(SUM(CASE WHEN final_kept THEN n_toks ELSE 0 END)'
+               f' AS DOUBLE) / (NULLIF(COUNT(DISTINCT CASE WHEN final_kept'
+               f' THEN bin END), 0) * {_SEQ_BUDGET})', 4)}
+             AS fill_ratio
+    FROM packed
+    GROUP BY shard
+    ORDER BY shard
+    """.replace("{PROBE_H}", _PROBE_SHINGLE_H).replace(
+        "{MIX_RATE}", _MIX_RATE_SQL
+    ),
+    tags=("llm-text", "llm-dedup", "llm-sampling", "multimodal"),
+)
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus build -- quality filter -> exact dedup ->
+    benchmark decontamination -> training-mix sampling -> sequence
+    packing -- composed as ONE Catalyst plan (the north-star shape: at
+    100 TB you run this once, not five jobs with five materializations).
+
+    Physical shape (plan-pinned by tests/test_plans.py):
+    - quality drops happen BEFORE any shuffle (rejected docs never move);
+    - exact dedup is one window shuffle keyed by the uniform md5
+      fingerprint;
+    - decontamination is shuffle-free: each doc derives its 6-token
+      shingle-hash array in place and probes it against the (tiny,
+      broadcast) benchmark shingle set -- a single-row build side, so
+      the only join is a broadcast nested loop over ONE row;
+    - mix sampling is a per-row deterministic md5 draw (no shuffle);
+    - packing is one window shuffle keyed by the output shard, and the
+      final per-shard rollup REUSES that partitioning (no extra
+      exchange).
+    Net: two data shuffles end-to-end for a five-stage pipeline.
+
+    Returns per-shard funnel accounting: docs surviving quality, the
+    exact-dedup representatives among them, how many representatives the
+    decontamination probes removed, the mix-sampled survivors, and the
+    packed-token / sequence / fill-ratio packing stats.
+    """
+    from .sampling import _mix_rate_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace("text", "[^.!?,;:]", ""))
+    punct_ratio = n_punct.cast("double") / F.when(
+        F.length("text") == 0, F.lit(None)
+    ).otherwise(F.length("text"))
+    quality = docs.filter(
+        (n_tokens >= 5) & (n_tokens <= 10000) & (punct_ratio < 0.2)
+    ).select(
+        "doc_id",
+        "lang",
+        toks.alias("toks"),
+        n_tokens.cast("long").alias("n_toks"),
+        F.md5(norm_text(F.col("text"))).alias("fp"),
+    )
+
+    # Stage 2: exact dedup (keep lowest doc_id per canonical fingerprint).
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = quality.withColumn("is_rep", F.row_number().over(w_fp) == 1)
+
+    # Stage 3: decontamination. Probe set = the first 6 tokens of docs
+    # 0..4 (stand-in for a benchmark suite; see decontamination_scan).
+    # Collapsed to ONE row of hashes and broadcast, so the membership
+    # test is a map-side arrays_overlap -- no shuffle, no explosion of
+    # corpus shingles into rows.
+    probe_row = (
+        docs.filter(F.col("doc_id") < _N_PROBES)
+        .select(tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= _PROBE_TOKENS)
+        .select(
+            md5_int60(
+                F.concat_ws(" ", F.slice("t", 1, _PROBE_TOKENS))
+            ).alias("h")
+        )
+        .agg(F.collect_list("h").alias("probe_hashes"))
+    )
+    shingles = F.when(
+        F.col("n_toks") >= _PROBE_TOKENS,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_toks") - (_PROBE_TOKENS - 1)),
+            lambda i: md5_int60(
+                F.concat_ws(" ", F.slice(F.col("toks"), i, _PROBE_TOKENS))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    flagged = flagged.crossJoin(F.broadcast(probe_row)).withColumn(
+        "contaminated",
+        F.arrays_overlap(shingles, F.col("probe_hashes")),
+    )
+
+    # Stage 4: deterministic training-mix sampling (same recipe as
+    # training_mix_sample) + stage-5 shard assignment.
+    draw = md5_int60(
+        F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))
+    ) % 1000
+    shard = (
+        md5_int60(F.concat(F.lit("pack-"), F.col("doc_id").cast("string")))
+        % _N_BUILD_SHARDS
+    ).cast("long")
+    kept = flagged.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "is_rep",
+        "contaminated",
+        shard.alias("shard"),
+        (
+            F.col("is_rep")
+            & ~F.col("contaminated")
+            & (draw < _mix_rate_spark())
+        ).alias("final_kept"),
+    )
+
+    # Stage 5: sequence packing -- per-shard running token count over
+    # surviving docs; a doc's bin is its start offset div the budget.
+    w_shard = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(
+        F.when(F.col("final_kept"), F.col("n_toks")).otherwise(F.lit(0))
+    ).over(w_shard)
+    packed = kept.withColumn(
+        "bin",
+        F.when(
+            F.col("final_kept"),
+            F.floor((cum - F.col("n_toks")) / _SEQ_BUDGET),
+        ),
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("quality_docs"),
+            F.sum(F.col("is_rep").cast("long")).alias("representatives"),
+            F.sum(
+                (F.col("is_rep") & F.col("contaminated")).cast("long")
+            ).alias("contaminated_docs"),
+            F.sum(F.col("final_kept").cast("long")).alias("sampled_docs"),
+            F.sum(
+                F.when(F.col("final_kept"), F.col("n_toks")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias("packed_tokens"),
+            F.countDistinct(
+                F.when(F.col("final_kept"), F.col("bin"))
+            ).alias("sequences"),
+        )
+        .withColumn(
+            "fill_ratio",
+            dround(
+                F.col("packed_tokens").cast("double")
+                / (
+                    F.nullif(F.col("sequences"), F.lit(0))
+                    * F.lit(_SEQ_BUDGET)
+                ),
+                4,
+            ),
+        )
+        .orderBy("shard")
     )

@@ -808,33 +808,106 @@ def _cc_rounds_sql() -> str:
 @query(
     "dedup_cluster_sizes",
     oracle=f"""
-    WITH verified AS MATERIALIZED ({_CANDIDATES_SQL}),
-    edges AS (SELECT doc_a AS a, doc_b AS b FROM verified WHERE near_dup),
+    WITH g AS MATERIALIZED (
+      SELECT doc_id, text,
+             row_number() OVER (
+               PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY md5({_NORM})) AS grp_size
+      FROM documents
+    ),
+    reps AS MATERIALIZED (
+      SELECT doc_id, text, grp_size FROM g WHERE rn = 1
+    ),
+    {_sig_cte_sql('reps')},
+    bands AS (
+      {' UNION ALL '.join(
+          f"SELECT doc_id, {b} AS band_id, b{b} AS band_hash FROM bands_wide"
+          for b in range(_N_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM reps),
+    edges AS (
+      SELECT p.doc_a AS a, p.doc_b AS b
+      FROM cand p
+      JOIN sh sa ON p.doc_a = sa.doc_id
+      JOIN sh sb ON p.doc_b = sb.doc_id
+      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+            >= {_JACCARD_THRESHOLD}
+    ),
     sym AS MATERIALIZED (
       SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
     ),
-    {_cc_rounds_sql()}
-    SELECT label AS cluster_id,
-           COUNT(*) AS members
-    FROM l{_CC_ROUNDS}
-    GROUP BY label
+    {_cc_rounds_sql()},
+    labeled AS (
+      SELECT doc_id, label FROM l{_CC_ROUNDS}
+      UNION ALL
+      SELECT doc_id, doc_id AS label FROM reps
+      WHERE grp_size >= 2
+        AND doc_id NOT IN (SELECT doc_id FROM l{_CC_ROUNDS})
+    )
+    SELECT j.label AS cluster_id,
+           CAST(SUM(r.grp_size) AS BIGINT) AS members
+    FROM labeled j JOIN reps r ON j.doc_id = r.doc_id
+    GROUP BY j.label
     ORDER BY members DESC, cluster_id
     """,
     tags=("llm-dedup",),
 )
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS, not just pairs: connected components over the
-    verified near-dup edge set via {4} rounds of min-label propagation
+    verified near-dup graph via {4} rounds of min-label propagation
     (cluster id = smallest doc_id reachable). Keep-one-per-cluster is the
     policy real dedup ships — pairs alone over-delete transitive groups.
 
+    Cascade discipline (r5): propagation runs over exact-dedup
+    REPRESENTATIVES, never raw docs. Byte-identical docs have identical
+    shingles, hence identical edge sets — so full-corpus components are
+    EXACTLY the rep-graph components re-expanded by each rep's exact-
+    group size, plus groups of >= 2 identical docs whose rep touches no
+    near-dup edge (an intra-group clique is its own cluster, Jaccard 1).
+    The rep set is constant under corpus replication, so minhash banding,
+    Jaccard verify, and all propagation rounds cost O(distinct docs);
+    only the fingerprint window scales with raw size — same shape as
+    dedup_cascade_stats (SCALING.md measures both).
+
     Each round is one keyed join + one min-groupBy on doc_id — no
-    all-pairs step, state is one (doc_id, label) row per clustered doc.
+    all-pairs step, state is one (doc_id, label) row per clustered rep.
     A fixed round count bounds the plan (near-dup clusters have tiny
     diameters); a production fixpoint loop adds iterate-until-converged
     with checkpointing between rounds, same per-round shape. The DuckDB
-    oracle unrolls the identical rounds, so labels match exactly."""
-    verified = minhash_lsh_candidates(spark, sf_dir)
+    oracle unrolls the identical rounds AND the identical expansion, so
+    labels and member counts match exactly."""
+    from pyspark.sql import Window
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(norm_text(F.col("text")))
+    w_rn = Window.partitionBy("fp").orderBy("doc_id")
+    w_ct = Window.partitionBy("fp")
+    grouped = (
+        docs.select("doc_id", "text", fp.alias("fp"))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .withColumn("grp_size", F.count("*").over(w_ct))
+    )
+    # Materialize the representative set once (localCheckpoint
+    # superstep): the banding pipeline, the shingle-verify side, the
+    # singleton-group branch, and the size-expansion join all consume
+    # it, and each would otherwise re-run the fingerprint window over
+    # the full corpus. On a cluster this is persist()/checkpoint().
+    reps = (
+        grouped.filter(F.col("rn") == 1)
+        .select("doc_id", "text", "grp_size")
+        .repartition(par, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    verified = _minhash_verified_pairs(reps.select("doc_id", "text"), par)
     edges = verified.filter(F.col("near_dup")).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
@@ -843,8 +916,7 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Iterative algorithm hygiene: materialize the edge set once and cut
     # lineage every round (localCheckpoint), else each round re-embeds
-    # the full LSH pipeline in the plan and it grows exponentially. On a
-    # cluster this is persist()/checkpoint() between supersteps.
+    # the full LSH pipeline in the plan and it grows exponentially.
     sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("doc_id")).distinct()
@@ -860,9 +932,18 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)
         )
+    # Exact-dup groups whose rep has no near-dup edge are clusters in
+    # their own right (identical members, pairwise Jaccard 1).
+    singles = (
+        reps.filter(F.col("grp_size") >= 2)
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("label"))
+    )
     return (
-        labels.groupBy(F.col("label").alias("cluster_id"))
-        .agg(F.count("*").alias("members"))
+        labels.unionByName(singles)
+        .join(reps.select("doc_id", "grp_size"), "doc_id")
+        .groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.sum("grp_size").cast("long").alias("members"))
         .orderBy(F.col("members").desc(), "cluster_id")
     )
 

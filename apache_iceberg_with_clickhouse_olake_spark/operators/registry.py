@@ -103,12 +103,18 @@ _PRIORITY = (
     "streaming_restart_state",
     "sessionize_events",
     "asof_click_to_purchase",
-    # LLM pipeline: dedup / curation / similarity / text / multimodal
+    # LLM pipeline: dedup / curation / similarity / text / multimodal.
+    # r5 rotation (ADVICE): the riskiest new code paths take the driver
+    # rows this round — dedup_cascade_stats (was minhash_lsh_candidates:
+    # the cascade runs the same banding+verify over representatives),
+    # embedding_near_dup_pairs (was cosine_topk), and the flagship
+    # corpus_build_pipeline (was curation_pipeline, whose tag set it
+    # strictly contains). Every swap preserves the window's tag cover.
     "dedup_exact_stats",
-    "minhash_lsh_candidates",
-    "curation_pipeline",
+    "dedup_cascade_stats",
+    "corpus_build_pipeline",
     "shard_assignment_stats",
-    "cosine_topk",
+    "embedding_near_dup_pairs",
     # training_mix_sample carries BOTH llm-sampling and llm-text, so the
     # text family stays covered (curation_pipeline/shard_assignment_stats
     # are also in-window) while the sampling family gets its driver row

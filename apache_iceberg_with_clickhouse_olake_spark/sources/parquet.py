@@ -56,10 +56,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # A session built without inferTimestampNTZ=false reads the
+            # NANOS column as NTZ (nanosAsLong is then ignored); rebase
+            # to TIMESTAMP so unix_micros()/window() work either way.
+            # Session TZ is UTC, so wall time == instant, matching both
+            # the long-rebuild path and the DuckDB oracle.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

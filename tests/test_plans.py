@@ -306,3 +306,25 @@ def test_embedding_cascade_pair_join_sees_representatives_only(spark, sf_dir):
     assert "ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "band_val" in plan, plan
+
+
+def test_corpus_build_pipeline_two_data_shuffles(spark, sf_dir):
+    """The flagship composition must stay a two-data-shuffle plan: one
+    window exchange keyed by the dedup fingerprint, one keyed by the
+    packing shard (which the per-shard rollup then REUSES -- the final
+    aggregate may not introduce a third data exchange). Decontamination
+    must ride a one-row broadcast (BNLJ-Cross over the collected probe
+    hashes), never a data-scale cartesian, and the only SinglePartition
+    exchange is the 5-row probe collect."""
+    df = _Q["corpus_build_pipeline"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # data shuffles: exactly the two window exchanges (fp + shard)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "hashpartitioning(fp#" in plan, plan
+    assert "hashpartitioning(shard#" in plan, plan
+    # the rollup reuses the shard partitioning: every HashAggregate keyed
+    # by shard sits above the shard window with no exchange between
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    # presentation sort of <= n_shards rows is the only range exchange
+    assert plan.count("Exchange rangepartitioning") == 1, plan
