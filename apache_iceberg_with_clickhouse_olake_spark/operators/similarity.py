@@ -489,6 +489,170 @@ def embedding_dedup_cascade_stats(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup banding recall vs exhaustive ground truth (sampled)
+# ---------------------------------------------------------------------------
+
+_RECALL_SAMPLE_LABELS = 3  # labels 0..2: exhaustive truth stays O(sample^2)
+
+# Injected-twin perturbations: alternating-sign component scaling
+# x -> x * (1 + eps * s_i), s_i = +1 on even 0-based components. With
+# eps=0.05 the twin sits at cos ~0.999 (the real near-dup operating
+# point); eps=0.9 lands ~0.74. The synthetic corpus tops out below
+# cos 0.5, so without injection the high-sim bins the banding is
+# DESIGNED for would be empty and their recall unmeasured.
+_RECALL_TWIN_EPS = (0.05, 0.9)
+_RECALL_TWIN_OFFSET = 1_000_000
+
+
+def _perturb_sql(eps: float) -> str:
+    # DuckDB lambda index is 1-based; (i-1) matches Spark's 0-based i.
+    return (
+        "list_transform(CAST(embedding AS DOUBLE[]), (x, i) -> "
+        f"x * (1.0 + {eps!r} * CASE WHEN (i - 1) % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END))"
+    )
+
+
+@query(
+    "embedding_neardup_recall_eval",
+    oracle=f"""
+    WITH sample AS MATERIALIZED (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding
+      FROM embeddings WHERE label < {_RECALL_SAMPLE_LABELS}
+      {''.join(
+          f'''UNION ALL
+      SELECT vec_id + {(j + 1) * _RECALL_TWIN_OFFSET}, label,
+             {_perturb_sql(eps)}
+      FROM embeddings WHERE label < {_RECALL_SAMPLE_LABELS}
+      '''
+          for j, eps in enumerate(_RECALL_TWIN_EPS)
+      )}
+    ),
+    {_embed_band_ctes('sample')},
+    coll AS (SELECT vec_a, vec_b FROM cand),
+    truth AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             {_COS_SQL.format(a='x.embedding', b='y.embedding')} AS cs
+      FROM sample x JOIN sample y
+        ON x.label = y.label AND x.vec_id < y.vec_id
+      WHERE {_COS_SQL.format(a='x.embedding', b='y.embedding')}
+            >= {_NEAR_DUP_COS}
+    )
+    SELECT CASE WHEN t.cs >= 0.8 THEN '[0.8,1.0]'
+                WHEN t.cs >= 0.5 THEN '[0.5,0.8)'
+                ELSE '[{_NEAR_DUP_COS},0.5)' END AS cos_bin,
+           COUNT(*) AS truth_pairs,
+           CAST(COUNT(c.vec_a) AS BIGINT) AS detected_pairs,
+           {dround_sql('CAST(COUNT(c.vec_a) AS DOUBLE) / COUNT(*)', 4)}
+             AS recall
+    FROM truth t
+    LEFT JOIN coll c ON t.vec_a = c.vec_a AND t.vec_b = c.vec_b
+    GROUP BY cos_bin
+    ORDER BY cos_bin
+    """,
+    tags=("llm-similarity", "llm-dedup"),
+)
+def embedding_neardup_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Measured LSH-banding recall against exhaustive GROUND TRUTH, per
+    similarity bin — the eval that keeps embedding_near_dup_pairs
+    honest. Its oracle re-derives the same banding, so that gate proves
+    cross-engine parity but cannot see recall loss; this op computes the
+    exhaustive same-label pair set on a label sample (labels 0..2 —
+    ground truth is O(sample²) by construction, so it runs on a slice,
+    the way a production pipeline audits its ANN index) and reports,
+    per cosine bin, how many true pairs the 16x8 banding actually
+    catches. The synthetic corpus tops out below cos 0.5, so the sample
+    is augmented with deterministic perturbed twins of every vector
+    (alternating-sign component scaling, eps 0.05 and 0.9 — identical
+    double arithmetic on both engines) to populate the high-similarity
+    bins the banding is designed for. Expected shape (and why the
+    banding is configured this way): recall climbs steeply with
+    similarity — the [0.8,1.0] bin, the REAL near-dup operating point,
+    sits near 1.0, while the [0.3,0.5) bin documents the deliberate
+    miss rate at the synthetic corpus's barely-above-background
+    threshold (similarity.py:56-66). A banding/UDF regression now moves
+    a measured number instead of silently shrinking the pair list;
+    tests/test_scale_techniques.py pins the floors.
+
+    Detection is positional band-array equality (zip_with + exists) on
+    the UDF's signatures — no join through the banded pair op, so the
+    eval is independent of the candidate join's dedup discipline; the
+    oracle detects via its re-derived band-collision pair set, which is
+    the same predicate."""
+    from ._embed_lsh_udf import make_embed_bands_udf
+
+    bands_udf = make_embed_bands_udf()
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("label") < _RECALL_SAMPLE_LABELS).select(
+        "vec_id", "label", _dvec(F.col("embedding")).alias("v")
+    )
+    def _perturb(eps):
+        def fn(x, i):
+            sign = F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+            return x * (F.lit(1.0) + F.lit(eps) * sign)
+
+        return fn
+
+    parts = [base]
+    for j, eps in enumerate(_RECALL_TWIN_EPS):
+        parts.append(
+            base.select(
+                (F.col("vec_id") + (j + 1) * _RECALL_TWIN_OFFSET).alias(
+                    "vec_id"
+                ),
+                "label",
+                F.transform("v", _perturb(eps)).alias("v"),
+            )
+        )
+    aug = parts[0]
+    for p in parts[1:]:
+        aug = aug.unionByName(p)
+    sample = aug.select(
+        "vec_id", "label", "v", bands_udf(F.col("v")).alias("bands")
+    )
+    x, y = sample.alias("x"), sample.alias("y")
+    cs = _cos(F.col("x.v"), F.col("y.v"))
+    detected = F.exists(
+        F.zip_with(
+            F.col("x.bands"), F.col("y.bands"), lambda a, b: a == b
+        ),
+        lambda hit: hit,
+    )
+    truth = (
+        x.join(
+            y,
+            (F.col("x.label") == F.col("y.label"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(cs.alias("cs"), detected.alias("detected"))
+        .filter(F.col("cs") >= _NEAR_DUP_COS)
+    )
+    cos_bin = (
+        F.when(F.col("cs") >= 0.8, F.lit("[0.8,1.0]"))
+        .when(F.col("cs") >= 0.5, F.lit("[0.5,0.8)"))
+        .otherwise(F.lit(f"[{_NEAR_DUP_COS},0.5)"))
+    )
+    return (
+        truth.groupBy(cos_bin.alias("cos_bin"))
+        .agg(
+            F.count("*").alias("truth_pairs"),
+            F.sum(F.col("detected").cast("long")).alias("detected_pairs"),
+        )
+        .withColumn(
+            "recall",
+            dround(
+                F.col("detected_pairs").cast("double")
+                / F.col("truth_pairs"),
+                4,
+            ),
+        )
+        .orderBy("cos_bin")
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed ANN top-k (oracle-exact: shared literal hyperplanes)
 # ---------------------------------------------------------------------------
 

@@ -210,3 +210,48 @@ def test_embed_band_values_batch_split_invariant():
         assert np.array_equal(whole, parts), f"split at {split} diverged"
     # and appending rows never changes earlier rows' signatures
     assert np.array_equal(u.band_values(v[:10]), whole[:10])
+
+
+def test_ann_multiprobe_recall_floor(spark, sf_dir):
+    """A banding/bucketing change must not silently degrade search
+    quality: multi-probe recall must dominate single-bucket recall and
+    stay strictly positive, at a measured extra candidate cost (the
+    probe-sweep op itself records the exact numbers)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.similarity import (
+        ann_probe_sweep_recall,
+    )
+
+    rows = {
+        r.method: r for r in ann_probe_sweep_recall(spark, sf_dir).collect()
+    }
+    multi, single = rows["multi_probe"], rows["single_bucket"]
+    assert multi.mean_recall_at_k >= single.mean_recall_at_k
+    assert multi.mean_recall_at_k > 0.0
+    # multi-probe explores Hamming-1 neighbors, so its candidate set
+    # must strictly contain the single-bucket one on average
+    assert multi.avg_candidates > single.avg_candidates
+
+
+def test_embedding_neardup_recall_floors(spark, sf_dir):
+    """Ground-truth recall of the 16x8 banding, per similarity bin (see
+    embedding_neardup_recall_eval): near 1 at the real near-dup
+    operating point, high in the mid bin; the low bin is the documented
+    deliberate miss rate at the boundary threshold and gets no floor.
+    A hyperplane/banding regression moves these measured numbers."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.similarity import (
+        embedding_neardup_recall_eval,
+    )
+
+    rows = {
+        r.cos_bin: r
+        for r in embedding_neardup_recall_eval(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"[0.3,0.5)", "[0.5,0.8)", "[0.8,1.0]"}
+    assert rows["[0.8,1.0]"].recall >= 0.95
+    assert rows["[0.5,0.8)"].recall >= 0.70
+    # recall must be monotone in similarity -- the defining LSH property
+    assert (
+        rows["[0.3,0.5)"].recall
+        <= rows["[0.5,0.8)"].recall
+        <= rows["[0.8,1.0]"].recall
+    )
