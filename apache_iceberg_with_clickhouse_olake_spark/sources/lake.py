@@ -95,6 +95,56 @@ def _table_name_for_path(table_dir: str) -> str:
     return f"{base}_{hashlib.md5(norm.encode()).hexdigest()[:8]}"
 
 
+# -- pure Iceberg SQL builders ----------------------------------------------
+# Extracted so the exact statements the IcebergBackend issues are unit-
+# testable WITHOUT a jar (tests/test_lake_backends.py pins their text);
+# the gated integration test then runs them for real the moment a
+# runtime jar appears.
+
+
+def _create_namespace_sql(catalog: str) -> str:
+    return f"CREATE NAMESPACE IF NOT EXISTS {catalog}.lake"
+
+
+def _snapshots_sql(ident: str) -> str:
+    """L4: the .snapshots metadata table, commit-time ordered."""
+    return (
+        f"SELECT snapshot_id FROM {ident}.snapshots ORDER BY committed_at"
+    )
+
+
+def _files_stats_sql(ident: str) -> str:
+    return (
+        f"SELECT COUNT(*), COALESCE(SUM(file_size_in_bytes), 0) "
+        f"FROM {ident}.files"
+    )
+
+
+def _files_count_sql(ident: str) -> str:
+    return f"SELECT COUNT(*) FROM {ident}.files"
+
+
+def _rewrite_target_size(total_bytes: int, target_files: int) -> int:
+    """rewrite_data_files targets a file SIZE, not a count: derive the
+    size that yields ~target_files outputs so the ParquetBackend
+    contract (compact to N files) holds on this backend too. Floored at
+    1 MiB so a tiny table never produces a degenerate size."""
+    return max(
+        int(total_bytes) // max(target_files, 1) + 1, 1024 * 1024
+    )
+
+
+def _rewrite_files_sql(catalog: str, ident: str, target_size: int) -> str:
+    """D11: the rewrite_data_files compaction procedure call. The
+    procedure takes the table identifier WITHOUT the catalog prefix."""
+    return (
+        f"CALL {catalog}.system.rewrite_data_files("
+        f"table => '{ident.split('.', 1)[1]}', "
+        f"options => map('min-input-files', '1', "
+        f"'target-file-size-bytes', '{target_size}'))"
+    )
+
+
 def _pick_snapshot_id(ids: list[int], version: int | None) -> int | None:
     """Map the backends' 1-based version contract onto a commit-time-
     ordered snapshot-id list; None selects the latest. Raises the same
@@ -183,15 +233,13 @@ class IcebergBackend:
         return f"{self.catalog}.lake.{_table_name_for_path(table_dir)}"
 
     def _snapshot_ids(self, spark: SparkSession, ident: str) -> list[int]:
-        rows = spark.sql(
-            f"SELECT snapshot_id FROM {ident}.snapshots ORDER BY committed_at"
-        ).collect()
+        rows = spark.sql(_snapshots_sql(ident)).collect()
         return [r[0] for r in rows]
 
     def write_snapshot(self, df: DataFrame, table_dir: str) -> int:
         ident = self._ident(table_dir)
         spark = df.sparkSession
-        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.lake")
+        spark.sql(_create_namespace_sql(self.catalog))
         if spark.catalog.tableExists(ident):
             # D7: schema evolution on append needs BOTH the Iceberg write
             # option 'merge-schema' (not Spark's parquet 'mergeSchema')
@@ -229,22 +277,10 @@ class IcebergBackend:
         self, spark: SparkSession, data_dir: str, target_files: int
     ) -> tuple[int, int]:
         ident = self._ident(data_dir)
-        before, total_bytes = spark.sql(
-            f"SELECT COUNT(*), COALESCE(SUM(file_size_in_bytes), 0) "
-            f"FROM {ident}.files"
-        ).first()
-        # rewrite_data_files targets a file SIZE, not a count: derive the
-        # size that yields ~target_files outputs so the ParquetBackend
-        # contract (compact to N files) holds on this backend too.
-        target_size = max(int(total_bytes) // max(target_files, 1) + 1,
-                          1024 * 1024)
-        spark.sql(
-            f"CALL {self.catalog}.system.rewrite_data_files("
-            f"table => '{ident.split('.', 1)[1]}', "
-            f"options => map('min-input-files', '1', "
-            f"'target-file-size-bytes', '{target_size}'))"
-        )
-        after = spark.sql(f"SELECT COUNT(*) FROM {ident}.files").first()[0]
+        before, total_bytes = spark.sql(_files_stats_sql(ident)).first()
+        target_size = _rewrite_target_size(int(total_bytes), target_files)
+        spark.sql(_rewrite_files_sql(self.catalog, ident, target_size))
+        after = spark.sql(_files_count_sql(ident)).first()[0]
         return int(before), int(after)
 
 

@@ -212,3 +212,70 @@ def test_replace_state_crash_recovery(spark, tmp_path):
     # normal path: recovery with a live state dir is a no-op
     _recover_state(state)
     assert spark.read.parquet(state).count() == 5
+
+
+def test_cdc_stream_crash_after_sink_before_commit_is_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """The C6 chaos case: kill the stream INSIDE the danger window — the
+    micro-batch's state write has landed but its checkpoint offset has
+    not committed. On restart Structured Streaming replays that batch
+    over the already-mutated state; the upsert body must be idempotent
+    (latest-version-per-key over a union sees the replayed rows tie with
+    their own prior application), so the final state must equal the
+    batch oracle exactly — no dropped and no double-applied changes."""
+    from apache_iceberg_with_clickhouse_olake_spark.streaming import (
+        CDC_EVENT_SCHEMA,
+        _apply_batch,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    )
+    events = synthetic_change_events(orders)
+    events_dir = str(tmp_path / "events")
+    for cond in [F.col("_seq") == 0, F.col("_seq") == 1, F.col("_seq") >= 2]:
+        events.filter(cond).coalesce(1).write.mode("append").parquet(
+            events_dir
+        )
+
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    inner = _apply_batch(state_dir)
+    crashed = []
+
+    def poisoned(batch, batch_id):
+        inner(batch, batch_id)  # sink write fully lands first
+        if batch_id == 1 and not crashed:
+            crashed.append(batch_id)
+            raise RuntimeError(
+                "injected crash after sink write, before checkpoint commit"
+            )
+
+    q = (
+        spark.readStream.schema(CDC_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+        .writeStream.foreachBatch(poisoned)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        q.awaitTermination()
+    assert crashed == [1]
+    # Prove the crash hit the danger window: the batch-1 (seq==1) rows
+    # are already IN the state, though their offset never committed.
+    mid = spark.read.parquet(state_dir)
+    assert mid.filter(F.col("_seq") == 1).count() > 0
+
+    # Restart without the poison: batch 1 replays over the mutated
+    # state, then batch 2 applies, then tombstones compact.
+    run_cdc_upsert_stream(spark, events_dir, state_dir, ckpt, 1)
+    got = spark.read.parquet(state_dir)
+    want = apply_cdc_upsert(events)
+    cols = ["key", "custkey", "price", "_op", "_seq", "_sync_ts_epoch"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.filter(F.col("_op") == "d").count() == 0
