@@ -551,3 +551,111 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction accounting
+# ---------------------------------------------------------------------------
+
+# Conservative patterns that parse identically under Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround, explicit classes.
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+# The synthetic corpus carries no PII, so the op injects deterministic
+# fixtures (same expression on both engines): every 7th doc gains an
+# email, every 5th a phone number. The injection is part of the query's
+# declared semantics -- it exists to give detection/redaction a real,
+# oracle-checkable signal, the way the recall eval injects near-dup
+# twins.
+_PII_INJECT_SQL = """
+    concat(text,
+           CASE WHEN doc_id % 7 = 0
+                THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+                            '@example.com')
+                ELSE '' END,
+           CASE WHEN doc_id % 5 = 0 THEN ' call 555-0142' ELSE '' END)
+"""
+
+
+@query(
+    "pii_redaction_stats",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, source, {_PII_INJECT_SQL} AS text FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '{_EMAIL_RE}')) AS emails,
+             len(regexp_extract_all(text, '{_PHONE_RE}')) AS phones,
+             length(text)
+               - length(regexp_replace(regexp_replace(
+                   text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g')) AS chars_redacted
+      FROM aug
+    )
+    SELECT source,
+           COUNT(*) AS docs,
+           CAST(COUNT(CASE WHEN emails + phones > 0 THEN 1 END) AS BIGINT)
+             AS docs_with_pii,
+           CAST(SUM(emails) AS BIGINT) AS emails,
+           CAST(SUM(phones) AS BIGINT) AS phones,
+           CAST(SUM(chars_redacted) AS BIGINT) AS chars_redacted
+    FROM hits
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm-text",),
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub accounting per source: detect emails/phone numbers,
+    redact them to typed placeholders, and report docs touched, match
+    counts, and the redaction's net character delta (negative when the
+    placeholder is longer than the match -- the audit number a privacy
+    review asks for). Detection, redaction, and the deterministic
+    fixture injection are all JVM-side regexp built-ins over one scan
+    plus a tiny per-source rollup -- at 100 TB this is the same
+    single-pass shape as the quality filters, and the patterns are kept
+    to the Java/RE2 common subset so the oracle runs them verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-0142")).otherwise(
+            F.lit("")
+        ),
+    )
+    aug = docs.select("doc_id", "source", injected.alias("text"))
+    emails = F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0))
+    phones = F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    hits = aug.select(
+        "source",
+        emails.alias("emails"),
+        phones.alias("phones"),
+        (F.length("text") - F.length(redacted)).alias("chars_redacted"),
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.count(
+                F.when(F.col("emails") + F.col("phones") > 0, 1)
+            ).alias("docs_with_pii"),
+            F.sum("emails").cast("long").alias("emails"),
+            F.sum("phones").cast("long").alias("phones"),
+            F.sum("chars_redacted").cast("long").alias("chars_redacted"),
+        )
+        .orderBy("source")
+    )

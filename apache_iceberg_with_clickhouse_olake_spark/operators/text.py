@@ -515,3 +515,112 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality signals (Gopher/C4-style)
+# ---------------------------------------------------------------------------
+
+_TOP_BIGRAM_THR = 0.2   # Gopher: top-2-gram occupancy above this = spam
+_DUP_TRIGRAM_THR = 0.3  # fraction of 3-gram occurrences that are repeats
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    b AS (
+      SELECT doc_id, concat(toks[i], ' ', toks[i + 1]) AS g
+      FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    bc AS (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY doc_id, g),
+    bs AS (
+      SELECT doc_id, MAX(c) AS top2, SUM(c) AS tot2
+      FROM bc GROUP BY doc_id
+    ),
+    tr AS (
+      SELECT doc_id,
+             concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]) AS g
+      FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+      WHERE len(toks) >= 3
+    ),
+    tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tr GROUP BY doc_id, g),
+    ts AS (
+      SELECT doc_id, COUNT(*) AS dist3, SUM(c) AS tot3
+      FROM tc GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.lang,
+           {dround_sql('CAST(bs.top2 AS DOUBLE) / bs.tot2', 4)}
+             AS top_bigram_fraction,
+           {dround_sql(
+               '1.0 - CAST(ts.dist3 AS DOUBLE) / ts.tot3', 4)}
+             AS dup_trigram_fraction,
+           (COALESCE(CAST(bs.top2 AS DOUBLE) / bs.tot2
+                     > {_TOP_BIGRAM_THR}, FALSE)
+            OR COALESCE(1.0 - CAST(ts.dist3 AS DOUBLE) / ts.tot3
+                        > {_DUP_TRIGRAM_THR}, FALSE)) AS repetitive
+    FROM t
+    LEFT JOIN bs ON t.doc_id = bs.doc_id
+    LEFT JOIN ts ON t.doc_id = ts.doc_id
+    """,
+    tags=("llm-text",),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals — the Gopher/C4 quality rules
+    the length/punctuation heuristics (text_quality_scores) can't see:
+    boilerplate and spam repeat short phrases, so the top-2-gram's share
+    of all 2-gram occurrences and the fraction of 3-gram occurrences
+    that are repeats (1 - distinct/total) flag them; ``repetitive``
+    applies the published-style thresholds (0.2 / 0.3) with short-doc
+    NULLs treated as not-repetitive.
+
+    100 TB shape: explode -> two-level keyed aggregation (partial
+    map-side combine on (doc_id, gram), then per-doc max/sum), never a
+    per-doc O(n²) array loop — gram cardinality per doc is bounded by
+    doc length, keys are uniform, and the doc_id-keyed joins back to
+    the base table are plain equi-joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+
+    def gram_rows(n: int):
+        joined = F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("toks", i + k) for k in range(n)]
+            ),
+        )
+        return (
+            t.filter(F.size("toks") >= n)
+            .select("doc_id", F.explode(joined).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+
+    bs = (
+        gram_rows(2)
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top2"), F.sum("c").alias("tot2"))
+    )
+    ts = (
+        gram_rows(3)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dist3"), F.sum("c").alias("tot3"))
+    )
+    top_frac = F.col("top2").cast("double") / F.col("tot2")
+    dup_frac = F.lit(1.0) - F.col("dist3").cast("double") / F.col("tot3")
+    return (
+        t.select("doc_id", "lang")
+        .join(bs, "doc_id", "left")
+        .join(ts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            dround(top_frac, 4).alias("top_bigram_fraction"),
+            dround(dup_frac, 4).alias("dup_trigram_fraction"),
+            (
+                F.coalesce(top_frac > _TOP_BIGRAM_THR, F.lit(False))
+                | F.coalesce(dup_frac > _DUP_TRIGRAM_THR, F.lit(False))
+            ).alias("repetitive"),
+        )
+    )
