@@ -328,3 +328,27 @@ def test_corpus_build_pipeline_two_data_shuffles(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") == 1, plan
     # presentation sort of <= n_shards rows is the only range exchange
     assert plan.count("Exchange rangepartitioning") == 1, plan
+
+
+def test_corpus_build_pipeline_prunes_documents_scan(spark, sf_dir):
+    """The composition touches only doc_id/lang/text of documents (and
+    the probe branch doc_id/text); source/n_chars must never be read —
+    at 100 TB an unpruned column is terabytes of wasted IO."""
+    assert_scan_columns_at_most(
+        _Q["corpus_build_pipeline"](spark, sf_dir),
+        "documents",
+        {"doc_id", "lang", "text"},
+    )
+
+
+def test_repetition_and_pii_scans_prune(spark, sf_dir):
+    assert_scan_columns_at_most(
+        _Q["doc_repetition_stats"](spark, sf_dir),
+        "documents",
+        {"doc_id", "lang", "text"},
+    )
+    assert_scan_columns_at_most(
+        _Q["pii_redaction_stats"](spark, sf_dir),
+        "documents",
+        {"doc_id", "source", "text"},
+    )
