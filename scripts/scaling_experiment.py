@@ -61,6 +61,8 @@ CORPUS_QUERIES = (
     "embedding_near_dup_pairs",
     "embedding_dedup_cascade_stats",
     "corpus_build_pipeline",
+    "doc_repetition_stats",
+    "pii_redaction_stats",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)
@@ -241,15 +243,22 @@ def main() -> None:
     rows = []
 
     def timed(name: str, sf_dir: str) -> float:
-        """Warm run (untimed), then one timed run. The first execution of
-        a (query, scale) pair pays one-time costs the ratio math must not
-        see -- codegen compile, Python-UDF worker spawn, file-listing --
-        which inflated x1 baselines up to 2-4x in earlier single-run
-        revisions and made 8x/1x ratios look sub-linear for free."""
+        """Warm run (untimed), then MEDIAN of 3 timed runs. The warm run
+        absorbs one-time costs the ratio math must not see (codegen
+        compile, Python-UDF worker spawn, file listing) -- those inflated
+        x1 baselines up to 2-4x in earlier single-run revisions and made
+        8x/1x ratios look sub-linear for free. The median absorbs the
+        opposite failure: a single timed run occasionally lands on a GC
+        pause / page-cache eviction glitch (observed 7x outliers), which
+        on an x1 cell again fabricates sub-linearity."""
         _run_to_sink(qs[name](spark, sf_dir))
-        t0 = time.perf_counter()
-        _run_to_sink(qs[name](spark, sf_dir))
-        return time.perf_counter() - t0
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _run_to_sink(qs[name](spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        return samples[1]
 
     try:
         for k in (1, 2, 4, 8):
@@ -330,9 +339,10 @@ def main() -> None:
         "",
         "Fact tables (orders/lineitem/events) replicated k-fold with",
         "shifted keys on top of sf0.1; dims fixed (the realistic shape:",
-        "facts grow, dims don't). local[32], times in seconds, single",
-        "run, full plan executed into the no-op sink (executor-side",
-        "materialization; no driver-side collect in the timed path).",
+        "facts grow, dims don't). local[32], times in seconds, warm run",
+        "then median of 3, full plan executed into the no-op sink",
+        "(executor-side materialization; no driver-side collect in the",
+        "timed path).",
         "Machine-readable twin of every number here: SCALING.json.",
         "",
         "| query | 1x | 2x | 4x | 8x | 8x/1x |",
