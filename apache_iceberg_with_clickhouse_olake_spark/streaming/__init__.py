@@ -333,3 +333,76 @@ def run_streaming_sessionization(
     )
     q.awaitTermination()
     return spark.table("stream_sessions")
+
+
+DOC_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming ingestion-time dedup (the streaming twin of
+    operators.dedup.incremental_dedup_stats): each micro-batch of new
+    documents dedups within itself (keep lowest doc_id per fingerprint),
+    anti-joins the persistent fingerprint INDEX, and appends only
+    net-new fingerprints to the index.
+
+    Exactly-once without a transactional sink: each batch writes its
+    net-new rows to ``<index_dir>/batch=<id>`` with overwrite — a
+    replayed batch (crash after write, before checkpoint commit)
+    rewrites the same directory with the same deterministic content
+    instead of double-appending. This is the idempotent-partitioned-sink
+    pattern; on a real lake the body is one MERGE INTO.
+
+    100 TB shape: only the new batch ever shuffles (fingerprint window),
+    the index side contributes just its fingerprint column to the join,
+    and the index grows append-only — the historical corpus is never
+    rewritten."""
+    from pyspark.sql import Window
+
+    from ..functions import norm_text
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        fresh = (
+            batch.select(
+                "doc_id",
+                "source",
+                F.md5(norm_text(F.col("text"))).alias("fp"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if os.path.isdir(index_dir) and any(
+            name.startswith("batch=") for name in os.listdir(index_dir)
+        ):
+            existing = bspark.read.parquet(index_dir).select("fp")
+            fresh = fresh.join(existing, "fp", "left_anti")
+        (
+            fresh.withColumn("batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, f"batch={batch_id}"))
+        )
+
+    q = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -279,3 +279,49 @@ def test_cdc_stream_crash_after_sink_before_commit_is_exactly_once(
     cols = ["key", "custkey", "price", "_op", "_seq", "_sync_ts_epoch"]
     assert _rows(got, cols) == _rows(want, cols)
     assert got.filter(F.col("_op") == "d").count() == 0
+
+
+def test_incremental_dedup_stream_builds_exact_index(spark, sf_dir, tmp_path):
+    """Streamed ingestion dedup: three document chunks (with duplicates
+    within and across chunks) drain through the fingerprint-index
+    stream; the final index must hold each distinct fingerprint exactly
+    once with its FIRST-seen doc_id, and a checkpointed restart with no
+    new files must not grow it."""
+    from apache_iceberg_with_clickhouse_olake_spark.functions import norm_text
+    from apache_iceberg_with_clickhouse_olake_spark.streaming import (
+        run_incremental_dedup_stream,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text", "source")
+    )
+    docs_dir = str(tmp_path / "docs")
+    # chunk 0: doc_id < 100; chunk 1: 50..200 (overlaps 0); chunk 2: rest
+    for cond in [
+        F.col("doc_id") < 100,
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 200),
+        F.col("doc_id") >= 150,
+    ]:
+        docs.filter(cond).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    run_incremental_dedup_stream(spark, docs_dir, index_dir, ckpt)
+
+    got = spark.read.parquet(index_dir)
+    want = (
+        docs.select(
+            "doc_id", F.md5(norm_text(F.col("text"))).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    assert got.count() == want.count()
+    assert got.groupBy("fp").count().filter("count > 1").count() == 0
+    assert _rows(got, ["fp", "doc_id"]) == _rows(want, ["fp", "doc_id"])
+
+    # restart with the drained checkpoint: index must not grow
+    run_incremental_dedup_stream(spark, docs_dir, index_dir, ckpt)
+    assert spark.read.parquet(index_dir).count() == want.count()
