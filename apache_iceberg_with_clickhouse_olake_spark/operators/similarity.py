@@ -1251,3 +1251,73 @@ def ann_probe_sweep_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic search: ANN hits joined back to document metadata
+# ---------------------------------------------------------------------------
+
+@query(
+    "semantic_search_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv
+               FROM embeddings ORDER BY vec_id LIMIT 1),
+    hits AS (
+      SELECT e.vec_id,
+             {dround_sql(_COS_SQL.format(a='e.embedding', b='q.qv'), 6)}
+               AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.qid
+      ORDER BY cos_sim DESC, e.vec_id
+      LIMIT {_TOP_K}
+    )
+    SELECT h.vec_id AS doc_id, d.lang, d.source,
+           substr(d.text, 1, 40) AS snippet, h.cos_sim
+    FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+    ORDER BY h.cos_sim DESC, doc_id
+    """,
+    tags=("llm-similarity", "llm-text"),
+)
+def semantic_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-user semantic search: exact cosine top-k over the embedding
+    table, then the k WINNERS (and only the winners) join back to the
+    aligned documents table (vec_id == doc_id) for language, source,
+    and a text snippet — the read path a retrieval service serves.
+
+    Scale shape: the query vector broadcasts, top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort), and
+    the metadata join happens AFTER the LIMIT — k rows join against
+    documents on its key, so the text payload of the other billion
+    docs is never read, let alone shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("qid"),
+            _dvec(F.col("embedding")).alias("qv"),
+        )
+    )
+    hits = (
+        emb.join(F.broadcast(q), emb.vec_id != F.col("qid"))
+        .select(
+            "vec_id",
+            dround(_cos(_dvec(F.col("embedding")), F.col("qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_TOP_K)
+    )
+    return (
+        hits.join(docs, hits.vec_id == docs.doc_id)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.substring("text", 1, 40).alias("snippet"),
+            "cos_sim",
+        )
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+    )
