@@ -1321,3 +1321,113 @@ def semantic_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cos_sim").desc(), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal agreement: embedding-LSH candidates vs text-shingle Jaccard
+# ---------------------------------------------------------------------------
+
+from .dedup import _JACCARD_THRESHOLD as _TEXT_JACCARD_THR  # noqa: E402
+from .dedup import _SHINGLES_SQL as _TEXT_SHINGLES_SQL  # noqa: E402
+
+
+@query(
+    "crossmodal_neardup_agreement",
+    oracle=f"""
+    WITH sample AS MATERIALIZED (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE label < {_RECALL_SAMPLE_LABELS}
+    ),
+    {_embed_band_ctes('sample')},
+    sh AS (SELECT doc_id, {{SHINGLES}} AS shingles FROM documents),
+    scored AS (
+      SELECT {_COS_SQL.format(a='p.ea', b='p.eb')} AS cs,
+             CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+               AS jac
+      FROM cand p
+      JOIN sh sa ON p.vec_a = sa.doc_id
+      JOIN sh sb ON p.vec_b = sb.doc_id
+    )
+    SELECT CASE WHEN cs >= 0.5 THEN '[0.5,1.0]'
+                WHEN cs >= {_NEAR_DUP_COS} THEN '[{_NEAR_DUP_COS},0.5)'
+                ELSE '<{_NEAR_DUP_COS}' END AS cos_bin,
+           COUNT(*) AS pairs,
+           {davg_sql('jac')} AS mean_text_jaccard,
+           {dround_sql('CAST(SUM(CASE WHEN jac >= {JT} THEN 1 ELSE 0 END)'
+                       ' AS DOUBLE) / COUNT(*)', 4)} AS text_dup_rate
+    FROM scored
+    GROUP BY cos_bin
+    ORDER BY cos_bin
+    """.replace("{SHINGLES}", _TEXT_SHINGLES_SQL).replace(
+        "{JT}", str(_TEXT_JACCARD_THR)
+    ),
+    tags=("llm-similarity", "llm-dedup", "multimodal"),
+)
+def crossmodal_neardup_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-modal verification: every embedding-LSH candidate pair (the
+    banded self-join on sample labels) is re-scored in TEXT space via
+    the aligned documents table (vec_id == doc_id) — word-3-gram shingle
+    Jaccard, the minhash verifier's exact metric. Reports, per cosine
+    bin, the candidate count, mean text Jaccard, and the fraction that
+    clears the text near-dup threshold.
+
+    This is the agreement audit a multimodal pipeline runs before
+    trusting one modality's dedup verdicts for the other: high-cosine
+    bins should show rising text overlap, and the below-threshold bin
+    documents the false-candidate rate the cosine verify filters out.
+    Scale shape: the band-keyed candidate join is the measured
+    embedding_near_dup_pairs shape; the shingle sides join by doc_id
+    AFTER pair formation (text payloads never ride the band
+    explosion)."""
+    from ._embed_lsh_udf import make_embed_bands_udf
+    from .dedup import with_shingles
+
+    bands_udf = make_embed_bands_udf()
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    sample = emb.filter(F.col("label") < _RECALL_SAMPLE_LABELS).select(
+        "vec_id",
+        "label",
+        _dvec(F.col("embedding")).alias("v"),
+        bands_udf(F.col("embedding")).alias("bands"),
+    )
+    cand = _embed_candidate_pairs(sample)
+    sh = with_shingles(docs)
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    jac = (
+        F.size(
+            F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))
+        ).cast("double")
+        / F.size(F.array_union(F.col("sa.shingles"), F.col("sb.shingles")))
+    )
+    scored = (
+        cand.join(sa, cand.vec_a == F.col("sa.doc_id"))
+        .join(sb, cand.vec_b == F.col("sb.doc_id"))
+        .select(F.col("cos_sim").alias("cs"), jac.alias("jac"))
+    )
+    cos_bin = (
+        F.when(F.col("cs") >= 0.5, F.lit("[0.5,1.0]"))
+        .when(
+            F.col("cs") >= _NEAR_DUP_COS,
+            F.lit(f"[{_NEAR_DUP_COS},0.5)"),
+        )
+        .otherwise(F.lit(f"<{_NEAR_DUP_COS}"))
+    )
+    return (
+        scored.groupBy(cos_bin.alias("cos_bin"))
+        .agg(
+            F.count("*").alias("pairs"),
+            davg("jac", "mean_text_jaccard"),
+            dround(
+                F.sum(
+                    (F.col("jac") >= _TEXT_JACCARD_THR).cast("long")
+                ).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("text_dup_rate"),
+        )
+        .orderBy("cos_bin")
+    )
