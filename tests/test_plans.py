@@ -352,3 +352,25 @@ def test_repetition_and_pii_scans_prune(spark, sf_dir):
         "documents",
         {"doc_id", "source", "text"},
     )
+
+
+def test_semantic_search_shape(spark, sf_dir):
+    # top-k must be TakeOrderedAndProject; the metadata join happens on
+    # the k winners (no cartesian); documents scan pruned to the four
+    # columns the result needs
+    df = _Q["semantic_search_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert_scan_columns_at_most(
+        df, "documents", {"doc_id", "lang", "source", "text"}
+    )
+
+
+def test_crossmodal_agreement_no_cartesian(spark, sf_dir):
+    # band-keyed candidate join + doc_id-keyed shingle joins only; the
+    # text payload must never ride the band explosion (no BNLJ over
+    # data-scale frames, no cartesian)
+    plan = physical_plan(_Q["crossmodal_neardup_agreement"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "band_val" in plan, plan
