@@ -87,7 +87,10 @@ _PRIORITY = (
     "cdc_upsert_state",
     # medallion / lake / DDL (S1, S3, S4, S6, D1-D12, L1-L4, P7, O5, A9)
     "gold_order_metrics",
-    "gold_reaggregate",
+    # gold_reaggregate rotated out (A9 double-covered by
+    # medallion_readback) for the ground-truth recall eval, whose
+    # banding math is the riskiest r5 code path.
+    "embedding_neardup_recall_eval",
     "medallion_readback",
     "schema_evolution_merge",
     "time_travel_counts",
@@ -113,12 +116,14 @@ _PRIORITY = (
     "dedup_exact_stats",
     "dedup_cascade_stats",
     "corpus_build_pipeline",
-    "shard_assignment_stats",
+    # shard_assignment_stats rotated out (O5 double-covered by
+    # bucket_index_lookup) for the repetition-quality signals;
+    # training_mix_sample rotated out (llm-sampling carried by the
+    # in-window corpus_build_pipeline) for the cross-modal agreement
+    # audit — both r5 additions with driver-row-worthy new code paths.
+    "doc_repetition_stats",
     "embedding_near_dup_pairs",
-    # training_mix_sample carries BOTH llm-sampling and llm-text, so the
-    # text family stays covered (curation_pipeline/shard_assignment_stats
-    # are also in-window) while the sampling family gets its driver row
-    "training_mix_sample",
+    "crossmodal_neardup_agreement",
     "media_catalog_stats",
     # window functions family
     "top_orders_per_customer",
