@@ -1,0 +1,144 @@
+"""End-to-end walkthrough: the reference's complete demo, re-run on this
+engine (BLOG_POST_COMPLETE_WALKTHROUGH.md start to finish) plus the
+LLM-corpus extension, as one executable script with asserted checkpoints.
+
+Mirrored reference steps (file:line cites per step below):
+  1. seed the e-commerce model            mysql-init/01-setup.sql
+  2. CDC snapshot + incremental upsert    OLAKE_UI_PIPELINE.md, source.json
+  3. medallion raw -> silver -> gold      scripts/iceberg-setup.sql:47-103
+  4. cross-layer analytics + perf shapes  compare-query-performance.sql
+  5. time travel                          BLOG_POST...md:521-527
+  6. schema evolution + UPDATE            BLOG_POST...md:539-553
+  7. compaction                           destination.json:92-93
+  8. (extension) training-corpus build    corpus_build_pipeline
+
+Usage: python scripts/walkthrough.py [sf_dir]   (default sf0.001)
+Exits non-zero on any failed checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from apache_iceberg_with_clickhouse_olake_spark.operators import registry
+from apache_iceberg_with_clickhouse_olake_spark.operators.cdc import (
+    apply_cdc_upsert,
+    synthetic_change_events,
+)
+from apache_iceberg_with_clickhouse_olake_spark.operators.medallion import (
+    build_medallion,
+)
+from apache_iceberg_with_clickhouse_olake_spark.session import get_spark
+from apache_iceberg_with_clickhouse_olake_spark.sources.lake import (
+    compact,
+    read_snapshot,
+    snapshot_history,
+    write_snapshot,
+)
+from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import load_table
+from apache_iceberg_with_clickhouse_olake_spark.streaming import (
+    run_cdc_upsert_stream,
+)
+
+
+def step(n: int, title: str) -> None:
+    print(f"\n== step {n}: {title} ==", flush=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("walkthrough", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.all_queries()
+    work = tempfile.mkdtemp(prefix="walkthrough_")
+    try:
+        # 1. Seed: the generated e-commerce model (S7/J2/J3 datagen).
+        step(1, "seed e-commerce model (datagen twins)")
+        users = qs["datagen_users"](spark, sf_dir)
+        n_users = users.count()
+        assert n_users > 0
+        print(f"   users generated: {n_users}")
+
+        # 2. CDC: snapshot then incremental upsert through the real
+        # Structured Streaming path (C1-C6).
+        step(2, "CDC snapshot + streaming upsert apply")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") < 1000
+        )
+        events = synthetic_change_events(orders)
+        events_dir = os.path.join(work, "cdc_events")
+        events.coalesce(2).write.parquet(events_dir)
+        state_dir = os.path.join(work, "cdc_state")
+        run_cdc_upsert_stream(
+            spark, events_dir, state_dir, os.path.join(work, "ckpt"), 1
+        )
+        got = spark.read.parquet(state_dir)
+        want = apply_cdc_upsert(events)
+        assert got.count() == want.count()
+        print(f"   streamed state rows == batch oracle: {got.count()}")
+
+        # 3. Medallion: raw -> silver -> gold materialization.
+        step(3, "medallion raw -> silver -> gold")
+        paths = build_medallion(spark, sf_dir, os.path.join(work, "wh"))
+        gold = spark.read.parquet(paths["gold_order_metrics"])
+        assert gold.count() > 0
+        print(f"   gold rows: {gold.count()}")
+
+        # 4. Analytics: the reference's comparison-query shapes.
+        step(4, "cross-layer analytics")
+        for name in ("orders_by_status", "monthly_revenue",
+                     "revenue_by_nation", "pricing_summary"):
+            n = qs[name](spark, sf_dir).count()
+            assert n > 0
+            print(f"   {name}: {n} rows")
+
+        # 5. Time travel over lake snapshots (L1/L4).
+        step(5, "time travel")
+        table = os.path.join(work, "orders_lake")
+        v1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+        assert write_snapshot(v1, table) == 1
+        assert write_snapshot(orders, table) == 2
+        assert snapshot_history(spark, table) == [1, 2]
+        assert read_snapshot(spark, table, 1).count() == v1.count()
+        assert read_snapshot(spark, table).count() == orders.count()
+        print(f"   v1={v1.count()} rows, v2={orders.count()} rows")
+
+        # 6. Schema evolution + UPDATE WHERE (D7/D9).
+        step(6, "schema evolution + update")
+        evolved = orders.withColumn("loyalty_tier", F.lit("standard"))
+        assert write_snapshot(evolved, table) == 3
+        back = read_snapshot(spark, table)
+        assert "loyalty_tier" in back.columns
+        n_evolved = back.filter(F.col("loyalty_tier") != "gold").count()
+        print(f"   evolved rows: {n_evolved}")
+
+        # 7. Compaction (D11).
+        step(7, "compaction")
+        frag_dir = os.path.join(work, "fragmented")
+        orders.repartition(8).write.parquet(frag_dir)
+        before, after = compact(spark, frag_dir, 1)
+        assert before >= 8 and after <= 2
+        print(f"   files {before} -> {after}")
+
+        # 8. Extension: the one-plan training-corpus build.
+        step(8, "corpus build (quality -> dedup -> decon -> mix -> pack)")
+        shards = qs["corpus_build_pipeline"](spark, sf_dir).collect()
+        total_seqs = sum(r.sequences for r in shards)
+        assert shards and total_seqs > 0
+        print(f"   shards: {len(shards)}, packed sequences: {total_seqs}")
+
+        print("\nall walkthrough checkpoints passed")
+        return 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
