@@ -387,7 +387,16 @@ def run_incremental_dedup_stream(
         if os.path.isdir(index_dir) and any(
             name.startswith("batch=") for name in os.listdir(index_dir)
         ):
-            existing = bspark.read.parquet(index_dir).select("fp")
+            # Exclude THIS batch's partition from the index read: after
+            # a crash in the danger window (partition written, offset
+            # uncommitted) the replayed batch would otherwise anti-join
+            # against its own partial write and erase its fingerprints.
+            # `batch` is the discovered partition column of batch=<id>.
+            existing = (
+                bspark.read.parquet(index_dir)
+                .where(F.col("batch") != batch_id)
+                .select("fp")
+            )
             fresh = fresh.join(existing, "fp", "left_anti")
         (
             fresh.withColumn("batch_id", F.lit(batch_id))

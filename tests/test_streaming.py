@@ -325,3 +325,97 @@ def test_incremental_dedup_stream_builds_exact_index(spark, sf_dir, tmp_path):
     # restart with the drained checkpoint: index must not grow
     run_incremental_dedup_stream(spark, docs_dir, index_dir, ckpt)
     assert spark.read.parquet(index_dir).count() == want.count()
+
+
+def test_incremental_dedup_stream_crash_replay_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Chaos twin for the fingerprint-index stream: crash AFTER batch 1's
+    index partition is written but BEFORE its offset commits; the replay
+    overwrites the same batch=1 directory with identical content, so the
+    final index must equal the batch oracle with no duplicated
+    fingerprints."""
+    from apache_iceberg_with_clickhouse_olake_spark.functions import norm_text
+    from apache_iceberg_with_clickhouse_olake_spark.streaming import (
+        DOC_STREAM_SCHEMA,
+        run_incremental_dedup_stream,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text", "source")
+    )
+    docs_dir = str(tmp_path / "docs")
+    for cond in [F.col("doc_id") < 80, (F.col("doc_id") >= 40) & (
+        F.col("doc_id") < 150
+    ), F.col("doc_id") >= 120]:
+        docs.filter(cond).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    # poisoned first pass: reuse the real body via a wrapper stream
+    import os as _os
+
+    from pyspark.sql import Window as _W
+
+    crashed = []
+
+    def poisoned(batch, batch_id):
+        w = _W.partitionBy("fp").orderBy("doc_id")
+        fresh = (
+            batch.select(
+                "doc_id",
+                "source",
+                F.md5(norm_text(F.col("text"))).alias("fp"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if _os.path.isdir(index_dir) and any(
+            n.startswith("batch=") for n in _os.listdir(index_dir)
+        ):
+            existing = (
+                batch.sparkSession.read.parquet(index_dir)
+                .where(F.col("batch") != batch_id)
+                .select("fp")
+            )
+            fresh = fresh.join(existing, "fp", "left_anti")
+        (
+            fresh.withColumn("batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(_os.path.join(index_dir, f"batch={batch_id}"))
+        )
+        if batch_id == 1 and not crashed:
+            crashed.append(batch_id)
+            raise RuntimeError("injected crash after index write")
+
+    q = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(poisoned)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        q.awaitTermination()
+    assert crashed == [1]
+    # danger window proven: batch=1 partition exists, offset uncommitted
+    assert os.path.isdir(os.path.join(index_dir, "batch=1"))
+
+    run_incremental_dedup_stream(spark, docs_dir, index_dir, ckpt)
+    got = spark.read.parquet(index_dir)
+    want = (
+        docs.select("doc_id", F.md5(norm_text(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    assert got.groupBy("fp").count().filter("count > 1").count() == 0
+    assert _rows(got, ["fp", "doc_id"]) == _rows(want, ["fp", "doc_id"])
