@@ -198,18 +198,29 @@ class ParquetBackend:
     def compact(
         self, spark: SparkSession, data_dir: str, target_files: int
     ) -> tuple[int, int]:
+        import shutil
+
+        # Crash recovery for the sibling-rename swap below (same protocol
+        # as streaming._recover_state): a death between the two renames
+        # leaves the data at '<dir>.old' and no live dir — restore it
+        # (the compacted copy never became visible, so nothing is lost);
+        # stale '.compact' staging and '.old' leftovers are discarded so
+        # the renames below can never collide with them.
+        bak = data_dir.rstrip("/") + ".old"
+        tmp = data_dir.rstrip("/") + ".compact"
+        if os.path.exists(bak) and not os.path.exists(data_dir):
+            os.rename(bak, data_dir)
+        shutil.rmtree(bak, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
         before = len(
             [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
         )
         df = spark.read.parquet(data_dir)
-        tmp = data_dir.rstrip("/") + ".compact"
         df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
         # Atomic swap (single-FS local mode; a lake commits a snapshot).
-        bak = data_dir.rstrip("/") + ".old"
         os.rename(data_dir, bak)
         os.rename(tmp, data_dir)
-        import shutil
-
         shutil.rmtree(bak)
         after = len(
             [f for f in os.listdir(data_dir) if f.endswith(".parquet")]

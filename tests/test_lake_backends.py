@@ -246,3 +246,25 @@ def test_iceberg_backend_full_surface_when_jar_present(
     assert before >= 2 and after <= before
     # compaction rewrites files, never rows
     assert be.read_snapshot(spark, table).count() == got_latest.count()
+
+
+def test_compact_crash_recovery(spark, sf_dir, tmp_path):
+    """A crash between compact's two renames leaves '<dir>.old' and no
+    live dir; the next compact call must restore the backup (the
+    compacted copy never became visible, so no rows are lost) and clear
+    stale staging dirs before swapping."""
+    import os
+
+    data_dir = str(tmp_path / "frag")
+    load_table(spark, sf_dir, "orders").repartition(4).write.parquet(data_dir)
+    n = spark.read.parquet(data_dir).count()
+
+    # simulate the crash window: data renamed away, compacted copy not in
+    os.rename(data_dir, data_dir + ".old")
+    os.makedirs(data_dir + ".compact")  # stale staging from the dead run
+
+    before, after = compact(spark, data_dir, 1)
+    assert before >= 4 and after <= 2
+    assert spark.read.parquet(data_dir).count() == n
+    assert not os.path.exists(data_dir + ".old")
+    assert not os.path.exists(data_dir + ".compact")
