@@ -415,3 +415,93 @@ def run_incremental_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_corpus_ingest_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    n_shards: int = 8,
+) -> None:
+    """Streaming corpus ingestion: the corpus_build_pipeline front half
+    (quality filter -> exact dedup -> shard assignment) run
+    incrementally as new document files arrive — how a 100 TB training
+    corpus actually accumulates (crawl shards land daily; nobody re-runs
+    the batch build from scratch).
+
+    Per micro-batch: quality-reject first (dropped docs never shuffle),
+    dedup within the batch (keep lowest doc_id per fingerprint),
+    anti-join the fingerprints already IN the corpus (excluding this
+    batch's own partition — the replay-safety rule the chaos tests
+    pin), assign the deterministic md5 shard, and append net-new docs
+    to ``<corpus_dir>/batch=<id>`` with overwrite (idempotent
+    partitioned sink). The accumulated corpus is then directly readable
+    for the packing/mix stages.
+
+    Quality thresholds and the shard hash are the corpus_build_pipeline
+    constants, so streamed ingestion converges to the same corpus the
+    batch build would produce from the same documents — exactly, when
+    duplicates arrive in doc_id order (crawl dumps ship id-ordered);
+    under arbitrary arrival order keep-first retains the first-ARRIVED
+    representative instead of the lowest id, which changes the kept
+    doc_id but never the fingerprint set."""
+    from pyspark.sql import Window
+
+    from ..functions import md5_int60, norm_text, tokens
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        toks = tokens(F.col("text"))
+        n_tokens = F.size(toks)
+        n_punct = F.length(F.regexp_replace("text", "[^.!?,;:]", ""))
+        punct_ratio = n_punct.cast("double") / F.when(
+            F.length("text") == 0, F.lit(None)
+        ).otherwise(F.length("text"))
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        shard = (
+            md5_int60(
+                F.concat(F.lit("pack-"), F.col("doc_id").cast("string"))
+            )
+            % n_shards
+        ).cast("long")
+        fresh = (
+            batch.filter(
+                (n_tokens >= 5) & (n_tokens <= 10000) & (punct_ratio < 0.2)
+            )
+            .select(
+                "doc_id",
+                "source",
+                n_tokens.cast("long").alias("n_toks"),
+                shard.alias("shard"),
+                F.md5(norm_text(F.col("text"))).alias("fp"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if os.path.isdir(corpus_dir) and any(
+            name.startswith("batch=") for name in os.listdir(corpus_dir)
+        ):
+            existing = (
+                bspark.read.parquet(corpus_dir)
+                .where(F.col("batch") != batch_id)
+                .select("fp")
+            )
+            fresh = fresh.join(existing, "fp", "left_anti")
+        (
+            fresh.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
+        )
+
+    q = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

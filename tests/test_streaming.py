@@ -419,3 +419,78 @@ def test_incremental_dedup_stream_crash_replay_is_idempotent(
     )
     assert got.groupBy("fp").count().filter("count > 1").count() == 0
     assert _rows(got, ["fp", "doc_id"]) == _rows(want, ["fp", "doc_id"])
+
+
+def test_corpus_ingest_stream_converges_to_batch_build(
+    spark, sf_dir, tmp_path
+):
+    """Streamed corpus ingestion (quality -> dedup -> shard, incremental)
+    must converge to EXACTLY the corpus the batch build derives from the
+    same documents: same kept doc_ids, same shard assignment, same token
+    counts, no duplicate fingerprints — and a checkpointed restart must
+    not grow it."""
+    from apache_iceberg_with_clickhouse_olake_spark.functions import (
+        md5_int60,
+        norm_text,
+        tokens,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.streaming import (
+        run_corpus_ingest_stream,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "text", "source")
+    )
+    docs_dir = str(tmp_path / "docs")
+    for cond in [
+        F.col("doc_id") < 150,
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 300),
+        F.col("doc_id") >= 250,
+    ]:
+        docs.filter(cond).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    corpus_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    run_corpus_ingest_stream(spark, docs_dir, corpus_dir, ckpt)
+
+    got = spark.read.parquet(corpus_dir)
+    # batch twin: quality filter -> keep-first dedup -> shard
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace("text", "[^.!?,;:]", ""))
+    punct_ratio = n_punct.cast("double") / F.when(
+        F.length("text") == 0, F.lit(None)
+    ).otherwise(F.length("text"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    want = (
+        docs.filter(
+            (n_tokens >= 5) & (n_tokens <= 10000) & (punct_ratio < 0.2)
+        )
+        .select(
+            "doc_id",
+            "source",
+            n_tokens.cast("long").alias("n_toks"),
+            (
+                md5_int60(
+                    F.concat(
+                        F.lit("pack-"), F.col("doc_id").cast("string")
+                    )
+                )
+                % 8
+            ).cast("long").alias("shard"),
+            F.md5(norm_text(F.col("text"))).alias("fp"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    cols = ["doc_id", "source", "n_toks", "shard", "fp"]
+    assert got.groupBy("fp").count().filter("count > 1").count() == 0
+    assert _rows(got, cols) == _rows(want, cols)
+
+    run_corpus_ingest_stream(spark, docs_dir, corpus_dir, ckpt)
+    assert spark.read.parquet(corpus_dir).count() == want.count()
