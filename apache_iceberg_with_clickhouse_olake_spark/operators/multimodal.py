@@ -2,13 +2,18 @@
 resize over opaque ``binary`` media payloads (north-star extension;
 the reference has no media surface).
 
-The decode step is a DETERMINISTIC FAKE: payload bytes are interpreted
-directly as pixel/sample values (``numpy.frombuffer``). Real codec decode
-is stubbed behind :func:`decode_with_codec`, which raises
-``NotImplementedError`` unless PIL/soundfile exist (they don't in this
-container). Everything Spark-side -- schema, metadata pushdown, column
-pruning, Arrow batch shape, ``mapInPandas`` signatures -- is real and
-oracle-/pytest-verified.
+The registered queries use a DETERMINISTIC FAKE decode: payload bytes
+are interpreted directly as pixel/sample values (``numpy.frombuffer``),
+so the DuckDB oracle can re-derive every byte. The REAL decode path is
+:func:`decode_with_codec` (PIL for images, soundfile for audio --
+returns the same flat-uint8 value domain) with
+:func:`media_decode_features_real` as its ``mapInPandas`` twin; the
+container ships no codec libraries, so that branch is covered by the
+``pytest.importorskip``-gated ``tests/test_multimodal_real_codec.py``
+(runs the moment pillow appears) rather than the driver oracle gate.
+Everything Spark-side -- schema, metadata pushdown, column pruning,
+Arrow batch shape, ``mapInPandas`` signatures -- is shared between the
+two paths and oracle-/pytest-verified on the fake one.
 
 Scale design (100 TB):
 - Metadata predicates (``media_type = 'video'``) and column pruning happen
@@ -45,18 +50,55 @@ def _bytes_sql(hex_expr: str, start: str, n: str) -> str:
     )
 
 
-def decode_with_codec(payload: bytes, fmt: str):
-    """Real codec decode -- STUB. The container ships no media libraries;
-    the deterministic byte-level fake below stands in for tests. Swap-in
-    point for PIL/soundfile/pyav in a real deployment."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            f"no codec library available to decode format={fmt!r}; "
-            "install pillow/soundfile/pyav"
-        )
-    raise NotImplementedError("codec decode not wired in this environment")
+_IMAGE_FORMATS = frozenset({"png", "jpeg", "jpg", "gif", "bmp", "webp"})
+_AUDIO_FORMATS = frozenset({"wav", "flac", "ogg"})
+
+
+def decode_with_codec(payload: bytes, fmt: str) -> np.ndarray:
+    """Real codec decode for deployments that ship media libraries.
+
+    Returns the decoded asset as a FLAT uint8 array -- the same value
+    domain the deterministic fake decode produces -- so every downstream
+    feature operator (byte stats, frame slicing, chunk energy) applies
+    to real assets unchanged:
+
+    - image formats: PIL ``Image.open`` -> pixel array (H, W[, C])
+      flattened in C order;
+    - audio formats: ``soundfile.read`` -> PCM16 samples viewed as
+      little-endian bytes (2 bytes/sample, interleaved channels).
+
+    Raises ``NotImplementedError`` when the library for the requested
+    format is absent (this container ships neither pillow nor
+    soundfile; ``tests/test_multimodal_real_codec.py`` gates on
+    ``pytest.importorskip`` and runs the moment pillow appears).
+    """
+    fmt = fmt.lower().lstrip(".")
+    if fmt in _IMAGE_FORMATS:
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError:
+            raise NotImplementedError(
+                f"format={fmt!r} needs pillow; container ships no codecs"
+            )
+        with Image.open(io.BytesIO(payload)) as img:
+            return np.asarray(img, dtype=np.uint8).reshape(-1)
+    if fmt in _AUDIO_FORMATS:
+        try:
+            import io
+
+            import soundfile
+        except ImportError:
+            raise NotImplementedError(
+                f"format={fmt!r} needs soundfile; container ships no codecs"
+            )
+        samples, _rate = soundfile.read(io.BytesIO(payload), dtype="int16")
+        return np.ascontiguousarray(samples, dtype="<i2").view(np.uint8)
+    raise NotImplementedError(
+        f"no codec wired for format={fmt!r} "
+        f"(images: {sorted(_IMAGE_FORMATS)}, audio: {sorted(_AUDIO_FORMATS)})"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -115,22 +157,53 @@ _FEATURES_SCHEMA = (
 )
 
 
+def _features_frame(pdf, arrs) -> pd.DataFrame:
+    """Per-asset byte statistics over decoded uint8 arrays -- shared by
+    the fake-decode and real-codec paths so both emit _FEATURES_SCHEMA
+    and the same oracle shape applies to either."""
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "media_type": pdf["media_type"],
+            "n_bytes": [a.size for a in arrs],
+            # exact int sum / count: bit-identical to SQL division
+            "byte_mean": [float(int(a.sum()) / a.size) for a in arrs],
+            "byte_min": [int(a.min()) for a in arrs],
+            "byte_max": [int(a.max()) for a in arrs],
+        }
+    )
+
+
 def _decode_features_batches(batches):
     """Vectorized fake-decode: payload bytes -> per-asset byte statistics.
     Iterator-of-DataFrames in/out == one Arrow batch per yield."""
     for pdf in batches:
         arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": [a.size for a in arrs],
-                # exact int sum / count: bit-identical to SQL division
-                "byte_mean": [float(int(a.sum()) / a.size) for a in arrs],
-                "byte_min": [int(a.min()) for a in arrs],
-                "byte_max": [int(a.max()) for a in arrs],
-            }
-        )
+        yield _features_frame(pdf, arrs)
+
+
+def _decode_features_batches_real(batches):
+    """Real-codec twin of :func:`_decode_features_batches`: decodes each
+    payload with :func:`decode_with_codec` (PIL/soundfile) instead of
+    interpreting raw bytes. Same Arrow batch shape, same output schema,
+    same per-row independence -- the Spark plan is identical."""
+    for pdf in batches:
+        arrs = [
+            decode_with_codec(p, f)
+            for p, f in zip(pdf["payload"], pdf["format"])
+        ]
+        yield _features_frame(pdf, arrs)
+
+
+def media_decode_features_real(media: DataFrame) -> DataFrame:
+    """Real-codec feature extraction over a media DataFrame carrying
+    ``doc_id, media_type, format, payload``. Not a registered query: the
+    sandbox ships no codec libraries, so the driver gate cannot
+    oracle-check it -- the importorskip-gated test in
+    ``tests/test_multimodal_real_codec.py`` exercises it instead."""
+    return media.select(
+        "doc_id", "media_type", "format", "payload"
+    ).mapInPandas(_decode_features_batches_real, _FEATURES_SCHEMA)
 
 
 @query(
