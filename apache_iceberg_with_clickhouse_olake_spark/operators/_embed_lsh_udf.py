@@ -67,3 +67,60 @@ def make_embed_bands_udf():
     """Built at call time, not module import (executor re-imports have no
     SparkSession to resolve the return type)."""
     return pandas_udf(_bands_series, "array<int>")
+
+
+# --- Config sweep: recall/cost curve over (bands, planes_per_band) -------
+#
+# The first four configs re-slice the SAME 128 sign bits the production
+# 16x8 banding computes (fixed hash budget, pure grouping trade-off);
+# the last two extend the plane family to 256/512 bits (buying mid-band
+# recall with more hashing instead of coarser bands). All planes come
+# from the one md5 "hp-{p}-{i}" family, so config j's bits are a prefix
+# re-grouping -- the oracle re-derives every bit relationally.
+SWEEP_CONFIGS = ((8, 16), (16, 8), (32, 4), (64, 2), (32, 8), (64, 8))
+MAX_SWEEP_PLANES = max(b * r for b, r in SWEEP_CONFIGS)
+SWEEP_OFFSETS = []
+_off = 0
+for _b, _r in SWEEP_CONFIGS:
+    SWEEP_OFFSETS.append(_off)
+    _off += _b
+SWEEP_TOTAL_VALS = _off
+
+
+def sweep_plane_matrix() -> np.ndarray:
+    n = MAX_SWEEP_PLANES
+    out = np.empty((n, DIM), dtype=np.int64)
+    for p in range(n):
+        for i in range(DIM):
+            h = hashlib.md5(f"hp-{p}-{i}".encode()).digest()[0]
+            out[p, i] = 1 if h % 2 == 0 else -1
+    return out
+
+
+_SWEEP_PLANES = sweep_plane_matrix()
+
+
+def sweep_band_values(vectors: np.ndarray) -> np.ndarray:
+    """(n, SWEEP_TOTAL_VALS) int32: concatenated band signatures for every
+    sweep config, from one 512-plane integer-dot bit matrix."""
+    vq = np.floor(vectors.astype(np.float64) * QUANT + 0.5).astype(np.int64)
+    bits = (vq @ _SWEEP_PLANES.T) >= 0  # (n, MAX_SWEEP_PLANES)
+    cols = []
+    for b, r in SWEEP_CONFIGS:
+        vals = np.zeros((vectors.shape[0], b), dtype=np.int32)
+        for j in range(b):
+            for k in range(r):
+                vals[:, j] |= bits[:, j * r + k].astype(np.int32) << k
+        cols.append(vals)
+    return np.concatenate(cols, axis=1)
+
+
+def _sweep_series(emb: pd.Series) -> pd.Series:
+    if len(emb) == 0:
+        return pd.Series([], dtype=object)
+    vals = sweep_band_values(np.stack(emb.to_numpy()))
+    return pd.Series(list(vals.tolist()))
+
+
+def make_embed_sweep_udf():
+    return pandas_udf(_sweep_series, "array<int>")

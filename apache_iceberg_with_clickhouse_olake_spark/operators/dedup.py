@@ -917,7 +917,13 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Iterative algorithm hygiene: materialize the edge set once and cut
     # lineage every round (localCheckpoint), else each round re-embeds
     # the full LSH pipeline in the plan and it grows exponentially.
-    sym = sym.localCheckpoint(eager=True)
+    # Repartition on the probe key BEFORE checkpointing: every round
+    # joins on sym.b, and a checkpoint captures its partitioning, so all
+    # _CC_ROUNDS joins read the materialized edges co-partitioned (only
+    # the tiny per-round label frame re-shuffles) instead of re-hashing
+    # the edge set each round at whatever fragmented partitioning the
+    # verify join happened to leave behind.
+    sym = sym.repartition(par, "b").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("doc_id")).distinct()
         .withColumn("label", F.col("doc_id"))

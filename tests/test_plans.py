@@ -284,6 +284,12 @@ def test_embedding_neardup_join_keyed_on_lsh_band(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "band_val" in plan, plan
     assert "HashAggregate" not in plan, plan
+    # The pair join's shuffle granularity is pinned by an explicit
+    # repartition on the band keys (exempt from AQE byte-based
+    # coalescing): pair enumeration amplifies compute quadratically per
+    # bucket, so coalescing this stage by shuffle bytes starves it of
+    # parallelism and one hot-bucket partition becomes the straggler.
+    assert "REPARTITION_BY_NUM" in plan, plan
 
 
 def test_dedup_cascade_pair_join_sees_representatives_only(spark, sf_dir):
@@ -374,3 +380,20 @@ def test_crossmodal_agreement_no_cartesian(spark, sf_dir):
     plan = physical_plan(_Q["crossmodal_neardup_agreement"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "band_val" in plan, plan
+
+
+def test_sketch_only_twins_have_no_exact_distinct(spark, sf_dir):
+    # the production sketch paths must never pay the exact countDistinct
+    # their bounds-oracle verification variants fuse in (r5 ADVICE): one
+    # sketch aggregate, no distinct expansion anywhere in the plan
+    from apache_iceberg_with_clickhouse_olake_spark.operators.analytics import (
+        daily_users_hll_sketch,
+        unique_customers_sketch,
+    )
+
+    plan = physical_plan(unique_customers_sketch(spark, sf_dir))
+    assert "approx_count_distinct" in plan, plan
+    assert "count(distinct" not in plan.lower(), plan
+    plan = physical_plan(daily_users_hll_sketch(spark, sf_dir))
+    assert "hll_union_agg" in plan, plan
+    assert "count(distinct" not in plan.lower(), plan
