@@ -252,6 +252,33 @@ def unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unique_customers_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION sketch-only shape of A6 at 100 TB: ONE single-pass
+    approximate aggregate, no exact countDistinct anywhere in the plan.
+
+    The registered ``unique_customers_approx`` above is the VERIFICATION
+    variant -- it adds the exact branch so the bounds oracle can hash an
+    error envelope, which makes the exact aggregate (the dominant cost at
+    scale) inseparable from that query (r5 ADVICE). This twin is the
+    actually-runnable production path; it is not oracle-registered
+    because sketch estimates are engine-specific, so its contract is
+    pinned structurally instead: tests/test_plans.py asserts the plan
+    contains the sketch aggregate and NO exact-distinct, and
+    tests/test_analytics.py bounds its estimates against the exact
+    variant's output."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.01).alias(
+                "approx_customers"
+            ),
+            F.count("*").alias("order_count"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # ---------------------------------------------------------------------------
 # J1: fact -> dim -> dim star join
 # mysql-init/01-setup.sql:308-320
@@ -1236,6 +1263,34 @@ def daily_users_hll_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("exact_users").cast("double")
                 <= _APPROX_REL_ERR
             ).alias("within_bound"),
+        )
+        .orderBy("month_bucket")
+    )
+
+
+def daily_users_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION twin of daily_users_hll_reagg (r5 ADVICE): per-day HLL
+    sketches merged up to months with NO exact-distinct branch -- the
+    single re-aggregation pass a 100 TB gold layer actually runs
+    (sketches stored once; rollups never rescan facts). The registered
+    query keeps the exact join as its verification harness; this one is
+    structurally pinned instead (tests/test_plans.py: hll_union_agg
+    present, no exact distinct) and bounds-checked against the exact
+    variant in tests/test_analytics.py."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000").alias("day")
+    daily = events.select(day, "user_id").groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        daily.groupBy((F.col("day") / 30).cast("int").alias("month_bucket"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_users"
+            ),
+            F.sum("n_events").alias("n_events"),
+            F.count("*").alias("days_merged"),
         )
         .orderBy("month_bucket")
     )
