@@ -301,6 +301,65 @@ def _backend(spark: SparkSession) -> ParquetBackend | IcebergBackend:
     return ParquetBackend()
 
 
+# Ops that transparently switch from the parquet fallback to real
+# Iceberg the moment a jar + catalog appear (r5 verdict item 7: the
+# gated surface must be visible in round artifacts, so every round's
+# record shows exactly what remains unverified in this sandbox).
+# op-id -> (what switches, verifying gated test)
+GATED_SURFACE: dict[str, tuple[str, str]] = {
+    "L1 time travel": (
+        "versioned-dir reads -> snapshot-id pinned reads (VERSION AS OF)",
+        "tests/test_lake_backends.py (skipif not iceberg_available)",
+    ),
+    "L3 manifest caching": (
+        "N/A on parquet -> io.manifest.cache-enabled=true config keys",
+        "config passthrough only; no behavior to test without a jar",
+    ),
+    "L4 snapshot inspection": (
+        "v<N> dir listing -> .snapshots metadata table",
+        "tests/test_lake_backends.py",
+    ),
+    "D6 upsert merge-on-read": (
+        "read-side row_number dedup view -> MERGE INTO + merge-on-read",
+        "tests/test_lake_backends.py",
+    ),
+    "D7 ADD COLUMN evolution": (
+        "mergeSchema=true parquet reads -> ALTER TABLE ... ADD COLUMN",
+        "tests/test_lake_backends.py",
+    ),
+    "D9 UPDATE WHERE": (
+        "read-modify-overwrite rewrite -> Iceberg UPDATE SQL",
+        "tests/test_lake_backends.py",
+    ),
+    "D11 compaction/expiry": (
+        "coalesce-rewrite + rename swap -> rewrite_data_files / "
+        "expire_snapshots procedures",
+        "tests/test_lake_backends.py",
+    ),
+    "S3 lake write": (
+        "partitioned parquet sink -> writeTo(catalog.ns.tbl).append()",
+        "tests/test_lake_backends.py",
+    ),
+}
+
+
+def gated_surface_report(spark: SparkSession) -> list[str]:
+    """Human-readable inventory of the Iceberg-gated surface and whether
+    this session runs the real branch or the parquet fallback."""
+    live = iceberg_available(spark)
+    head = (
+        "Iceberg runtime DETECTED: gated ops run the real branch"
+        if live
+        else "no Iceberg jar/catalog in this session: gated ops run the "
+        "parquet fallback (real branch verifies via the skipif-gated "
+        "integration tests the moment a jar appears)"
+    )
+    lines = [f"iceberg-gated surface: {head}"]
+    for op, (switch, test) in GATED_SURFACE.items():
+        lines.append(f"  {op}: {switch}  [{test}]")
+    return lines
+
+
 # -- module-level surface (backend-agnostic call sites) ---------------------
 
 
