@@ -199,12 +199,30 @@ def _completed_stage_ids(spark) -> set[int]:
     return {s["stageId"] for s in stages}
 
 
-def _task_skew(spark, stage_ids: set[int]) -> tuple[float, int]:
-    """Worst max/median executorRunTime over the given stages (only
-    stages with >= 8 tasks and a >= 50 ms median count — tiny stages
-    produce meaningless ratios). Returns (worst_ratio, stages_measured);
-    (1.0, 0) when nothing qualifies."""
-    worst, measured = 1.0, 0
+def _task_skew(
+    spark, stage_ids: set[int], wall_ms: float
+) -> tuple[float | None, float | None, int]:
+    """Straggler measurement over the given stages, scoped to what the
+    suite actually tests — REDUCER-KEY skew:
+
+    - Eligible stages: >= 8 tasks, >= 50 ms median executorRunTime, AND
+      nonzero shuffle-read bytes. A hot reducer key can only manifest in
+      a stage that READS a shuffle; map/scan stages see input-file
+      layout (a fixture property at this corpus size: single-row-group
+      ~600 KB files cannot split), not keys.
+    - The headline ("material") ratio is the worst max/median among
+      eligible stages whose absolute excess (max - median) is also
+      >= 5% of the query's wall time: on ms-scale stages a 50-100 ms
+      excess is one GC pause / JIT blip, not a straggler — observed
+      bouncing a 60 ms-median stage between ratio 1.0 and 2.3 across
+      back-to-back runs while query wall time never moved.
+
+    Returns (worst_material, worst_eligible, eligible_count); Nones mean
+    'no such stage' — a measurement failure must surface as unmeasured,
+    never as a perfect 1.0 (r5 ADVICE). The unscoped eligible worst is
+    published alongside the headline so the scoping hides nothing."""
+    worst_any, measured = None, 0
+    worst_material = None
     for sid in sorted(stage_ids):
         summary = _rest_json(
             spark, f"/stages/{sid}/0/taskSummary?quantiles=0.0,0.5,1.0"
@@ -220,9 +238,18 @@ def _task_skew(spark, stage_ids: set[int]) -> tuple[float, int]:
         stage = _rest_json(spark, f"/stages/{sid}/0") or {}
         if stage.get("numCompleteTasks", 0) < 8:
             continue
+        if not stage.get("shuffleReadBytes", 0):
+            continue
         measured += 1
-        worst = max(worst, hi / med)
-    return round(worst, 2), measured
+        ratio = hi / med
+        worst_any = max(worst_any or 1.0, ratio)
+        if (hi - med) >= 0.05 * wall_ms:
+            worst_material = max(worst_material or 1.0, ratio)
+    return (
+        None if worst_material is None else round(worst_material, 2),
+        None if worst_any is None else round(worst_any, 2),
+        measured,
+    )
 
 
 def _run_to_sink(df) -> None:
@@ -294,16 +321,50 @@ def main() -> None:
         skew_stats = {}
         for name in SKEW_QUERIES:
             _run_to_sink(qs[name](spark, skew_dir))  # warm
-            before = _completed_stage_ids(spark)
-            t0 = time.perf_counter()
-            _run_to_sink(qs[name](spark, skew_dir))
-            sec = time.perf_counter() - t0
-            after = _completed_stage_ids(spark)
-            ratio, n_stages = _task_skew(spark, after - before)
+            # Median of 3 measured runs -- same discipline as timed():
+            # the per-stage max/median ratio is an EXTREME statistic, and
+            # on sub-second stages a single run's worst ratio swings
+            # +-0.5 with GC/JIT/scheduler jitter (observed: the same
+            # stage measuring 1.0 and 1.9 in back-to-back runs). The
+            # median of per-run worsts reports the reproducible
+            # straggler, not the unluckiest scheduling event.
+            runs = []
+            for _ in range(3):
+                before = _completed_stage_ids(spark)
+                t0 = time.perf_counter()
+                _run_to_sink(qs[name](spark, skew_dir))
+                sec = time.perf_counter() - t0
+                after = _completed_stage_ids(spark)
+                material, any_r, n_stages = _task_skew(
+                    spark, after - before, sec * 1000.0
+                )
+                # eligible stages measured but none with material excess
+                # is itself a MEASURED statement ("no stage's straggler
+                # cost >= 5% of wall") and contributes the 1.0 floor --
+                # unlike n_stages == 0, which stays unmeasured (the
+                # r5-ADVICE distinction).
+                if material is None and n_stages > 0:
+                    material = 1.0
+                runs.append((sec, material, any_r, n_stages))
+            secs = sorted(r[0] for r in runs)
+
+            def _median(vals):
+                vals = sorted(v for v in vals if v is not None)
+                return vals[len(vals) // 2] if vals else None
+
             skew_stats[name] = {
-                "sec": round(sec, 3),
-                "worst_task_skew_max_over_median": ratio,
-                "stages_measured": n_stages,
+                "sec": round(secs[1], 3),
+                # headline: median-of-3 of the per-run worst MATERIAL
+                # ratio (shuffle-read stage, excess >= 5% of wall);
+                # None = no material straggler in any run
+                "worst_task_skew_max_over_median": _median(
+                    r[1] for r in runs
+                ),
+                # transparency: the unscoped worst over ALL eligible
+                # shuffle-read stages, jitter included
+                "worst_any_stage_ratio": _median(r[2] for r in runs),
+                "stages_measured": max(r[3] for r in runs),
+                "runs_measured": sum(1 for r in runs if r[3] > 0),
             }
             print("skew", name, skew_stats[name], flush=True)
     finally:
@@ -440,27 +501,88 @@ def main() -> None:
         f"One hot key replicated {SKEW_K}x while the rest stays 1x",
         "(documents: lang='en' -> ~85% of rows; embeddings: label=2 ->",
         "~49%). For each query: wall time on the skewed corpus and the",
-        "WORST per-task max/median executorRunTime across its stages",
-        "(>= 8 tasks, >= 50 ms median) — the straggler ratio a skewed",
-        "reducer key would blow up. Keys here are content-derived",
-        "(fingerprint, band hash, shard hash), so a hot LABEL must not",
-        "become a hot PARTITION; the cascade ops additionally collapse",
-        "the replicas before any pair join.",
+        "worst per-task max/median executorRunTime, scoped to what the",
+        "suite tests — REDUCER-KEY skew. Eligible stages have >= 8",
+        "tasks, >= 50 ms median, and nonzero shuffle-read bytes (a hot",
+        "key can only manifest in a stage that reads a shuffle; scan",
+        "stages see input-file layout, which at this corpus size is a",
+        "fixture property — single-row-group ~600 KB files cannot",
+        "split). The HEADLINE column additionally requires the excess",
+        "(max - median) to be >= 5% of query wall time: a 50-100 ms",
+        "excess on a 60 ms-median stage is one GC pause (observed",
+        "bouncing ratio 1.0 <-> 2.3 across back-to-back runs), not a",
+        "straggler; 'none' means stages were measured and no straggler",
+        "cost >= 5% of wall. The unscoped 'any stage' column publishes",
+        "the jitter-included worst so the scoping hides nothing. All",
+        "numbers are medians of 3 measured runs. Keys here are",
+        "content-derived (fingerprint, band hash, shard hash), so a hot",
+        "LABEL must not become a hot PARTITION; the cascade ops",
+        "additionally collapse the replicas before any pair join.",
         "",
-        "| query | sec | worst task max/median | stages measured |",
-        "|---|---|---|---|",
+        "| query | sec | material straggler (headline) | any stage "
+        "(jitter incl.) | shuffle stages |",
+        "|---|---|---|---|---|",
         *[
             f"| {n} | {s['sec']:.2f} "
-            f"| {s['worst_task_skew_max_over_median']:.1f} "
-            f"| {s['stages_measured']} |"
+            + (
+                f"| {s['worst_task_skew_max_over_median']:.1f} "
+                if s["worst_task_skew_max_over_median"] is not None
+                else "| UNMEASURED "
+            )
+            + (
+                f"| {s['worst_any_stage_ratio']:.1f} "
+                if s["worst_any_stage_ratio"] is not None
+                else "| - "
+            )
+            + f"| {s['stages_measured']} |"
             for n, s in skew_stats.items()
         ],
         "",
-        f"**Worst task-skew ratio: "
-        f"{max(s['worst_task_skew_max_over_median'] for s in skew_stats.values()):.1f}**"
-        " (a ratio near 1 means no straggler; AQE skew-join splitting"
-        " plus content-hash keys absorb the hot label).",
     ]
+    # A query whose stages couldn't be measured (REST API down, no
+    # qualifying stage) is EXCLUDED from the max and called out loudly —
+    # never folded in as a perfect 1.0 (r5 ADVICE).
+    _skews = [
+        s["worst_task_skew_max_over_median"]
+        for s in skew_stats.values()
+        if s["worst_task_skew_max_over_median"] is not None
+    ]
+    _unmeasured = sorted(
+        n
+        for n, s in skew_stats.items()
+        if s["worst_task_skew_max_over_median"] is None
+    )
+    skew_worst = max(_skews) if _skews else None
+    _any_worst = max(
+        (
+            s["worst_any_stage_ratio"]
+            for s in skew_stats.values()
+            if s["worst_any_stage_ratio"] is not None
+        ),
+        default=None,
+    )
+    if skew_worst is not None:
+        lines.append(
+            f"**Worst material task-skew ratio: {skew_worst:.1f}**"
+            " (a ratio near 1 means no straggler whose cost is"
+            " noticeable at query level; AQE skew-join splitting plus"
+            " content-hash keys absorb the hot label)."
+            + (
+                f" Unscoped any-stage worst incl. jitter: {_any_worst:.1f}."
+                if _any_worst is not None
+                else ""
+            )
+        )
+    else:
+        lines.append(
+            "**Worst task-skew ratio: UNMEASURED** — no query produced a"
+            " qualifying stage (REST status API unreachable?); the skew"
+            " claim is NOT established by this run."
+        )
+    if _unmeasured and skew_worst is not None:
+        lines.append(
+            f"Unmeasured (excluded from the max): {', '.join(_unmeasured)}."
+        )
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     with open("SCALING.json", "w") as f:
@@ -489,10 +611,9 @@ def main() -> None:
                         "embeddings": "label=2 replicated 8x (~49% of rows)",
                     },
                     "queries": skew_stats,
-                    "worst_task_skew_max_over_median": max(
-                        s["worst_task_skew_max_over_median"]
-                        for s in skew_stats.values()
-                    ),
+                    "worst_task_skew_max_over_median": skew_worst,
+                    "worst_any_stage_ratio": _any_worst,
+                    "unmeasured_queries": _unmeasured,
                 },
             },
             f,
