@@ -367,43 +367,9 @@ def run_incremental_dedup_stream(
     the index side contributes just its fingerprint column to the join,
     and the index grows append-only — the historical corpus is never
     rewritten."""
-    from pyspark.sql import Window
-
-    from ..functions import norm_text
 
     def body(batch: DataFrame, batch_id: int) -> None:
-        bspark = batch.sparkSession
-        w = Window.partitionBy("fp").orderBy("doc_id")
-        fresh = (
-            batch.select(
-                "doc_id",
-                "source",
-                F.md5(norm_text(F.col("text"))).alias("fp"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-        if os.path.isdir(index_dir) and any(
-            name.startswith("batch=") for name in os.listdir(index_dir)
-        ):
-            # Exclude THIS batch's partition from the index read: after
-            # a crash in the danger window (partition written, offset
-            # uncommitted) the replayed batch would otherwise anti-join
-            # against its own partial write and erase its fingerprints.
-            # `batch` is the discovered partition column of batch=<id>.
-            existing = (
-                bspark.read.parquet(index_dir)
-                .where(F.col("batch") != batch_id)
-                .select("fp")
-            )
-            fresh = fresh.join(existing, "fp", "left_anti")
-        (
-            fresh.withColumn("batch_id", F.lit(batch_id))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(index_dir, f"batch={batch_id}"))
-        )
+        _dedup_index_body(index_dir, batch, batch_id)
 
     q = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
@@ -415,6 +381,61 @@ def run_incremental_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def _dedup_index_body(index_dir: str, batch: DataFrame, batch_id: int) -> None:
+    """The foreachBatch body of :func:`run_incremental_dedup_stream`,
+    module-level so the chaos tests exercise the REAL code path (the
+    torn-write test wraps it; an inline-copy would let the copy and the
+    product drift)."""
+    from pyspark.sql import Window
+
+    from ..functions import norm_text
+
+    bspark = batch.sparkSession
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    fresh = (
+        batch.select(
+            "doc_id",
+            "source",
+            F.md5(norm_text(F.col("text"))).alias("fp"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # Remove any leftover batch=<id> partition BEFORE reading the
+    # index. The where-filter below already excluded this batch's
+    # rows from the anti-join (the replay self-erasure fix), but a
+    # kill MID-write — rather than after it — leaves torn parquet
+    # files whose footers the index read's schema inference/file
+    # listing can still open, wedging every replay until manual
+    # cleanup. Deleting first is safe by the checkpoint contract: a
+    # batch id is only re-delivered if its offset never committed, so
+    # anything under this partition is a failed attempt's partial
+    # output.
+    own_part = os.path.join(index_dir, f"batch={batch_id}")
+    if os.path.isdir(own_part):
+        shutil.rmtree(own_part, ignore_errors=True)
+    if os.path.isdir(index_dir) and any(
+        name.startswith("batch=") for name in os.listdir(index_dir)
+    ):
+        # Belt-and-braces: still exclude THIS batch's partition from
+        # the anti-join (crash-after-write replay would otherwise
+        # anti-join against its own write and erase its fingerprints).
+        # `batch` is the discovered partition column of batch=<id>.
+        existing = (
+            bspark.read.parquet(index_dir)
+            .where(F.col("batch") != batch_id)
+            .select("fp")
+        )
+        fresh = fresh.join(existing, "fp", "left_anti")
+    (
+        fresh.withColumn("batch_id", F.lit(batch_id))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, f"batch={batch_id}"))
+    )
 
 
 def run_corpus_ingest_stream(

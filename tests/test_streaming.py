@@ -494,3 +494,89 @@ def test_corpus_ingest_stream_converges_to_batch_build(
 
     run_corpus_ingest_stream(spark, docs_dir, corpus_dir, ckpt)
     assert spark.read.parquet(corpus_dir).count() == want.count()
+
+
+def test_incremental_dedup_stream_torn_write_recovers(
+    spark, sf_dir, tmp_path
+):
+    """Chaos twin for the kill the r5 ADVICE flagged as untested: the
+    process dies MID-parquet-write, leaving a TORN file (garbage bytes,
+    unreadable footer) in the uncommitted batch partition — not the
+    complete-file crash the existing replay test injects. The restart
+    must not wedge on schema inference/footer listing touching the
+    corrupt sibling: the body deletes its own batch=<id> partition
+    before reading the index, so the replay sees only committed
+    partitions and converges to the batch oracle."""
+    from apache_iceberg_with_clickhouse_olake_spark.functions import norm_text
+    from apache_iceberg_with_clickhouse_olake_spark.streaming import (
+        run_incremental_dedup_stream,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text", "source")
+    )
+    docs_dir = str(tmp_path / "docs")
+    for cond in [F.col("doc_id") < 80, (F.col("doc_id") >= 40) & (
+        F.col("doc_id") < 150
+    ), F.col("doc_id") >= 120]:
+        docs.filter(cond).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    # First pass: batch 0 commits normally; the process "dies" MID-WRITE
+    # of batch 1 — at the kill instant the batch=1 partition holds a torn
+    # parquet file (garbage bytes, unreadable footer, no _SUCCESS) and
+    # batch 1's offset never commits. This is the realistic torn state:
+    # earlier batches are always committed before a later batch starts
+    # writing.
+    ran = []
+    torn_dir = os.path.join(index_dir, "batch=1")
+
+    def poisoned(batch, batch_id):
+        from apache_iceberg_with_clickhouse_olake_spark.streaming import (
+            _dedup_index_body,
+        )
+
+        if batch_id == 1 and not os.path.isdir(torn_dir):
+            os.makedirs(torn_dir)
+            with open(
+                os.path.join(torn_dir, "part-torn.snappy.parquet"), "wb"
+            ) as f:
+                f.write(b"PAR1\x00\x13\x37garbage-not-a-footer")
+            raise RuntimeError("injected kill mid-write of batch 1")
+        _dedup_index_body(index_dir, batch, batch_id)
+        ran.append(batch_id)
+
+    from apache_iceberg_with_clickhouse_olake_spark.streaming import (
+        DOC_STREAM_SCHEMA,
+    )
+
+    q = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(poisoned)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    assert ran == [0]
+    # danger window proven: torn partition exists, batch 1 uncommitted
+    assert os.path.exists(os.path.join(torn_dir, "part-torn.snappy.parquet"))
+
+    # Restart: must read past the torn partition, rewrite batch=1, and
+    # converge to the batch oracle with no duplicate fingerprints.
+    run_incremental_dedup_stream(spark, docs_dir, index_dir, ckpt)
+    got = spark.read.parquet(index_dir)
+    want = (
+        docs.select("doc_id", F.md5(norm_text(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    assert got.groupBy("fp").count().filter("count > 1").count() == 0
+    assert _rows(got, ["fp", "doc_id"]) == _rows(want, ["fp", "doc_id"])
