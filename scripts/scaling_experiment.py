@@ -217,11 +217,15 @@ def _task_skew(
       bouncing a 60 ms-median stage between ratio 1.0 and 2.3 across
       back-to-back runs while query wall time never moved.
 
-    Returns (worst_material, worst_eligible, eligible_count); Nones mean
-    'no such stage' — a measurement failure must surface as unmeasured,
-    never as a perfect 1.0 (r5 ADVICE). The unscoped eligible worst is
-    published alongside the headline so the scoping hides nothing."""
-    worst_any, measured = None, 0
+    Returns (worst_material, worst_eligible, eligible_count, seen_count).
+    seen_count == 0 means the REST API yielded nothing — a measurement
+    FAILURE that must surface as unmeasured, never as a perfect 1.0 (r5
+    ADVICE). seen_count > 0 with eligible_count == 0 is the different,
+    healthy outcome 'no shuffle-read stage was slow enough to evaluate'
+    (warm-JIT medians at this corpus size often sit under 50 ms). The
+    unscoped eligible worst is published alongside the headline so the
+    scoping hides nothing."""
+    worst_any, measured, seen = None, 0, 0
     worst_material = None
     for sid in sorted(stage_ids):
         summary = _rest_json(
@@ -232,6 +236,7 @@ def _task_skew(
         rt = summary.get("executorRunTime")
         if not rt or len(rt) != 3:
             continue
+        seen += 1
         lo, med, hi = rt
         if med < 50.0:
             continue
@@ -249,6 +254,7 @@ def _task_skew(
         None if worst_material is None else round(worst_material, 2),
         None if worst_any is None else round(worst_any, 2),
         measured,
+        seen,
     )
 
 
@@ -287,8 +293,18 @@ def main() -> None:
         samples.sort()
         return samples[1]
 
+    # Section gate: SPARK_GRAFT_SCALING_SECTIONS="skew" re-measures only
+    # the skew suite and reuses the fact/corpus tables from the existing
+    # SCALING.json (a full three-suite run is ~40 min; iterating on the
+    # skew measurement must not require repeating it).
+    sections = set(
+        os.environ.get(
+            "SPARK_GRAFT_SCALING_SECTIONS", "fact,corpus,skew"
+        ).split(",")
+    )
+
     try:
-        for k in (1, 2, 4, 8):
+        for k in (1, 2, 4, 8) if "fact" in sections else ():
             sf_dir = build_scale(spark, root, k)
             # warm listing
             qs["orders_by_status"](spark, sf_dir).collect()
@@ -298,7 +314,7 @@ def main() -> None:
             rows.append((k, timings))
             print(k, {n: round(v, 2) for n, v in timings.items()}, flush=True)
         corpus_rows = []
-        for k in (1, 2, 4, 8):
+        for k in (1, 2, 4, 8) if "corpus" in sections else ():
             sf_dir = build_corpus_scale(spark, root, k)
             # warm file listing AND the Python UDF workers (first
             # pandas_udf call pays worker-pool spawn, ~5 s once per JVM --
@@ -316,6 +332,11 @@ def main() -> None:
         # Skew suite: one skewed corpus at SKEW_K, timed + per-task
         # straggler ratio per query (REST status API; the warm run is
         # excluded by diffing completed-stage ids around the timed run).
+        if "skew" not in sections:
+            raise NotImplementedError(
+                "SPARK_GRAFT_SCALING_SECTIONS must include 'skew' -- "
+                "only fact/corpus are reusable from a prior run"
+            )
         skew_dir = build_skew_corpus(spark, root, SKEW_K)
         qs["text_token_stats"](spark, skew_dir).collect()
         skew_stats = {}
@@ -335,17 +356,17 @@ def main() -> None:
                 _run_to_sink(qs[name](spark, skew_dir))
                 sec = time.perf_counter() - t0
                 after = _completed_stage_ids(spark)
-                material, any_r, n_stages = _task_skew(
+                material, any_r, n_stages, n_seen = _task_skew(
                     spark, after - before, sec * 1000.0
                 )
                 # eligible stages measured but none with material excess
                 # is itself a MEASURED statement ("no stage's straggler
                 # cost >= 5% of wall") and contributes the 1.0 floor --
-                # unlike n_stages == 0, which stays unmeasured (the
+                # unlike n_seen == 0, which stays unmeasured (the
                 # r5-ADVICE distinction).
                 if material is None and n_stages > 0:
                     material = 1.0
-                runs.append((sec, material, any_r, n_stages))
+                runs.append((sec, material, any_r, n_stages, n_seen))
             secs = sorted(r[0] for r in runs)
 
             def _median(vals):
@@ -356,7 +377,7 @@ def main() -> None:
                 "sec": round(secs[1], 3),
                 # headline: median-of-3 of the per-run worst MATERIAL
                 # ratio (shuffle-read stage, excess >= 5% of wall);
-                # None = no material straggler in any run
+                # None = no eligible stage (or unmeasured, see below)
                 "worst_task_skew_max_over_median": _median(
                     r[1] for r in runs
                 ),
@@ -364,6 +385,11 @@ def main() -> None:
                 # shuffle-read stages, jitter included
                 "worst_any_stage_ratio": _median(r[2] for r in runs),
                 "stages_measured": max(r[3] for r in runs),
+                # REST API health: stages whose task summary was fetched
+                # at all. 0 here = measurement failure (UNMEASURED);
+                # >0 with stages_measured 0 = "no eligible stage",
+                # a healthy measured outcome at this corpus size.
+                "stages_seen": max(r[4] for r in runs),
                 "runs_measured": sum(1 for r in runs if r[3] > 0),
             }
             print("skew", name, skew_stats[name], flush=True)
@@ -386,10 +412,26 @@ def main() -> None:
         worst_name = max(names, key=lambda n: table[n]["ratio_8x_over_1x"])
         return table, worst_name, table[worst_name]["ratio_8x_over_1x"]
 
-    fact_table, fact_worst_name, fact_worst = _section(QUERIES, rows)
-    corpus_table, corpus_worst_name, corpus_worst = _section(
-        CORPUS_QUERIES, corpus_rows
-    )
+    prev_json = {}
+    if "fact" not in sections or "corpus" not in sections:
+        with open("SCALING.json") as f:
+            prev_json = json.load(f)
+    if "fact" in sections:
+        fact_table, fact_worst_name, fact_worst = _section(QUERIES, rows)
+    else:
+        fs = prev_json["fact_suite"]
+        fact_table = fs["queries"]
+        fact_worst_name = fs["worst_query"]
+        fact_worst = fs["worst_ratio_8x_over_1x"]
+    if "corpus" in sections:
+        corpus_table, corpus_worst_name, corpus_worst = _section(
+            CORPUS_QUERIES, corpus_rows
+        )
+    else:
+        cs = prev_json["corpus_suite"]
+        corpus_table = cs["queries"]
+        corpus_worst_name = cs["worst_query"]
+        corpus_worst = cs["worst_ratio_8x_over_1x"]
     cascade_ratio = corpus_table["dedup_cascade_stats"]["ratio_8x_over_1x"]
     vec_cascade_ratio = corpus_table["embedding_dedup_cascade_stats"][
         "ratio_8x_over_1x"
@@ -527,7 +569,11 @@ def main() -> None:
             + (
                 f"| {s['worst_task_skew_max_over_median']:.1f} "
                 if s["worst_task_skew_max_over_median"] is not None
-                else "| UNMEASURED "
+                else (
+                    "| no eligible stage "
+                    if s["stages_seen"] > 0
+                    else "| UNMEASURED "
+                )
             )
             + (
                 f"| {s['worst_any_stage_ratio']:.1f} "
@@ -551,6 +597,13 @@ def main() -> None:
         n
         for n, s in skew_stats.items()
         if s["worst_task_skew_max_over_median"] is None
+        and s["stages_seen"] == 0
+    )
+    _no_eligible = sorted(
+        n
+        for n, s in skew_stats.items()
+        if s["worst_task_skew_max_over_median"] is None
+        and s["stages_seen"] > 0
     )
     skew_worst = max(_skews) if _skews else None
     _any_worst = max(
@@ -583,6 +636,12 @@ def main() -> None:
         lines.append(
             f"Unmeasured (excluded from the max): {', '.join(_unmeasured)}."
         )
+    if _no_eligible:
+        lines.append(
+            "No eligible stage (every shuffle-read stage finished under "
+            "the 50 ms-median bar — nothing slow enough for a hot key "
+            f"to skew): {', '.join(_no_eligible)}."
+        )
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     with open("SCALING.json", "w") as f:
@@ -614,6 +673,7 @@ def main() -> None:
                     "worst_task_skew_max_over_median": skew_worst,
                     "worst_any_stage_ratio": _any_worst,
                     "unmeasured_queries": _unmeasured,
+                    "no_eligible_stage_queries": _no_eligible,
                 },
             },
             f,
