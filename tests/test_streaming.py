@@ -563,7 +563,9 @@ def test_incremental_dedup_stream_torn_write_recovers(
         .trigger(availableNow=True)
         .start()
     )
-    with pytest.raises(Exception):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
         q.awaitTermination()
     assert ran == [0]
     # danger window proven: torn partition exists, batch 1 uncommitted
