@@ -299,6 +299,7 @@ def main() -> None:
 
     here = os.path.dirname(os.path.abspath(__file__))
     prev_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    ctx = _env_fingerprint()
     delta_vs_prev = None
     if prev_files:
         try:
@@ -320,6 +321,21 @@ def main() -> None:
                         if n in prev_q
                     },
                 }
+                # Machine-speed-normalized delta (BENCH_NOTES.md rule):
+                # when the previous artifact carries the calibration
+                # loop, scale this run's total by calib_prev/calib_now
+                # before differencing, so machine drift (r5's "+29%")
+                # can never masquerade as a code regression again.
+                prev_calib = prev.get("context", {}).get("calib_spin_ms")
+                now_calib = ctx.get("calib_spin_ms")
+                if prev_calib and now_calib:
+                    ratio = prev_calib / now_calib
+                    delta_vs_prev["calib_ratio_prev_over_now"] = round(
+                        ratio, 4
+                    )
+                    delta_vs_prev["total_machine_normalized"] = round(
+                        total * ratio - prev["value"], 4
+                    )
                 prev_llm = prev.get("llm_suite", {}).get("queries", {})
                 if prev_llm:
                     delta_vs_prev["llm_suite"] = {
@@ -347,7 +363,7 @@ def main() -> None:
                     "runs_per_query": 3,
                 },
                 "delta_vs_prev": delta_vs_prev,
-                "context": _env_fingerprint(),
+                "context": ctx,
             }
         )
     )
