@@ -135,7 +135,11 @@ _PRIORITY = (
     "text_token_stats",          # first driver row; text family
     "unigram_logprob_quality",   # first driver row; text family
     "media_decode_features",     # first driver row; multimodal decode path
-    "media_catalog_stats",
+    # media_catalog_stats rotated out (multimodal stays covered by
+    # corpus_build_pipeline + media_decode_features; it holds an r5
+    # driver row) for the r6 banding config sweep, whose 512-plane
+    # oracle re-derivation is this round's riskiest new code path.
+    "embedding_neardup_config_sweep",
 )
 
 
