@@ -467,54 +467,8 @@ def run_corpus_ingest_stream(
     under arbitrary arrival order keep-first retains the first-ARRIVED
     representative instead of the lowest id, which changes the kept
     doc_id but never the fingerprint set."""
-    from pyspark.sql import Window
-
-    from ..functions import md5_int60, norm_text, tokens
-
     def body(batch: DataFrame, batch_id: int) -> None:
-        bspark = batch.sparkSession
-        toks = tokens(F.col("text"))
-        n_tokens = F.size(toks)
-        n_punct = F.length(F.regexp_replace("text", "[^.!?,;:]", ""))
-        punct_ratio = n_punct.cast("double") / F.when(
-            F.length("text") == 0, F.lit(None)
-        ).otherwise(F.length("text"))
-        w = Window.partitionBy("fp").orderBy("doc_id")
-        shard = (
-            md5_int60(
-                F.concat(F.lit("pack-"), F.col("doc_id").cast("string"))
-            )
-            % n_shards
-        ).cast("long")
-        fresh = (
-            batch.filter(
-                (n_tokens >= 5) & (n_tokens <= 10000) & (punct_ratio < 0.2)
-            )
-            .select(
-                "doc_id",
-                "source",
-                n_tokens.cast("long").alias("n_toks"),
-                shard.alias("shard"),
-                F.md5(norm_text(F.col("text"))).alias("fp"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-        if os.path.isdir(corpus_dir) and any(
-            name.startswith("batch=") for name in os.listdir(corpus_dir)
-        ):
-            existing = (
-                bspark.read.parquet(corpus_dir)
-                .where(F.col("batch") != batch_id)
-                .select("fp")
-            )
-            fresh = fresh.join(existing, "fp", "left_anti")
-        (
-            fresh.coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
-        )
+        _corpus_ingest_body(corpus_dir, n_shards, batch, batch_id)
 
     q = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
@@ -526,3 +480,64 @@ def run_corpus_ingest_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def _corpus_ingest_body(
+    corpus_dir: str, n_shards: int, batch: DataFrame, batch_id: int
+) -> None:
+    """The foreachBatch body of :func:`run_corpus_ingest_stream`,
+    module-level so the chaos tests exercise the real code path."""
+    from pyspark.sql import Window
+
+    from ..functions import md5_int60, norm_text, tokens
+
+    bspark = batch.sparkSession
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace("text", "[^.!?,;:]", ""))
+    punct_ratio = n_punct.cast("double") / F.when(
+        F.length("text") == 0, F.lit(None)
+    ).otherwise(F.length("text"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    shard = (
+        md5_int60(
+            F.concat(F.lit("pack-"), F.col("doc_id").cast("string"))
+        )
+        % n_shards
+    ).cast("long")
+    fresh = (
+        batch.filter(
+            (n_tokens >= 5) & (n_tokens <= 10000) & (punct_ratio < 0.2)
+        )
+        .select(
+            "doc_id",
+            "source",
+            n_tokens.cast("long").alias("n_toks"),
+            shard.alias("shard"),
+            F.md5(norm_text(F.col("text"))).alias("fp"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # Same torn-file guard as _dedup_index_body: a kill mid-write leaves
+    # corrupt parquet in this batch's own partition that the corpus
+    # read's schema inference could open; delete it before reading
+    # (safe: a batch id only replays when its offset never committed).
+    own_part = os.path.join(corpus_dir, f"batch={batch_id}")
+    if os.path.isdir(own_part):
+        shutil.rmtree(own_part, ignore_errors=True)
+    if os.path.isdir(corpus_dir) and any(
+        name.startswith("batch=") for name in os.listdir(corpus_dir)
+    ):
+        existing = (
+            bspark.read.parquet(corpus_dir)
+            .where(F.col("batch") != batch_id)
+            .select("fp")
+        )
+        fresh = fresh.join(existing, "fp", "left_anti")
+    (
+        fresh.coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
+    )

@@ -582,3 +582,83 @@ def test_incremental_dedup_stream_torn_write_recovers(
     )
     assert got.groupBy("fp").count().filter("count > 1").count() == 0
     assert _rows(got, ["fp", "doc_id"]) == _rows(want, ["fp", "doc_id"])
+
+
+def test_corpus_ingest_stream_torn_write_recovers(spark, sf_dir, tmp_path):
+    """Same torn-write chaos twin as the dedup index, for the corpus
+    ingest stream: batch 0 commits, the process dies mid-write of
+    batch 1 leaving a garbage parquet file in its partition, and the
+    restart must converge to the batch-build corpus instead of wedging
+    on the torn footer."""
+    from apache_iceberg_with_clickhouse_olake_spark.streaming import (
+        DOC_STREAM_SCHEMA,
+        _corpus_ingest_body,
+        run_corpus_ingest_stream,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "text", "source")
+    )
+    docs_dir = str(tmp_path / "docs")
+    for cond in [
+        F.col("doc_id") < 150,
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 300),
+        F.col("doc_id") >= 250,
+    ]:
+        docs.filter(cond).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    corpus_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    torn_dir = os.path.join(corpus_dir, "batch=1")
+
+    def poisoned(batch, batch_id):
+        if batch_id == 1 and not os.path.isdir(torn_dir):
+            os.makedirs(torn_dir)
+            with open(
+                os.path.join(torn_dir, "part-torn.snappy.parquet"), "wb"
+            ) as f:
+                f.write(b"PAR1\x00\x13\x37garbage-not-a-footer")
+            raise RuntimeError("injected kill mid-write of batch 1")
+        _corpus_ingest_body(corpus_dir, 8, batch, batch_id)
+
+    q = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(poisoned)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        q.awaitTermination()
+    assert os.path.exists(os.path.join(torn_dir, "part-torn.snappy.parquet"))
+
+    run_corpus_ingest_stream(spark, docs_dir, corpus_dir, ckpt)
+    got = spark.read.parquet(corpus_dir)
+    # converges: no duplicate fingerprints, same fingerprint set as the
+    # batch twin (reuse the convergence test's oracle shape)
+    from apache_iceberg_with_clickhouse_olake_spark.functions import (
+        norm_text,
+        tokens,
+    )
+
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace("text", "[^.!?,;:]", ""))
+    punct_ratio = n_punct.cast("double") / F.when(
+        F.length("text") == 0, F.lit(None)
+    ).otherwise(F.length("text"))
+    want_fps = (
+        docs.filter(
+            (n_tokens >= 5) & (n_tokens <= 10000) & (punct_ratio < 0.2)
+        )
+        .select(F.md5(norm_text(F.col("text"))).alias("fp"))
+        .distinct()
+    )
+    assert got.groupBy("fp").count().filter("count > 1").count() == 0
+    assert _rows(got.select("fp"), ["fp"]) == _rows(want_fps, ["fp"])
