@@ -624,3 +624,138 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repetitive"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated n-grams (substring-level dedup accounting)
+# ---------------------------------------------------------------------------
+
+# 8-token windows: the span length substring-dedup work on LLM training
+# corpora typically targets (long enough that cross-doc repeats imply
+# shared provenance -- boilerplate, licenses, mirrored text -- not
+# coincidence; short enough to catch partial-document overlap that
+# doc-level fingerprints miss entirely).
+_NGRAM_SPAN = 8
+
+
+@query(
+    "crossdoc_ngram_repetition",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, source, {tokens_sql('text')} AS t FROM documents
+    ),
+    w AS MATERIALIZED (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               list_slice(t, i, i + {_NGRAM_SPAN - 1}), ' ')) AS h
+      FROM toks, LATERAL unnest(
+        range(1, len(t) - {_NGRAM_SPAN} + 2)) AS r(i)
+      WHERE len(t) >= {_NGRAM_SPAN}
+    ),
+    g1 AS MATERIALIZED (
+      SELECT h, source, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS nd
+      FROM w GROUP BY h, source
+    ),
+    rep AS (
+      SELECT h FROM g1 GROUP BY h HAVING SUM(nd) >= 2
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(occ) AS BIGINT) AS total_windows
+      FROM g1 GROUP BY source
+    ),
+    rs AS (
+      SELECT g1.source,
+             COUNT(*) AS repeated_types,
+             CAST(SUM(g1.occ) AS BIGINT) AS repeated_occurrences
+      FROM g1 JOIN rep USING (h) GROUP BY g1.source
+    )
+    SELECT t.source,
+           t.total_windows,
+           COALESCE(rs.repeated_types, 0) AS repeated_types,
+           COALESCE(rs.repeated_occurrences, 0) AS repeated_occurrences,
+           {dround_sql(
+               'CAST(COALESCE(rs.repeated_occurrences, 0) AS DOUBLE)'
+               ' / t.total_windows', 4)} AS repetition_fraction
+    FROM tot t LEFT JOIN rs USING (source)
+    ORDER BY source
+    """,
+    tags=("llm-text", "llm-dedup"),
+)
+def crossdoc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document repeated n-gram accounting — the substring-level
+    dedup signal doc-level fingerprints cannot see (two documents that
+    share a boilerplate paragraph but differ elsewhere hash apart under
+    every whole-doc scheme; their shared 8-token windows collide here).
+    Per source: total 8-token windows, window types occurring in >= 2
+    distinct documents corpus-wide, occurrences belonging to those
+    repeated types, and the repetition fraction — the number a
+    substring-dedup pass would remove.
+
+    100 TB shape: windows reduce to md5 hashes BEFORE the shuffle (16
+    bytes/window instead of the span text), the single heavy shuffle
+    keys on the uniform content hash (no skew; hot spans spread by
+    (hash, source) pre-aggregation with map-side partials), and the
+    cross-source roll-up joins NGRAM-TYPE-level aggregates, never the
+    occurrence stream. doc_ids are globally unique, so corpus-wide
+    distinct-doc counts sum per-source partials — no second pass over
+    the data. Everything is built-in Catalyst (split / slice /
+    transform / md5): whole-stage codegen end to end, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", tokens(F.col("text")).alias("t"))
+    ex = (
+        toks.filter(F.size("t") >= _NGRAM_SPAN)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size("t") - F.lit(_NGRAM_SPAN - 1)
+                    ),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", F.slice(F.col("t"), i, _NGRAM_SPAN)
+                        )
+                    ),
+                )
+            ).alias("h"),
+        )
+    )
+    g1 = ex.groupBy("h", "source").agg(
+        F.count("*").alias("occ"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    rep = g1.groupBy("h").agg(F.sum("nd").alias("n_docs")).filter(
+        F.col("n_docs") >= 2
+    )
+    # total windows roll up from the TYPE-level g1 (sum of occurrence
+    # counts), not from a second shuffle of the raw occurrence stream --
+    # the window stream crosses the wire exactly once.
+    tot = g1.groupBy("source").agg(
+        F.sum("occ").cast("long").alias("total_windows")
+    )
+    rs = (
+        g1.join(rep.select("h"), "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("repeated_types"),
+            F.sum("occ").cast("long").alias("repeated_occurrences"),
+        )
+    )
+    return (
+        tot.join(rs, "source", "left")
+        .select(
+            "source",
+            "total_windows",
+            F.coalesce("repeated_types", F.lit(0)).alias("repeated_types"),
+            F.coalesce("repeated_occurrences", F.lit(0)).alias(
+                "repeated_occurrences"
+            ),
+            dround(
+                F.coalesce("repeated_occurrences", F.lit(0)).cast("double")
+                / F.col("total_windows"),
+                4,
+            ).alias("repetition_fraction"),
+        )
+        .orderBy("source")
+    )
