@@ -63,10 +63,41 @@ def _bands_series(emb: pd.Series) -> pd.Series:
     return pd.Series(list(vals.tolist()))
 
 
-def make_embed_bands_udf():
+def make_embed_bands_udf(n_bands: int = N_BANDS,
+                         planes_per_band: int = PLANES_PER_BAND):
     """Built at call time, not module import (executor re-imports have no
-    SparkSession to resolve the return type)."""
-    return pandas_udf(_bands_series, "array<int>")
+    SparkSession to resolve the return type). The default is the
+    production 16x8 banding; any sweep config (see SWEEP_CONFIGS /
+    embedding_neardup_config_sweep) is runnable by passing its
+    (bands, planes_per_band) — signatures come from the same md5 plane
+    family, so a user adopts a measured operating point directly."""
+    if n_bands == N_BANDS and planes_per_band == PLANES_PER_BAND:
+        return pandas_udf(_bands_series, "array<int>")
+    if n_bands * planes_per_band > MAX_SWEEP_PLANES:
+        raise ValueError(
+            f"{n_bands}x{planes_per_band} needs "
+            f"{n_bands * planes_per_band} planes; "
+            f"max generated is {MAX_SWEEP_PLANES}"
+        )
+
+    def _series(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        vectors = np.stack(emb.to_numpy())
+        vq = np.floor(
+            vectors.astype(np.float64) * QUANT + 0.5
+        ).astype(np.int64)
+        planes = _SWEEP_PLANES[: n_bands * planes_per_band]
+        bits = (vq @ planes.T) >= 0
+        vals = np.zeros((vectors.shape[0], n_bands), dtype=np.int32)
+        for j in range(n_bands):
+            for k in range(planes_per_band):
+                vals[:, j] |= bits[:, j * planes_per_band + k].astype(
+                    np.int32
+                ) << k
+        return pd.Series(list(vals.tolist()))
+
+    return pandas_udf(_series, "array<int>")
 
 
 # --- Config sweep: recall/cost curve over (bands, planes_per_band) -------

@@ -316,7 +316,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _embed_candidate_pairs(e: DataFrame) -> DataFrame:
+def _embed_candidate_pairs(e: DataFrame, n_bands: int = _ND_BANDS) -> DataFrame:
     """Band-keyed candidate self-join + exact-cosine annotation over an
     arbitrary (vec_id, label, v, bands) frame: every band-colliding pair
     exactly once, with its cosine and the near_dup verdict (callers
@@ -358,7 +358,7 @@ def _embed_candidate_pairs(e: DataFrame) -> DataFrame:
     # no EARLIER band also matched (both full band arrays ride along, so
     # the check is a map-side expression over b' < band_id).
     earlier_match = F.lit(False)
-    for b in range(_ND_BANDS - 1):
+    for b in range(n_bands - 1):
         earlier_match = earlier_match | (
             (F.col("x.band_id") > b)
             & (F.col("x.bands").getItem(b) == F.col("y.bands").getItem(b))
@@ -658,6 +658,44 @@ def embedding_neardup_recall_eval(
             ),
         )
         .orderBy("cos_bin")
+    )
+
+
+def embedding_near_dup_pairs_with_config(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int = _ND_BANDS,
+    planes_per_band: int = _ND_PLANES_PER_BAND,
+    min_cos: float = _NEAR_DUP_COS,
+) -> DataFrame:
+    """The production near-dup pair op at a USER-CHOSEN banding config:
+    run embedding_neardup_config_sweep, pick the (bands, bits) point
+    with the recall/cost trade-off your threshold needs (e.g. b64r08
+    for measured >= 0.9 recall at cos 0.5), and run it here — same
+    plane family, same first-matching-band exactly-once emission, same
+    pinned shuffle discipline as the registered 16x8 query. Not
+    oracle-registered (the 16x8 default is); pinned instead by the
+    containment test in tests/test_scale_techniques.py — a config whose
+    per-band bits divide the default's 8 collides on a superset of the
+    default's pairs."""
+    from ._embed_lsh_udf import make_embed_bands_udf
+
+    bands_udf = make_embed_bands_udf(n_bands, planes_per_band)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        _dvec(F.col("embedding")).alias("v"),
+        bands_udf(F.col("embedding")).alias("bands"),
+    )
+    # filter on the 4-dp rounded cosine (the column callers see); at the
+    # 1e-4 boundary this differs immaterially from the registered op's
+    # unrounded near_dup flag and is identical for any config COMPARISON
+    # (both sides of a comparison filter the same way)
+    return (
+        _embed_candidate_pairs(e, n_bands=n_bands)
+        .filter(F.col("cos_sim") >= min_cos)
+        .drop("near_dup")
     )
 
 

@@ -325,3 +325,38 @@ def test_sketch_only_production_twins_bounds(spark, sf_dir):
             / exact_m[r.month_bucket]
             <= _APPROX_REL_ERR
         )
+
+
+def test_configurable_banding_contains_default_pairs(spark, sf_dir):
+    """The sweep's recommendation must be RUNNABLE, not just readable:
+    embedding_near_dup_pairs_with_config runs the production pair op at
+    any sweep config. Structural invariant: an 8-bit band matches iff
+    both of its 4-bit halves match, so the b32r04 re-slicing of the
+    same 128 planes collides on a SUPERSET of the default b16r08's
+    pairs — containment pins that the config plumbing (plane prefix,
+    band packing, first-matching-band loop bound) is wired right."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_with_config,
+    )
+
+    default = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs(spark, sf_dir).collect()
+    }
+    coarse = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs_with_config(
+            spark, sf_dir, n_bands=32, planes_per_band=4
+        ).collect()
+    }
+    assert default, "default banding found no pairs -- fixture broke"
+    assert default <= coarse
+    # the explicit default-config call is exactly the registered op
+    explicit = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs_with_config(
+            spark, sf_dir
+        ).collect()
+    }
+    assert explicit == default
