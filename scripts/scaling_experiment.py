@@ -63,6 +63,7 @@ CORPUS_QUERIES = (
     "corpus_build_pipeline",
     "doc_repetition_stats",
     "pii_redaction_stats",
+    "crossdoc_ngram_repetition",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)
