@@ -884,6 +884,38 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     with checkpointing between rounds, same per-round shape. The DuckDB
     oracle unrolls the identical rounds AND the identical expansion, so
     labels and member counts match exactly."""
+    grouped, reps, labels = _cascade_rep_labels(spark, sf_dir)
+    # Exact-dup groups whose rep has no near-dup edge are clusters in
+    # their own right (identical members, pairwise Jaccard 1).
+    singles = (
+        reps.filter(F.col("grp_size") >= 2)
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("label"))
+    )
+    return (
+        labels.unionByName(singles)
+        .join(reps.select("doc_id", "grp_size"), "doc_id")
+        .groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.sum("grp_size").cast("long").alias("members"))
+        .orderBy(F.col("members").desc(), "cluster_id")
+    )
+
+
+def _cascade_rep_labels(spark: SparkSession, sf_dir: str):
+    """Shared cascade core: exact-dedup the corpus, run minhash-verified
+    near-dup banding over REPRESENTATIVES only, and label-propagate
+    cluster ids. Returns (grouped, reps, labels):
+
+    - grouped: every doc with (doc_id, source, text, fp, rn, grp_size),
+    - reps: one row per distinct fingerprint (rn=1), materialized
+      (localCheckpoint superstep -- the banding pipeline, the
+      shingle-verify side, and every consumer would otherwise re-run
+      the fingerprint window over the full corpus),
+    - labels: (doc_id, label) for every rep touching a verified
+      near-dup edge; label = min doc_id reachable within _CC_ROUNDS.
+
+    Consumed by dedup_cluster_sizes (cluster-size accounting) and
+    dedup_removal_plan (keep/remove decisions)."""
     from pyspark.sql import Window
 
     par = spark.sparkContext.defaultParallelism
@@ -892,18 +924,13 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rn = Window.partitionBy("fp").orderBy("doc_id")
     w_ct = Window.partitionBy("fp")
     grouped = (
-        docs.select("doc_id", "text", fp.alias("fp"))
+        docs.select("doc_id", "source", "text", fp.alias("fp"))
         .withColumn("rn", F.row_number().over(w_rn))
         .withColumn("grp_size", F.count("*").over(w_ct))
     )
-    # Materialize the representative set once (localCheckpoint
-    # superstep): the banding pipeline, the shingle-verify side, the
-    # singleton-group branch, and the size-expansion join all consume
-    # it, and each would otherwise re-run the fingerprint window over
-    # the full corpus. On a cluster this is persist()/checkpoint().
     reps = (
         grouped.filter(F.col("rn") == 1)
-        .select("doc_id", "text", "grp_size")
+        .select("doc_id", "source", "text", "grp_size")
         .repartition(par, "doc_id")
         .localCheckpoint(eager=True)
     )
@@ -938,20 +965,7 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)
         )
-    # Exact-dup groups whose rep has no near-dup edge are clusters in
-    # their own right (identical members, pairwise Jaccard 1).
-    singles = (
-        reps.filter(F.col("grp_size") >= 2)
-        .join(labels.select("doc_id"), "doc_id", "left_anti")
-        .select("doc_id", F.col("doc_id").alias("label"))
-    )
-    return (
-        labels.unionByName(singles)
-        .join(reps.select("doc_id", "grp_size"), "doc_id")
-        .groupBy(F.col("label").alias("cluster_id"))
-        .agg(F.sum("grp_size").cast("long").alias("members"))
-        .orderBy(F.col("members").desc(), "cluster_id")
-    )
+    return grouped, reps, labels
 
 
 # ---------------------------------------------------------------------------
@@ -1034,6 +1048,134 @@ def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ~F.col("dup_of_existing") & ~F.col("dup_within_batch"), 1
                 )
             ).alias("net_new"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dedup_removal_plan",
+    oracle=f"""
+    WITH g AS MATERIALIZED (
+      SELECT doc_id, source, text,
+             row_number() OVER (
+               PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    reps AS MATERIALIZED (
+      SELECT doc_id, source, text FROM g WHERE rn = 1
+    ),
+    {_sig_cte_sql('reps')},
+    bands AS (
+      {' UNION ALL '.join(
+          f"SELECT doc_id, {b} AS band_id, b{b} AS band_hash FROM bands_wide"
+          for b in range(_N_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM reps),
+    edges AS (
+      SELECT p.doc_a AS a, p.doc_b AS b
+      FROM cand p
+      JOIN sh sa ON p.doc_a = sa.doc_id
+      JOIN sh sb ON p.doc_b = sb.doc_id
+      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+            >= {_JACCARD_THRESHOLD}
+    ),
+    sym AS MATERIALIZED (
+      SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+    ),
+    {_cc_rounds_sql()},
+    rep_plan AS (
+      SELECT r.doc_id, r.source,
+             COALESCE(l.label, r.doc_id) AS cluster
+      FROM reps r LEFT JOIN l{_CC_ROUNDS} l USING (doc_id)
+    ),
+    agg_docs AS (
+      SELECT source,
+             COUNT(*) AS docs_total,
+             COUNT(CASE WHEN rn > 1 THEN 1 END) AS removed_exact
+      FROM g GROUP BY source
+    ),
+    agg_reps AS (
+      SELECT source,
+             COUNT(CASE WHEN doc_id = cluster THEN 1 END) AS docs_kept,
+             COUNT(CASE WHEN doc_id <> cluster THEN 1 END)
+               AS removed_neardup
+      FROM rep_plan GROUP BY source
+    )
+    SELECT d.source,
+           d.docs_total,
+           COALESCE(r.docs_kept, 0) AS docs_kept,
+           d.removed_exact,
+           COALESCE(r.removed_neardup, 0) AS removed_neardup,
+           {dround_sql(
+               'CAST(COALESCE(r.docs_kept, 0) AS DOUBLE) / d.docs_total',
+               4)} AS kept_fraction
+    FROM agg_docs d LEFT JOIN agg_reps r USING (source)
+    ORDER BY d.source
+    """,
+    tags=("llm-dedup",),
+)
+def dedup_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE output of the dedup cascade: keep/remove decisions
+    per source, not just statistics. Policy is keep-one-per-cluster --
+    the policy real dedup ships: exact-dup group members beyond the
+    representative are removed (reason: exact), and within each
+    near-dup cluster every representative except the one whose doc_id
+    equals the cluster label (the smallest reachable id) is removed
+    (reason: near-dup). docs_total = docs_kept + removed_exact +
+    removed_neardup by construction.
+
+    Shares the cascade core with dedup_cluster_sizes
+    (_cascade_rep_labels): one fingerprint window, banding + verify
+    over representatives only, label propagation over the rep graph --
+    so the decision list costs the same as the statistics. The final
+    roll-up joins per-source aggregates (source-cardinality rows), and
+    the DuckDB oracle unrolls the identical rounds, so every decision
+    count is engine-exact."""
+    grouped, reps, labels = _cascade_rep_labels(spark, sf_dir)
+    rep_plan = (
+        reps.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("label", F.col("doc_id")).alias("cluster"),
+        )
+    )
+    agg_docs = grouped.groupBy("source").agg(
+        F.count("*").alias("docs_total"),
+        F.count(F.when(F.col("rn") > 1, True)).alias("removed_exact"),
+    )
+    agg_reps = rep_plan.groupBy("source").agg(
+        F.count(F.when(F.col("doc_id") == F.col("cluster"), True)).alias(
+            "docs_kept"
+        ),
+        F.count(F.when(F.col("doc_id") != F.col("cluster"), True)).alias(
+            "removed_neardup"
+        ),
+    )
+    return (
+        agg_docs.join(agg_reps, "source", "left")
+        .select(
+            "source",
+            "docs_total",
+            F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
+            "removed_exact",
+            F.coalesce("removed_neardup", F.lit(0)).alias(
+                "removed_neardup"
+            ),
+            dround(
+                F.coalesce("docs_kept", F.lit(0)).cast("double")
+                / F.col("docs_total"),
+                4,
+            ).alias("kept_fraction"),
         )
         .orderBy("source")
     )
