@@ -360,3 +360,44 @@ def test_configurable_banding_contains_default_pairs(spark, sf_dir):
         ).collect()
     }
     assert explicit == default
+
+
+def test_sweep_band_values_consistent_with_production_banding():
+    """The sweep's (16,8) slice must be BIT-IDENTICAL to the production
+    band_values output (same planes, same packing) — otherwise the
+    sweep measures a different banding than the one it claims to sweep.
+    Also pins the structural containment at the bit level: an 8-bit
+    band match implies both 4-bit halves match in the b32r04 slice."""
+    import numpy as np
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators import (
+        _embed_lsh_udf as u,
+    )
+
+    rng = np.random.default_rng(13)
+    v = rng.standard_normal((40, u.DIM)).astype(np.float32)
+    sweep = u.sweep_band_values(v)
+    prod = u.band_values(v)
+    i_168 = u.SWEEP_CONFIGS.index((16, 8))
+    off = u.SWEEP_OFFSETS[i_168]
+    assert np.array_equal(sweep[:, off:off + 16], prod)
+    # bit-level containment: rows whose 8-bit band b matches must match
+    # on both corresponding 4-bit bands of the b32r04 slice
+    i_324 = u.SWEEP_CONFIGS.index((32, 4))
+    off4 = u.SWEEP_OFFSETS[i_324]
+    b324 = sweep[:, off4:off4 + 32]
+    for a in range(5):
+        for b in range(a + 1, 10):
+            for band in range(16):
+                if prod[a, band] == prod[b, band]:
+                    assert b324[a, 2 * band] == b324[b, 2 * band]
+                    assert b324[a, 2 * band + 1] == b324[b, 2 * band + 1]
+    # the configurable-UDF path (non-default config) packs identically
+    # to the sweep's slice for the same (bands, bits)
+    vq = np.floor(v.astype(np.float64) * u.QUANT + 0.5).astype(np.int64)
+    bits = (vq @ u._SWEEP_PLANES[:128].T) >= 0
+    vals = np.zeros((v.shape[0], 32), dtype=np.int32)
+    for j in range(32):
+        for k in range(4):
+            vals[:, j] |= bits[:, j * 4 + k].astype(np.int32) << k
+    assert np.array_equal(vals, b324)
