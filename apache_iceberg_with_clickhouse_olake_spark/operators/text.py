@@ -759,3 +759,72 @@ def crossdoc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SPAN_EXAMPLES_K = 20
+
+
+@query(
+    "repeated_span_examples",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+    ),
+    w AS MATERIALIZED (
+      SELECT doc_id,
+             array_to_string(
+               list_slice(t, i, i + {_NGRAM_SPAN - 1}), ' ') AS span
+      FROM toks, LATERAL unnest(
+        range(1, len(t) - {_NGRAM_SPAN} + 2)) AS r(i)
+      WHERE len(t) >= {_NGRAM_SPAN}
+    ),
+    g AS (
+      SELECT span,
+             COUNT(*) AS occurrences,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM w GROUP BY span
+    )
+    SELECT span, occurrences, n_docs
+    FROM g WHERE n_docs >= 2
+    ORDER BY occurrences DESC, span
+    LIMIT {_SPAN_EXAMPLES_K}
+    """,
+    tags=("llm-text", "llm-dedup"),
+)
+def repeated_span_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEBUGGING surface for crossdoc_ngram_repetition: the top-20
+    most-repeated cross-document 8-token spans with their text, so an
+    engineer inspecting a repetition spike sees WHICH boilerplate is
+    duplicated, not just how much. Unlike the accounting op (which
+    shuffles 16-byte hashes), this one groups on the span text itself
+    — the right trade for a top-k debugging query whose output is 20
+    rows, and still a single uniform-keyed shuffle + TakeOrdered, never
+    a join. Deterministic order: occurrences desc, then span text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    ex = (
+        toks.filter(F.size("t") >= _NGRAM_SPAN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size("t") - F.lit(_NGRAM_SPAN - 1)
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("t"), i, _NGRAM_SPAN)
+                    ),
+                )
+            ).alias("span"),
+        )
+    )
+    return (
+        ex.groupBy("span")
+        .agg(
+            F.count("*").alias("occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("occurrences").desc(), "span")
+        .limit(_SPAN_EXAMPLES_K)
+    )
