@@ -20,6 +20,9 @@ oracle reproduces Spark bit-for-bit from shared constants.
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1179,3 +1182,134 @@ def dedup_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "dedup_removal_apply",
+    oracle=f"""
+    WITH g AS MATERIALIZED (
+      SELECT doc_id, source, text,
+             row_number() OVER (
+               PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    reps AS MATERIALIZED (
+      SELECT doc_id, source, text FROM g WHERE rn = 1
+    ),
+    {_sig_cte_sql('reps')},
+    bands AS (
+      {' UNION ALL '.join(
+          f"SELECT doc_id, {b} AS band_id, b{b} AS band_hash FROM bands_wide"
+          for b in range(_N_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM reps),
+    edges AS (
+      SELECT p.doc_a AS a, p.doc_b AS b
+      FROM cand p
+      JOIN sh sa ON p.doc_a = sa.doc_id
+      JOIN sh sb ON p.doc_b = sb.doc_id
+      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+            >= {_JACCARD_THRESHOLD}
+    ),
+    sym AS MATERIALIZED (
+      SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+    ),
+    {_cc_rounds_sql()},
+    kept AS (
+      SELECT r.doc_id, r.source, r.text
+      FROM reps r LEFT JOIN l{_CC_ROUNDS} l USING (doc_id)
+      WHERE COALESCE(l.label, r.doc_id) = r.doc_id
+    ),
+    agg_docs AS (
+      SELECT source,
+             COUNT(*) AS docs_total,
+             COUNT(CASE WHEN rn > 1 THEN 1 END) AS removed_exact
+      FROM g GROUP BY source
+    ),
+    agg_kept AS (
+      SELECT source,
+             COUNT(*) AS kept_readback,
+             CAST(SUM(length(text)) AS BIGINT) AS kept_chars
+      FROM kept GROUP BY source
+    )
+    SELECT d.source,
+           d.docs_total,
+           COALESCE(k.kept_readback, 0) AS kept_readback,
+           COALESCE(k.kept_chars, 0) AS kept_chars,
+           d.removed_exact,
+           d.docs_total - d.removed_exact - COALESCE(k.kept_readback, 0)
+             AS removed_neardup
+    FROM agg_docs d LEFT JOIN agg_kept k USING (source)
+    ORDER BY d.source
+    """,
+    tags=("llm-dedup", "S3"),
+)
+def dedup_removal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the removal plan end-to-end: materialize the kept corpus to
+    a parquet sink, then account for it from the files READ BACK from
+    disk -- the dedup analog of the reference's silver-rebuild pattern
+    (scripts/iceberg-setup.sql:66-75), where the actionable table is
+    written and the check runs over the written artifact, not the plan.
+
+    Accounting is a genuine cross-check, not bookkeeping: kept_readback
+    and kept_chars come from the READBACK side while removed_exact /
+    removed_neardup come from the PLAN side (the oracle derives
+    removed_neardup as the remainder), so a lossy or duplicating write
+    breaks the docs_total = kept + removed_exact + removed_neardup
+    identity and the value-hash compare fails.
+
+    100 TB: the kept corpus is written in parallel at the reps frame's
+    doc_id partitioning (no coalesce -- a backfill-sized apply spreads
+    across the cluster); every aggregate is source-cardinality."""
+    grouped, reps, labels = _cascade_rep_labels(spark, sf_dir)
+    rep_plan = reps.join(labels, "doc_id", "left").withColumn(
+        "cluster", F.coalesce("label", F.col("doc_id"))
+    )
+    kept = rep_plan.filter(F.col("doc_id") == F.col("cluster")).select(
+        "doc_id", "source", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="dedup_apply_")
+    try:
+        kept.write.mode("overwrite").parquet(tmp)
+        back = spark.read.parquet(tmp)
+        agg_docs = grouped.groupBy("source").agg(
+            F.count("*").alias("docs_total"),
+            F.count(F.when(F.col("rn") > 1, True)).alias("removed_exact"),
+        )
+        removed_nd = (
+            rep_plan.filter(F.col("doc_id") != F.col("cluster"))
+            .groupBy("source")
+            .agg(F.count("*").alias("removed_neardup"))
+        )
+        agg_kept = back.groupBy("source").agg(
+            F.count("*").alias("kept_readback"),
+            F.sum(F.length("text")).alias("kept_chars"),
+        )
+        out = (
+            agg_docs.join(agg_kept, "source", "left")
+            .join(removed_nd, "source", "left")
+            .select(
+                "source",
+                "docs_total",
+                F.coalesce("kept_readback", F.lit(0)).alias("kept_readback"),
+                F.coalesce("kept_chars", F.lit(0)).cast("long").alias(
+                    "kept_chars"
+                ),
+                "removed_exact",
+                F.coalesce("removed_neardup", F.lit(0)).alias(
+                    "removed_neardup"
+                ),
+            )
+            .orderBy("source")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -83,6 +83,15 @@ def decode_with_codec(payload: bytes, fmt: str) -> np.ndarray:
                 f"format={fmt!r} needs pillow; container ships no codecs"
             )
         with Image.open(io.BytesIO(payload)) as img:
+            # Canonicalize to an 8-bit mode BEFORE the uint8 view: a
+            # direct np.asarray(dtype=uint8) on 16-bit ('I;16'), 1-bit
+            # ('1') or palette ('P') images silently truncates / casts
+            # instead of decoding into the documented flat-uint8 pixel
+            # domain (r6 ADVICE). Palette and 1-bit expand to RGB/L;
+            # high-depth modes scale down via convert's I->L path.
+            if img.mode not in ("L", "RGB", "RGBA", "LA"):
+                gray = ("1", "I", "I;16", "I;16B", "I;16L", "I;16N", "F")
+                img = img.convert("L" if img.mode in gray else "RGB")
             return np.asarray(img, dtype=np.uint8).reshape(-1)
     if fmt in _AUDIO_FORMATS:
         try:

@@ -52,33 +52,39 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # text, sessions, multimodal, windows, streaming) inside the first 50;
 # redundant variants of already-covered op-ids follow in module order.
 # tests/test_registry_window.py asserts the coverage invariant.
-# r6 rotation (verdict item 2): 44 of 121 registered queries had never
-# held a driver correctness row in ANY round. Twelve of them take the
-# window this round; the twelve rotated out all hold driver rows from
-# r1-r5 and leave every one of their op-id tags covered by a remaining
-# or incoming entry (asserted by tests/test_registry_window.py):
-#   out orders_by_status        (A2->pricing_summary, A4->revenue_by_nation,
-#                                O1->top_customers)
-#   out gold_order_metrics      (A6/A7->unique_customers, A8->monthly_revenue,
-#                                S4->medallion_readback)
-#   out validate_domains        (D2->ddl_roundtrip, S7->datagen_*)
-#   out lake_update_where       (D9->cdc_upsert_state, L1->time_travel_counts)
-#   out order_part_lookup       (J3->datagen_orders_by_status,
-#                                P9->bucket_index_lookup)
-#   out streaming_chunked_state (C2->streaming_restart_state,
-#                                C3->sessionize_events + events_sliding_windows)
-#   out asof_click_to_purchase  (J1->revenue_by_nation + salted_skew_join,
-#                                llm-sessions->sessionize_events)
-#   out dedup_exact_stats       (A6->unique_customers, llm-dedup->cascade)
-#   out embedding_neardup_recall_eval, crossmodal_neardup_agreement,
-#       doc_repetition_stats    (families carried by the incoming ANN/text
-#                                rows + the flagship corpus_build_pipeline)
-#   out top_orders_per_customer (W-ext->events_sliding_windows +
-#                                running_monthly_revenue)
-# `python scripts/coverage_gap.py` prints the remaining blind spot.
+# r7 rotation (r6 verdict item 1): 35 of 125 registered queries had
+# never held a driver correctness row in ANY round. Sixteen window
+# slots turn over this round: 15 never-checked queries come in (led by
+# the r6-authored removal-plan / cross-doc-repetition oracles and the
+# rest of the ANN family, per the verdict's ranking) plus the new
+# dedup_removal_apply materialization twin (verdict item 4). The
+# sixteen rotated out ALL hold driver rows (r6 or earlier) and leave
+# every op-id tag / family covered by a remaining or incoming entry
+# (asserted by tests/test_registry_window.py):
+#   out pricing_summary         (A2->session_epoch_stats, A4->revenue_by_nation,
+#                                P5->high_value_orders; stays the bench flagship)
+#   out salted_skew_join        (J1->revenue_by_nation, A2->session_epoch_stats)
+#   out layer_consistency       (A9->medallion_readback)
+#   out top_customers           (O1->revenue_by_nation, O3->top_terms)
+#   out sessionize_events       (llm-sessions->retention_cohorts,
+#                                C3->events_tumbling_windows)
+#   out events_sliding_windows, running_monthly_revenue
+#                               (W-ext->customer_order_gaps,
+#                                C3->events_tumbling_windows,
+#                                A8->monthly_revenue)
+#   out dedup_cluster_sizes, simhash_neardup_pairs
+#                               (llm-dedup->cascade + removal plan/apply)
+#   out ann_recall_eval, ann_multiprobe_topk, semantic_search_topk,
+#       embedding_neardup_config_sweep
+#                               (llm-similarity->incoming ANN trio)
+#   out text_token_stats, unigram_logprob_quality
+#                               (llm-text->top_terms/tfidf/token_count_bpe/
+#                                pii_redaction_stats + crossdoc pair)
+#   out media_decode_features   (multimodal->media_features_by_type)
+# `python scripts/coverage_gap.py` prints the remaining blind spot
+# (20 names after this rotation; one more disciplined pass clears it).
 _PRIORITY = (
-    # core analytics / TPC-H-ish (S2, P*, J*, A*, O1-O3, U*, F*)
-    "pricing_summary",
+    # core analytics / TPC-H-ish (S2, P*, J*, A*, O1-O2, U*, F*)
     "monthly_revenue",
     "high_value_orders",
     "unique_customers",
@@ -86,7 +92,6 @@ _PRIORITY = (
     "order_date_range",
     "table_counts",
     "distinct_status",
-    "top_customers",
     "silver_projection",
     "scalar_functions",
     "profile_distributions",
@@ -95,8 +100,6 @@ _PRIORITY = (
     "session_settings_roundtrip",
     "daily_active_users",
     "session_epoch_stats",
-    "salted_skew_join",          # first driver row; J1+A2 under synthetic skew
-    "layer_consistency",         # first driver row; A9 raw-vs-gold agreement
     # datagen / seed bootstrap (S7, J2, J3, O4, F4, F11, U2)
     "datagen_users",
     "datagen_products",
@@ -115,31 +118,32 @@ _PRIORITY = (
     "partition_pruning_roundtrip",
     "parquet_layout_roundtrip",
     "bucket_index_lookup",
-    # streaming twins (C2, C3, C6) + sessions
+    # streaming twins (C2, C6) + C3 via events_tumbling_windows
     "streaming_restart_state",
-    "sessionize_events",
-    # window-function family: first driver rows for the W-ext ops
-    "events_sliding_windows",
-    "running_monthly_revenue",
+    "events_tumbling_windows",   # first driver row; C3 tumbling rollup
+    # window-function family (W-ext)
+    "customer_order_gaps",       # first driver row; lag-gap windows
+    # sessions family
+    "retention_cohorts",         # first driver row; cohort retention
     # LLM pipeline: dedup / curation / similarity / text / multimodal.
     # The flagships keep their rows (cascade, corpus build, pair
     # enumeration); the rest of the slate is first-driver-row burndown.
     "dedup_cascade_stats",
     "corpus_build_pipeline",
     "embedding_near_dup_pairs",
-    "dedup_cluster_sizes",       # first driver row; label-propagation path
-    "simhash_neardup_pairs",     # first driver row; bucketed simhash join
-    "ann_recall_eval",           # first driver row; ANN family
-    "ann_multiprobe_topk",       # first driver row; ANN family
-    "semantic_search_topk",      # first driver row; ANN->metadata join-back
-    "text_token_stats",          # first driver row; text family
-    "unigram_logprob_quality",   # first driver row; text family
-    "media_decode_features",     # first driver row; multimodal decode path
-    # media_catalog_stats rotated out (multimodal stays covered by
-    # corpus_build_pipeline + media_decode_features; it holds an r5
-    # driver row) for the r6 banding config sweep, whose 512-plane
-    # oracle re-derivation is this round's riskiest new code path.
-    "embedding_neardup_config_sweep",
+    "dedup_removal_plan",        # first driver row; keep/remove decisions
+    "dedup_removal_apply",       # NEW r7; applied plan, readback-accounted
+    "incremental_dedup_stats",   # first driver row; batch-vs-index dedup
+    "ann_ivf_topk",              # first driver row; ANN family
+    "ann_lsh_bucketed_topk",     # first driver row; ANN family
+    "ann_probe_sweep_recall",    # first driver row; ANN family
+    "top_terms",                 # first driver row; text family (O1+O3)
+    "tfidf_top_terms",           # first driver row; text family
+    "token_count_bpe",           # first driver row; text family
+    "pii_redaction_stats",       # first driver row; text family
+    "crossdoc_ngram_repetition", # first driver row; r6-authored oracle
+    "repeated_span_examples",    # first driver row; r6-authored oracle
+    "media_features_by_type",    # first driver row; multimodal family
 )
 
 

@@ -312,7 +312,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _embed_candidate_pairs(e)
         .filter(F.col("near_dup"))
-        .drop("near_dup")
+        .drop("near_dup", "cos_raw")
     )
 
 
@@ -378,6 +378,11 @@ def _embed_candidate_pairs(e: DataFrame, n_bands: int = _ND_BANDS) -> DataFrame:
             "vec_b",
             "label",
             dround(cos, 4).alias("cos_sim"),
+            # cos_raw rides along so threshold callers (the _with_config
+            # path) can filter the UNROUNDED cosine -- filtering the 4-dp
+            # display column would shift the boundary by up to 5e-5 vs
+            # the registered op's near_dup flag (r6 ADVICE).
+            cos.alias("cos_raw"),
             (cos >= _NEAR_DUP_COS).alias("near_dup"),
         )
     )
@@ -688,14 +693,14 @@ def embedding_near_dup_pairs_with_config(
         _dvec(F.col("embedding")).alias("v"),
         bands_udf(F.col("embedding")).alias("bands"),
     )
-    # filter on the 4-dp rounded cosine (the column callers see); at the
-    # 1e-4 boundary this differs immaterially from the registered op's
-    # unrounded near_dup flag and is identical for any config COMPARISON
-    # (both sides of a comparison filter the same way)
+    # Filter the UNROUNDED cosine (cos_raw): at min_cos == _NEAR_DUP_COS
+    # this is exactly the registered op's near_dup predicate, so the
+    # "explicit default config == registered op" invariant holds at the
+    # boundary too, not just on fixtures that avoid it (r6 ADVICE).
     return (
         _embed_candidate_pairs(e, n_bands=n_bands)
-        .filter(F.col("cos_sim") >= min_cos)
-        .drop("near_dup")
+        .filter(F.col("cos_raw") >= min_cos)
+        .drop("near_dup", "cos_raw")
     )
 
 

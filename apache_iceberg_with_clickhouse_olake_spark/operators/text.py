@@ -795,11 +795,16 @@ def repeated_span_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEBUGGING surface for crossdoc_ngram_repetition: the top-20
     most-repeated cross-document 8-token spans with their text, so an
     engineer inspecting a repetition spike sees WHICH boilerplate is
-    duplicated, not just how much. Unlike the accounting op (which
-    shuffles 16-byte hashes), this one groups on the span text itself
-    — the right trade for a top-k debugging query whose output is 20
-    rows, and still a single uniform-keyed shuffle + TakeOrdered, never
-    a join. Deterministic order: occurrences desc, then span text."""
+    duplicated, not just how much. Like the accounting op, the shuffle
+    KEY is the md5 of the span, not the span itself (fixed-width hash
+    compares instead of variable-length string keys through both
+    count-distinct phases); the span text rides once per map-side
+    group as a first() exemplar payload, collapsing to one exemplar
+    per group after partial aggregation. md5 is injective in practice,
+    so per-key the exemplar is constant and the final (occurrences
+    desc, span) sort reproduces the raw-text grouping's order exactly.
+    Still a single uniform-keyed shuffle + TakeOrdered, never a join.
+    Deterministic order: occurrences desc, then span text."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     ex = (
@@ -819,12 +824,14 @@ def repeated_span_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        ex.groupBy("span")
+        ex.groupBy(F.md5("span").alias("h"))
         .agg(
             F.count("*").alias("occurrences"),
             F.countDistinct("doc_id").alias("n_docs"),
+            F.first("span").alias("span"),
         )
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.col("occurrences").desc(), "span")
         .limit(_SPAN_EXAMPLES_K)
+        .select("span", "occurrences", "n_docs")
     )

@@ -430,11 +430,23 @@ def _dedup_index_body(index_dir: str, batch: DataFrame, batch_id: int) -> None:
             .select("fp")
         )
         fresh = fresh.join(existing, "fp", "left_anti")
+    # Fingerprint-bucketed write, k scaled to the batch's own input
+    # partitioning: a trickle batch (maxFilesPerTrigger=1) still lands
+    # one file, but a backfill-sized batch fans its index write across
+    # the cluster instead of serializing through a single task (the r6
+    # coalesce(1) wart). Keying the files by fp hash keeps any future
+    # bucket-local index maintenance possible; the replay guard above
+    # is unchanged -- it deletes the whole batch=<id> directory, so
+    # multi-file partitions replay exactly like single-file ones.
+    k = max(1, min(
+        bspark.sparkContext.defaultParallelism,
+        batch.rdd.getNumPartitions(),
+    ))
     (
         fresh.withColumn("batch_id", F.lit(batch_id))
-        .coalesce(1)
+        .repartition(k, "fp")
         .write.mode("overwrite")
-        .parquet(os.path.join(index_dir, f"batch={batch_id}"))
+        .parquet(own_part)
     )
 
 

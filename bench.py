@@ -112,6 +112,47 @@ def _env_fingerprint() -> dict:
     return ctx
 
 
+def _load_prev_artifact(here: str) -> tuple[dict | None, str | None]:
+    """Newest usable BENCH_r*.json record, walking backward.
+
+    The driver wraps bench stdout as {"parsed": <dict|null>, "tail":
+    <last 2000 chars>}. When "parsed" is null because the JSON line
+    outgrew the tail (r6 lost exactly its 12-char '{"metric": "'
+    prefix), reconstruct it from the tail before falling back to an
+    older round -- otherwise a single overlong round would silently
+    shift every later delta's baseline."""
+    import glob
+
+    for path in sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True
+    ):
+        try:
+            with open(path) as f:
+                raw = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(raw, dict):
+            continue
+        rec = raw.get("parsed")
+        if rec is None:
+            tail = raw.get("tail")
+            if isinstance(tail, str) and tail.strip():
+                last = tail.strip().splitlines()[-1]
+                for cand in (last, '{"metric": "' + last):
+                    try:
+                        rec = json.loads(cand)
+                        break
+                    except json.JSONDecodeError:
+                        continue
+        if rec is None and "value" in raw and "queries" in raw:
+            rec = raw  # a bare (non-driver-wrapped) bench record
+        if isinstance(rec, dict) and isinstance(
+            rec.get("value"), (int, float)
+        ):
+            return rec, os.path.basename(path)
+    return None, None
+
+
 HEADLINE = (
     "orders_by_status",       # Test 1: raw group-by (the 2-5 s band shape)
     "monthly_revenue",        # Test 2: month x status rollup
@@ -295,78 +336,178 @@ def main() -> None:
     # Per-query deltas vs the newest recorded round, so a regression (or
     # noise masquerading as one) is visible in the artifact itself
     # instead of requiring a cross-file diff.
-    import glob
-
     here = os.path.dirname(os.path.abspath(__file__))
-    prev_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     ctx = _env_fingerprint()
+    prev, prev_name = _load_prev_artifact(here)
+    # Prev-round IQRs: newer compact artifacts don't inline them, so
+    # pull from the committed detail sidecar (read BEFORE this run
+    # overwrites it); the reconstructed r6 artifact still inlines them.
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path) as f:
+            detail_book = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        detail_book = {}
     delta_vs_prev = None
-    if prev_files:
-        try:
-            with open(prev_files[-1]) as f:
-                prev = json.load(f)
-            # the driver wraps bench stdout under "parsed"
-            prev = prev.get("parsed", prev)
-            prev_q = prev.get("queries", {})
-            # a prior artifact without a total (e.g. a failed run that
-            # recorded only {n, rc, tail}) yields no delta, not a bogus
-            # full-total "regression"
-            if isinstance(prev.get("value"), (int, float)):
-                delta_vs_prev = {
-                    "prev_file": os.path.basename(prev_files[-1]),
-                    "total": round(total - prev["value"], 4),
-                    "queries": {
-                        n: round(t - prev_q[n], 4)
-                        for n, t in timings.items()
-                        if n in prev_q
-                    },
-                }
-                # Machine-speed-normalized delta (BENCH_NOTES.md rule):
-                # when the previous artifact carries the calibration
-                # loop, scale this run's total by calib_prev/calib_now
-                # before differencing, so machine drift (r5's "+29%")
-                # can never masquerade as a code regression again.
-                prev_calib = prev.get("context", {}).get("calib_spin_ms")
-                now_calib = ctx.get("calib_spin_ms")
-                if prev_calib and now_calib:
-                    ratio = prev_calib / now_calib
-                    delta_vs_prev["calib_ratio_prev_over_now"] = round(
-                        ratio, 4
-                    )
-                    delta_vs_prev["total_machine_normalized"] = round(
-                        total * ratio - prev["value"], 4
-                    )
-                prev_llm = prev.get("llm_suite", {}).get("queries", {})
-                if prev_llm:
-                    delta_vs_prev["llm_suite"] = {
-                        n: round(t - prev_llm[n], 4)
-                        for n, t in llm_timings.items()
-                        if n in prev_llm
-                    }
-        except (json.JSONDecodeError, OSError):
-            delta_vs_prev = None
+    delta_detail = None
+    # Same-scale runs only: a dev run at sf0.001 must not "improve" on
+    # the prior round's sf0.1 numbers.
+    if prev is not None and prev.get("sf") == (float(sf) if sf else None):
+        prev_q = prev.get("queries", {})
+        prev_detail = detail_book.get(str(sf), {})
+        # Totals compare the INTERSECTION of query names only (r6
+        # ADVICE): a row added this round would otherwise read as a
+        # spurious whole-suite "regression" of exactly its own runtime.
+        # Rows unique to either side are named in the artifact instead
+        # of silently polluting a sum.
+        shared = sorted(set(timings) & set(prev_q))
+        shared_now = round(sum(timings[n] for n in shared), 4)
+        shared_prev = round(sum(prev_q[n] for n in shared), 4)
+        # Machine-speed-normalized delta (BENCH_NOTES.md rule): scale
+        # this run's totals by calib_prev/calib_now before differencing,
+        # so machine drift (r5's "+29%") can never masquerade as a code
+        # regression again.
+        prev_calib = prev.get("context", {}).get("calib_spin_ms")
+        now_calib = ctx.get("calib_spin_ms")
+        ratio = (prev_calib / now_calib) if prev_calib and now_calib else None
+        prev_iqr = prev.get("iqr") or prev_detail.get("iqr") or {}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-                "runs_per_query": 5,
-                "stat": "median",
-                "iqr": iqrs,
-                "llm_suite": {
-                    "queries": llm_timings,
-                    "iqr": llm_iqrs,
-                    "runs_per_query": 3,
-                },
-                "delta_vs_prev": delta_vs_prev,
-                "context": ctx,
-            }
+        # Automated per-query noise/regression verdict (the
+        # BENCH_NOTES.md rule, made executable): a query only counts as
+        # regressed/improved when its machine-normalized delta exceeds
+        # the wider of the two rounds' IQRs; everything inside that
+        # envelope is "noise".
+        def judge(now_t, prev_t, iqr_now, iqr_prev):
+            d = now_t * (ratio if ratio else 1.0) - prev_t
+            gate = max(iqr_now, iqr_prev, 0.01)
+            if d > gate:
+                return f"regression (+{d:.3f}s > iqr {gate:.3f})"
+            if d < -gate:
+                return f"improvement ({d:.3f}s < -iqr {gate:.3f})"
+            return "noise"
+
+        verdicts = {
+            n: judge(
+                timings[n], prev_q[n],
+                iqrs.get(n, 0.0), prev_iqr.get(n, 0.0),
+            )
+            for n in shared
+        }
+        prev_llm = (prev.get("llm_suite") or {}).get("queries", {})
+        prev_llm_iqr = (
+            (prev.get("llm_suite") or {}).get("iqr")
+            or (prev_detail.get("llm_suite") or {}).get("iqr")
+            or {}
         )
-    )
+        llm_shared = sorted(set(llm_timings) & set(prev_llm))
+        llm_verdicts = {
+            n: judge(
+                llm_timings[n], prev_llm[n],
+                llm_iqrs.get(n, 0.0), prev_llm_iqr.get(n, 0.0),
+            )
+            for n in llm_shared
+        }
+        # Compact block for stdout (the driver records only the last
+        # 2000 chars of it -- r6's artifact lost its parse to exactly
+        # this); full per-query deltas + verdicts go to the sidecar.
+        delta_vs_prev = {
+            "prev_file": prev_name,
+            "total": round(shared_now - shared_prev, 4),
+            "total_basis": "shared_queries_only",
+            "new_queries": sorted(set(timings) - set(prev_q)),
+            "dropped_queries": sorted(set(prev_q) - set(timings)),
+            "regressions": sorted(
+                n for n, v in verdicts.items() if v.startswith("regression")
+            ),
+            "improvements": sorted(
+                n for n, v in verdicts.items() if v.startswith("improvement")
+            ),
+            "llm_regressions": sorted(
+                n for n, v in llm_verdicts.items()
+                if v.startswith("regression")
+            ),
+        }
+        if ratio:
+            delta_vs_prev["calib_ratio_prev_over_now"] = round(ratio, 4)
+            delta_vs_prev["total_machine_normalized"] = round(
+                shared_now * ratio - shared_prev, 4
+            )
+        delta_detail = dict(
+            delta_vs_prev,
+            shared_total_now=shared_now,
+            shared_total_prev=shared_prev,
+            queries={n: round(timings[n] - prev_q[n], 4) for n in shared},
+            verdicts=verdicts,
+            llm_suite={
+                n: round(llm_timings[n] - prev_llm[n], 4) for n in llm_shared
+            },
+            llm_suite_verdicts=llm_verdicts,
+            verdict_basis=(
+                "machine_normalized_delta_vs_max_iqr"
+                if ratio
+                else "raw_delta_vs_max_iqr (no calib in prev artifact)"
+            ),
+        )
+
+    # Full-fidelity record -> committed sidecar, keyed by sf so dev runs
+    # at other scales never clobber the round-of-record entry.
+    detail_book[str(sf)] = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "runs_per_query": 5,
+        "stat": "median",
+        "iqr": iqrs,
+        "llm_suite": {
+            "queries": llm_timings,
+            "iqr": llm_iqrs,
+            "runs_per_query": 3,
+        },
+        "delta_vs_prev": delta_detail,
+        "context": ctx,
+    }
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail_book, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+    # The ONE stdout JSON line the driver records. It MUST stay under
+    # the driver's 2000-char tail or the artifact's "parsed" goes null
+    # (r6's did, at 2012 chars). Optional keys shed until it fits.
+    compact = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "runs_per_query": 5,
+        "stat": "median",
+        "llm_suite": {"queries": llm_timings, "runs_per_query": 3},
+        "delta_vs_prev": delta_vs_prev,
+        "detail_file": "BENCH_DETAIL.json",
+        "context": {
+            k: ctx.get(k) for k in ("calib_spin_ms", "loadavg_1m") if k in ctx
+        },
+    }
+    line = json.dumps(compact)
+    for shed in (
+        ("delta_vs_prev", "dropped_queries"),
+        ("delta_vs_prev", "new_queries"),
+        ("delta_vs_prev", "improvements"),
+        ("context",),
+        ("delta_vs_prev",),
+    ):
+        if len(line) <= 1900:
+            break
+        node = compact
+        for k in shed[:-1]:
+            node = node.get(k) or {}
+        node.pop(shed[-1], None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -202,7 +202,7 @@ def _completed_stage_ids(spark) -> set[int]:
 
 def _task_skew(
     spark, stage_ids: set[int], wall_ms: float
-) -> tuple[float | None, float | None, int]:
+) -> tuple[float | None, float | None, int, int]:
     """Straggler measurement over the given stages, scoped to what the
     suite actually tests — REDUCER-KEY skew:
 
