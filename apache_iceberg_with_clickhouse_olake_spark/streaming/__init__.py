@@ -430,21 +430,21 @@ def _dedup_index_body(index_dir: str, batch: DataFrame, batch_id: int) -> None:
             .select("fp")
         )
         fresh = fresh.join(existing, "fp", "left_anti")
-    # Fingerprint-bucketed write, k scaled to the batch's own input
-    # partitioning: a trickle batch (maxFilesPerTrigger=1) still lands
-    # one file, but a backfill-sized batch fans its index write across
-    # the cluster instead of serializing through a single task (the r6
-    # coalesce(1) wart). Keying the files by fp hash keeps any future
-    # bucket-local index maintenance possible; the replay guard above
-    # is unchanged -- it deletes the whole batch=<id> directory, so
-    # multi-file partitions replay exactly like single-file ones.
-    k = max(1, min(
-        bspark.sparkContext.defaultParallelism,
-        batch.rdd.getNumPartitions(),
-    ))
+    # Fingerprint-keyed adaptive write (the r6 coalesce(1) wart, fixed
+    # properly): the fingerprint window upstream already hash-partitions
+    # the batch by fp, and that partitioning flows straight into the
+    # sink -- an explicit repartition(k, "fp") here is provably elided
+    # by Catalyst as redundant. AQE then sizes the exchange by BYTES
+    # (advisoryPartitionSizeInBytes), which is exactly the right knob:
+    # a trickle batch (maxFilesPerTrigger=1) coalesces to one file,
+    # while a backfill-sized batch keeps ~64 MB-per-task granularity and
+    # fans the write across the cluster instead of serializing through
+    # one core. The replay guard above is unchanged -- it deletes the
+    # whole batch=<id> directory, so multi-file partitions replay
+    # exactly like single-file ones (pinned by
+    # test_dedup_index_backfill_batch_writes_multiple_files).
     (
         fresh.withColumn("batch_id", F.lit(batch_id))
-        .repartition(k, "fp")
         .write.mode("overwrite")
         .parquet(own_part)
     )

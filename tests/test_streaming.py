@@ -662,3 +662,84 @@ def test_corpus_ingest_stream_torn_write_recovers(spark, sf_dir, tmp_path):
     )
     assert got.groupBy("fp").count().filter("count > 1").count() == 0
     assert _rows(got.select("fp"), ["fp"]) == _rows(want_fps, ["fp"])
+
+
+def test_dedup_index_backfill_batch_writes_multiple_files(
+    spark, sf_dir, tmp_path
+):
+    """The r7 departition of the index write: the batch's fp-hash
+    partitioning flows into the sink and AQE sizes it by bytes, so a
+    trickle batch coalesces to one file while a backfill-sized batch
+    fans across tasks instead of serializing through one core (the r6
+    coalesce(1) wart). Sandbox batches are all tiny, so 'backfill-sized'
+    is simulated by shrinking AQE's advisory partition size for the
+    write -- the same mechanism that keeps ~64 MB tasks at production
+    scale. A replay of the multi-file batch must overwrite to identical
+    content (the idempotent-partitioned-sink contract survives k > 1).
+    The streaming-trigger tests all ride maxFilesPerTrigger=1
+    single-partition batches, so without this test the multi-file
+    branch would ship driver-unexercised."""
+    from apache_iceberg_with_clickhouse_olake_spark.functions import norm_text
+    from apache_iceberg_with_clickhouse_olake_spark.streaming import (
+        _dedup_index_body,
+    )
+
+    index_dir = str(tmp_path / "index")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+    )
+    # batch 0: a committed trickle batch -> AQE coalesces to one file
+    trickle = docs.filter(F.col("doc_id") < 40).repartition(1)
+    _dedup_index_body(index_dir, trickle, 0)
+    part0 = os.path.join(index_dir, "batch=0")
+    files0 = [f for f in os.listdir(part0) if f.endswith(".parquet")]
+    assert len(files0) == 1, "trickle batch should still land one file"
+
+    # batch 1: backfill-shaped relative to the advisory size
+    # (overlapping fingerprints with batch 0) -> multi-file write
+    advisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    min_size = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    )
+    backfill = docs.filter(F.col("doc_id") >= 20).repartition(8)
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "4096"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1024"
+        )
+        _dedup_index_body(index_dir, backfill, 1)
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", min_size
+        )
+    part1 = os.path.join(index_dir, "batch=1")
+    files1 = [f for f in os.listdir(part1) if f.endswith(".parquet")]
+    assert len(files1) > 1, (
+        f"backfill batch wrote {len(files1)} file(s); the fp-keyed "
+        "write should fan out once the batch outgrows the advisory size"
+    )
+
+    # Index correctness with the multi-file partition in place: each
+    # distinct fingerprint exactly once, first-seen doc_id wins.
+    got = spark.read.parquet(index_dir)
+    want = (
+        docs.select("doc_id", F.md5(norm_text(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    assert got.groupBy("fp").count().filter("count > 1").count() == 0
+    assert _rows(got, ["fp", "doc_id"]) == _rows(want, ["fp", "doc_id"])
+
+    # Replay of the multi-file batch (crash-after-write, before-commit):
+    # content must be byte-identical in effect — same rows, still no
+    # duplicated fingerprints.
+    before = _rows(spark.read.parquet(index_dir), ["fp", "doc_id"])
+    _dedup_index_body(index_dir, backfill, 1)
+    after = _rows(spark.read.parquet(index_dir), ["fp", "doc_id"])
+    assert before == after
