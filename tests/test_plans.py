@@ -397,3 +397,28 @@ def test_sketch_only_twins_have_no_exact_distinct(spark, sf_dir):
     plan = physical_plan(daily_users_hll_sketch(spark, sf_dir))
     assert "hll_union_agg" in plan, plan
     assert "count(distinct" not in plan.lower(), plan
+
+
+def test_ann_topk_plans_are_bucket_local_take_ordered(spark, sf_dir):
+    """The ANN family's 100 TB contract: top-k is TakeOrderedAndProject
+    (never a global sort), candidate selection is a broadcast HASH join
+    keyed on the bucket/cell column (never an all-pairs cartesian), so
+    the scored fraction of the corpus is bucket-local by plan shape,
+    not by luck. ann_ivf_topk keeps one BroadcastNestedLoopJoin -- the
+    single-row query-vector attach, constant-size at any corpus scale
+    (same accepted shape as the value-tier constant dim)."""
+    import re
+
+    for name in ("ann_lsh_bucketed_topk", "ann_multiprobe_topk"):
+        plan = physical_plan(_Q[name](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        joins = re.findall(r"BroadcastHashJoin \[(\w+)#", plan)
+        assert joins and all(k == "bucket" for k in joins), (name, joins)
+
+    plan = physical_plan(_Q["ann_ivf_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    joins = re.findall(r"BroadcastHashJoin \[(\w+)#", plan)
+    assert joins and all(k == "label" for k in joins), joins
