@@ -659,3 +659,114 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document contamination fraction (the removal side of decontamination)
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_contamination_fraction",
+    oracle=f"""
+    WITH pset AS (
+      SELECT DISTINCT {_PROBE_SHINGLE_H} AS h
+      FROM documents
+      WHERE doc_id < {_N_PROBES} AND len({_TOKS}) >= {_PROBE_TOKENS}
+    ),
+    toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    base AS (
+      SELECT doc_id, source, len(t) - {_PROBE_TOKENS - 1} AS total_shingles
+      FROM toks WHERE len(t) >= {_PROBE_TOKENS}
+    ),
+    sh AS (
+      SELECT doc_id, {_CORPUS_SHINGLE_H} AS h
+      FROM toks,
+           UNNEST(generate_series(1, len(t) - {_PROBE_TOKENS - 1})) AS g(i)
+      WHERE len(t) >= {_PROBE_TOKENS}
+    ),
+    hits AS (
+      SELECT sh.doc_id, COUNT(*) AS hit_shingles
+      FROM sh JOIN pset USING (h)
+      GROUP BY sh.doc_id
+    )
+    SELECT b.doc_id, b.source, b.total_shingles,
+           COALESCE(h.hit_shingles, 0) AS hit_shingles,
+           {dround_sql(
+               'CAST(COALESCE(h.hit_shingles, 0) AS DOUBLE)'
+               ' / b.total_shingles', 4)} AS contamination_frac,
+           COALESCE(h.hit_shingles, 0) > 0 AS contaminated,
+           b.doc_id < {_N_PROBES} AS is_probe
+    FROM base b LEFT JOIN hits h USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    tags=("llm-text", "llm-dedup"),
+)
+def doc_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL side of benchmark decontamination: decontamination_scan
+    reports per-PROBE blast radius; this reports, per CORPUS document,
+    what fraction of its {_PROBE_TOKENS}-token shingles hit the probe
+    set -- the number a curation pipeline thresholds to drop or flag a
+    document before training (exact-match contamination policy, doc
+    granularity). Same engine shape as the scan: probe hashes dedup'd
+    and BROADCAST, corpus shingles stream map-side past them, the only
+    shuffles are the per-doc hit rollup (matched shingles only -- at
+    sane contamination rates orders of magnitude below corpus size) and
+    the doc_id join-back of those hit counts. total_shingles comes from
+    token counts directly, so clean documents never shuffle at all.
+    Probe docs themselves surface with is_probe so the policy layer can
+    exempt them."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    tok_frame = docs.select("doc_id", "source", toks.alias("t")).filter(
+        F.size("t") >= _PROBE_TOKENS
+    )
+    pset = (
+        tok_frame.filter(F.col("doc_id") < _N_PROBES)
+        .select(
+            md5_int60(
+                F.concat_ws(" ", F.slice("t", 1, _PROBE_TOKENS))
+            ).alias("h")
+        )
+        .distinct()
+    )
+    base = tok_frame.select(
+        "doc_id",
+        "source",
+        (F.size("t") - (_PROBE_TOKENS - 1))
+        .cast("long")
+        .alias("total_shingles"),
+    )
+    shingles = tok_frame.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t") - (_PROBE_TOKENS - 1))
+        ).alias("i"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        md5_int60(
+            F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), _PROBE_TOKENS))
+        ).alias("h"),
+    )
+    hits = (
+        shingles.join(F.broadcast(pset), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hit_shingles"))
+    )
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "total_shingles",
+            F.coalesce("hit_shingles", F.lit(0)).alias("hit_shingles"),
+            dround(
+                F.coalesce("hit_shingles", F.lit(0)).cast("double")
+                / F.col("total_shingles"),
+                4,
+            ).alias("contamination_frac"),
+            (F.coalesce("hit_shingles", F.lit(0)) > 0).alias("contaminated"),
+            (F.col("doc_id") < _N_PROBES).alias("is_probe"),
+        )
+        .orderBy("doc_id")
+    )

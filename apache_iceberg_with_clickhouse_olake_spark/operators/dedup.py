@@ -1313,3 +1313,91 @@ def dedup_removal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, source, length(text) AS n_chars,
+             row_number() OVER (
+               PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn_first,
+             row_number() OVER (
+               PARTITION BY md5({_NORM})
+               ORDER BY length(text) DESC, doc_id) AS rn_best
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS docs_total,
+           CAST(COUNT(CASE WHEN rn_first = 1 THEN 1 END) AS BIGINT)
+             AS kept_first_docs,
+           CAST(COALESCE(SUM(CASE WHEN rn_first = 1 THEN n_chars END), 0)
+                AS BIGINT) AS kept_first_chars,
+           CAST(COUNT(CASE WHEN rn_best = 1 THEN 1 END) AS BIGINT)
+             AS kept_best_docs,
+           CAST(COALESCE(SUM(CASE WHEN rn_best = 1 THEN n_chars END), 0)
+                AS BIGINT) AS kept_best_chars
+    FROM g
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm-dedup",),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST exact dedup vs keep-first: the fingerprint groups a
+    dedup collapses contain raw variants of the same normalized text
+    (case / whitespace differ -- the fingerprint is over the canonical
+    form), and production pipelines keep the most complete original
+    (max raw length, doc_id tie-break), not the lowest id. This query
+    prices the policy: per source, docs kept and characters retained
+    under both policies side by side (kept docs can shift BETWEEN
+    sources when a group spans them -- each kept doc counts toward its
+    own source).
+
+    One fingerprint shuffle serves both policies: two row_number
+    windows share the same partitioning (Catalyst reuses the exchange;
+    only the in-partition sort differs), then a source-cardinality
+    rollup. No joins, no second pass."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(norm_text(F.col("text")))
+    w_first = Window.partitionBy("fp").orderBy("doc_id")
+    w_best = Window.partitionBy("fp").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    g = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.length("text").alias("n_chars"),
+            fp.alias("fp"),
+        )
+        .withColumn("rn_first", F.row_number().over(w_first))
+        .withColumn("rn_best", F.row_number().over(w_best))
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count("*").alias("docs_total"),
+            F.count(F.when(F.col("rn_first") == 1, True)).alias(
+                "kept_first_docs"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("rn_first") == 1, F.col("n_chars"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("kept_first_chars"),
+            F.count(F.when(F.col("rn_best") == 1, True)).alias(
+                "kept_best_docs"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("rn_best") == 1, F.col("n_chars"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("kept_best_chars"),
+        )
+        .orderBy("source")
+    )

@@ -836,3 +836,91 @@ def repeated_span_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("occurrences").desc(), "span")
         .limit(_SPAN_EXAMPLES_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality threshold sweep: the curation knob, measured like the LSH banding
+# ---------------------------------------------------------------------------
+
+_QUALITY_THRESHOLDS = (0.05, 0.10, 0.15, 0.20, 0.25, 0.30)
+
+
+@query(
+    "quality_threshold_sweep",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                  AS DOUBLE) / NULLIF(length(text), 0) AS punct_ratio
+      FROM documents
+    ),
+    grid AS (
+      SELECT CAST(unnest([{', '.join(str(t) for t in _QUALITY_THRESHOLDS)}])
+                  AS DOUBLE) AS max_punct_ratio
+    )
+    SELECT g.max_punct_ratio,
+           CAST(COUNT(CASE WHEN t.n_tokens BETWEEN 5 AND 10000
+                            AND t.punct_ratio < g.max_punct_ratio
+                           THEN 1 END) AS BIGINT) AS docs_kept,
+           CAST(COALESCE(SUM(CASE WHEN t.n_tokens BETWEEN 5 AND 10000
+                                   AND t.punct_ratio < g.max_punct_ratio
+                                  THEN t.n_tokens END), 0) AS BIGINT)
+             AS tokens_kept,
+           {dround_sql(
+               "CAST(COUNT(CASE WHEN t.n_tokens BETWEEN 5 AND 10000"
+               " AND t.punct_ratio < g.max_punct_ratio THEN 1 END)"
+               " AS DOUBLE) / COUNT(*)", 4)} AS frac_docs_kept
+    FROM t CROSS JOIN grid g
+    GROUP BY g.max_punct_ratio
+    ORDER BY g.max_punct_ratio
+    """,
+    tags=("llm-text",),
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filter knob measured the way the LSH banding knob is
+    (embedding_neardup_config_sweep): before committing a punctuation-
+    density cutoff, a curation pipeline needs docs-kept / tokens-kept at
+    every candidate threshold -- retention buys corpus size, strictness
+    buys quality, and the sweep prices the trade in ONE corpus pass.
+    Per-doc stats (token count, punct ratio) are computed once
+    map-side, cross-joined against the BROADCAST 6-row threshold grid
+    (a constant-size explosion, same accepted shape as the banding
+    sweep's config grid), and rolled up by threshold: one shuffle of
+    6 x docs tiny tuples, never a rescan per threshold. The token
+    bounds are text_quality_scores' fixed [5, 10000] gate, so sweep row
+    0.20 reproduces that query's keep count exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", "[^.!?,;:]", ""))
+    stats = docs.select(
+        F.size(toks).alias("n_tokens"),
+        (
+            n_punct.cast("double")
+            / F.when(n_chars == 0, F.lit(None)).otherwise(n_chars)
+        ).alias("punct_ratio"),
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in _QUALITY_THRESHOLDS], "max_punct_ratio double"
+    )
+    kept = (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 10000) & (
+        F.col("punct_ratio") < F.col("max_punct_ratio")
+    )
+    return (
+        stats.crossJoin(F.broadcast(grid))
+        .groupBy("max_punct_ratio")
+        .agg(
+            F.count(F.when(kept, True)).alias("docs_kept"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("tokens_kept"),
+            dround(
+                F.count(F.when(kept, True)).cast("double") / F.count("*"),
+                4,
+            ).alias("frac_docs_kept"),
+        )
+        .orderBy("max_punct_ratio")
+    )
