@@ -422,3 +422,35 @@ def test_ann_topk_plans_are_bucket_local_take_ordered(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     joins = re.findall(r"BroadcastHashJoin \[(\w+)#", plan)
     assert joins and all(k == "label" for k in joins), joins
+
+
+def test_doc_contamination_probe_set_is_broadcast(spark, sf_dir):
+    # probe hash set broadcast (shingle side streams past it map-side);
+    # the only sort-merge joinable step is the per-doc hit join-back,
+    # and nothing may degenerate to a cartesian / BNLJ
+    plan = physical_plan(_Q["doc_contamination_fraction"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_quality_threshold_sweep_single_pass(spark, sf_dir):
+    # one documents scan crossed with the broadcast 6-row grid -- never a
+    # rescan per threshold; the cross join must be the broadcast
+    # constant-grid shape, not a data-scale cartesian
+    df = _Q["quality_threshold_sweep"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert_scan_columns_at_most(df, "documents", {"text"})
+
+
+def test_keep_best_dedup_reuses_fingerprint_exchange(spark, sf_dir):
+    # both policy windows ride ONE fingerprint shuffle: a single
+    # hashpartitioning(fp) exchange, two in-partition sorts, no join
+    plan = physical_plan(_Q["dedup_keep_best_quality"](spark, sf_dir))
+    import re
+
+    fp_exchanges = len(re.findall(r"Exchange hashpartitioning\(fp", plan))
+    assert fp_exchanges == 1, plan
+    assert "Join" not in plan, plan
