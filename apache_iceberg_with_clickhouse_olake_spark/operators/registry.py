@@ -82,7 +82,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #                                pii_redaction_stats + crossdoc pair)
 #   out media_decode_features   (multimodal->media_features_by_type)
 # `python scripts/coverage_gap.py` prints the remaining blind spot
-# (20 names after this rotation; one more disciplined pass clears it).
+# (23 names once this rotation's rows land — 20 carried over plus the
+# three r7-authored curation ops; one more disciplined pass clears it).
 _PRIORITY = (
     # core analytics / TPC-H-ish (S2, P*, J*, A*, O1-O2, U*, F*)
     "monthly_revenue",
