@@ -1268,7 +1268,12 @@ def dedup_removal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: the kept corpus is written in parallel at the reps frame's
     doc_id partitioning (no coalesce -- a backfill-sized apply spreads
-    across the cluster); every aggregate is source-cardinality."""
+    across the cluster); every aggregate is source-cardinality. The
+    tempfile sink is the sandbox stand-in for a SHARED warehouse path:
+    on a real cluster the same write must target s3://... / hdfs://...
+    (a driver-local file: path is not visible to remote executors), the
+    one-line swap every temp-materializing op in this repo shares
+    (medallion_readback, lake ops)."""
     grouped, reps, labels = _cascade_rep_labels(spark, sf_dir)
     rep_plan = reps.join(labels, "doc_id", "left").withColumn(
         "cluster", F.coalesce("label", F.col("doc_id"))

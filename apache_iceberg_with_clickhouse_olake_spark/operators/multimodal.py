@@ -87,11 +87,22 @@ def decode_with_codec(payload: bytes, fmt: str) -> np.ndarray:
             # direct np.asarray(dtype=uint8) on 16-bit ('I;16'), 1-bit
             # ('1') or palette ('P') images silently truncates / casts
             # instead of decoding into the documented flat-uint8 pixel
-            # domain (r6 ADVICE). Palette and 1-bit expand to RGB/L;
-            # high-depth modes scale down via convert's I->L path.
+            # domain (r6 ADVICE). Palette/1-bit/color modes expand via
+            # convert; 16-bit grayscale scales down explicitly (high
+            # byte -- PIL's own I;16->L convert CLIPS to 255 instead of
+            # scaling, so convert() is wrong for it); 32-bit 'I' and
+            # float 'F' have no defined uint8 mapping without knowing
+            # the data range, so they raise rather than clip silently.
+            if img.mode in ("I;16", "I;16B", "I;16L", "I;16N"):
+                arr = np.asarray(img, dtype=np.uint32)
+                return (arr >> 8).astype(np.uint8).reshape(-1)
+            if img.mode in ("I", "F"):
+                raise NotImplementedError(
+                    f"image mode {img.mode!r} has no canonical uint8 "
+                    "scaling (unbounded range); decode not supported"
+                )
             if img.mode not in ("L", "RGB", "RGBA", "LA"):
-                gray = ("1", "I", "I;16", "I;16B", "I;16L", "I;16N", "F")
-                img = img.convert("L" if img.mode in gray else "RGB")
+                img = img.convert("L" if img.mode == "1" else "RGB")
             return np.asarray(img, dtype=np.uint8).reshape(-1)
     if fmt in _AUDIO_FORMATS:
         try:

@@ -800,7 +800,8 @@ def repeated_span_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- a MEASURED choice, not an oversight: at sf0.1 the
     hash-key-plus-first(span)-exemplar variant shuffles 2.01x MORE
     bytes (30.9 MB vs 15.4 MB -- the span must still ride the shuffle
-    as aggregation payload, so the 16-byte key is pure addition), and
+    as aggregation payload, so the 32-byte hex md5 key is pure
+    addition), and
     the hash-only two-pass (aggregate hashes, broadcast the top-k
     winners back over a re-scan to recover text) measures 1.36x more
     bytes and 3x wall from the second tokenize+explode pass. An
