@@ -316,6 +316,10 @@ def main() -> None:
         "corpus_build_pipeline",    # flagship: filter->dedup->decontam->mix->pack
         "embedding_near_dup_pairs",  # banded hyperplane-LSH pair join
         "decontamination_scan",     # broadcast probe-set anti-join
+        # r7: the decision-side contamination op (per-doc fractions) --
+        # a new name, so the llm delta/verdict blocks (intersection-
+        # based) simply skip it until both rounds carry it
+        "doc_contamination_fraction",
     )
     llm_timings: dict[str, float] = {}
     llm_iqrs: dict[str, float] = {}
