@@ -133,26 +133,36 @@ def md5_int60_sql(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+# Explicit ASCII-whitespace class instead of '\s': Java regex \s
+# includes vertical tab (\x0B) but RE2/DuckDB \s does NOT, so the
+# shorthand silently diverges cross-engine on VT-containing text (found
+# by tests/test_primitive_parity.py fuzzing). The explicit class pins
+# Java semantics (space, \t, \n, \r, \f, \x0B) on BOTH engines; the
+# simhash Python tokenizer ([ \t\n\r\f\v]+ in _simhash_udf.py) already
+# matches it.
+_WS_CLASS = "[ \\t\\n\\r\\f\\x0B]+"
+
+
 def norm_text(col: Column) -> Column:
     """Whitespace-collapsed, trimmed, lowercased text (dedup canonical
     form)."""
-    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    return F.lower(F.trim(F.regexp_replace(col, _WS_CLASS, " ")))
 
 
 def norm_text_sql(expr: str) -> str:
-    return f"lower(trim(regexp_replace({expr}, '\\s+', ' ', 'g')))"
+    return f"lower(trim(regexp_replace({expr}, '{_WS_CLASS}', ' ', 'g')))"
 
 
 def tokens(col: Column) -> Column:
     """Lowercased whitespace tokens with empties dropped."""
     return F.filter(
-        F.split(F.lower(col), r"\s+"), lambda x: x != F.lit("")
+        F.split(F.lower(col), _WS_CLASS), lambda x: x != F.lit("")
     )
 
 
 def tokens_sql(expr: str) -> str:
     return (
-        f"list_filter(string_split_regex(lower({expr}), '\\s+'),"
+        f"list_filter(string_split_regex(lower({expr}), '{_WS_CLASS}'),"
         " x -> x <> '')"
     )
 

@@ -1,0 +1,86 @@
+"""Cross-engine fuzz of the text primitives every dedup/text oracle
+leans on: norm_text, tokens and md5_int60 must agree BIT-FOR-BIT between
+Spark (Java regex + JVM lower/md5) and DuckDB (RE2-style regex +
+utf8proc lower + its md5) for any input in the pinned domain, or every
+fingerprint-based oracle comparison in the suite is built on sand.
+
+Domain pinned here: printable ASCII, the five ASCII whitespace controls,
+and Latin-1 accented letters -- a superset of what the fixtures contain.
+Exotic case-folding codepoints (dotted İ, ẞ, Greek final sigma) are
+deliberately OUT of the pinned domain: Java's toLowerCase and utf8proc
+diverge on some of them, and no fixture or oracle constant uses them."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from apache_iceberg_with_clickhouse_olake_spark.functions import (
+    md5_int60,
+    md5_int60_sql,
+    norm_text,
+    norm_text_sql,
+    tokens,
+    tokens_sql,
+)
+
+_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " \t\n\r\x0b\x0c"
+    ".,;:!?'\"()[]{}<>-_/\\|@#$%^&*+=~`"
+    "àâäéèêëïîôöùûüçñÀÉÈÖÜÑ"
+)
+
+_texts = st.lists(
+    st.text(alphabet=_ALPHABET, max_size=60),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_texts)
+def test_norm_tokens_fingerprint_parity(spark, texts):
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.select(
+            "doc_id",
+            norm_text(F.col("text")).alias("norm"),
+            tokens(F.col("text")).alias("toks"),
+            md5_int60(norm_text(F.col("text"))).alias("fp"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.register("docs", pdf)
+        want = con.execute(
+            f"""
+            SELECT doc_id,
+                   {norm_text_sql('text')} AS norm,
+                   {tokens_sql('text')} AS toks,
+                   {md5_int60_sql(norm_text_sql('text'))} AS fp
+            FROM docs ORDER BY doc_id
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    assert len(got) == len(want)
+    for s_row, d_row in zip(got, want):
+        assert s_row["norm"] == d_row[1], (repr(s_row["norm"]), repr(d_row[1]))
+        assert list(s_row["toks"]) == list(d_row[2]), (
+            s_row["toks"],
+            d_row[2],
+        )
+        assert s_row["fp"] == d_row[3], (s_row["fp"], d_row[3])
