@@ -84,3 +84,74 @@ def test_norm_tokens_fingerprint_parity(spark, texts):
             d_row[2],
         )
         assert s_row["fp"] == d_row[3], (s_row["fp"], d_row[3])
+
+
+# Money-magnitude domain (|x| <= 1e9): the helpers' engine-stability
+# contract. Fuzzing to 1e12 found the boundary, not a bug: above
+# ~1e11 a double's ULP exceeds the DECIMAL(30,6) scale, so the
+# double->decimal snap itself lands on ADJACENT representable decimals
+# in the two engines (observed: avg 576460752304.8789 vs ...8788).
+# Every oracle value in this repo is money/ratio-sized (<= ~1e9 after
+# aggregation in DECIMAL space), squarely inside the safe domain; the
+# boundary is documented on dround in functions/__init__.py.
+_doubles = st.lists(
+    st.floats(
+        min_value=-1e9,
+        max_value=1e9,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_doubles)
+def test_decimal_snap_aggregate_parity(spark, xs):
+    """The numeric foundation: dsum/davg/dround must be bit-identical
+    across engines for arbitrary doubles in the DECIMAL(30,6) domain --
+    order-independence of the decimal sum plus exact HALF_UP tie
+    rounding is what lets every money/ratio oracle compare by value
+    hash instead of tolerance."""
+    from apache_iceberg_with_clickhouse_olake_spark.functions import (
+        davg,
+        davg_sql,
+        dround,
+        dround_sql,
+        dsum,
+        dsum_sql,
+    )
+
+    pdf = pd.DataFrame({"x": xs})
+    sdf = spark.createDataFrame(pdf)
+    s_row = (
+        sdf.agg(
+            dsum("x", "s"),
+            davg("x", "a"),
+        ).collect()[0]
+    )
+    s_r3 = (
+        sdf.select(dround(F.col("x"), 3).alias("r")).orderBy("r").collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.register("t", pdf)
+        d_s, d_a = con.execute(
+            f"SELECT {dsum_sql('x')} AS s, {davg_sql('x')} AS a FROM t"
+        ).fetchone()
+        d_r3 = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {dround_sql('x', 3)} AS r FROM t ORDER BY r"
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+    assert repr(s_row["s"]) == repr(d_s), (s_row["s"], d_s)
+    assert repr(s_row["a"]) == repr(d_a), (s_row["a"], d_a)
+    assert [repr(r["r"]) for r in s_r3] == [repr(v) for v in d_r3]
