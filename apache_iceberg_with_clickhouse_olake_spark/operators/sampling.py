@@ -203,3 +203,95 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture-weight derivation (the upstream knob training_mix_sample consumes)
+# ---------------------------------------------------------------------------
+
+# Temperature for token-share smoothing: weight ∝ tokens^τ. τ=1 is
+# natural (proportional) sampling; τ→0 is uniform-over-groups; 0.7 is
+# the published LLM-mix middle ground (upsamples small high-value
+# groups without letting them dominate).
+_MIX_TAU = 0.7
+
+
+@query(
+    "corpus_mixture_weights",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, lang, COUNT(*) AS docs,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS toks_total,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_total
+      FROM documents
+      GROUP BY source, lang
+    ),
+    n AS (
+      SELECT *,
+             CAST(toks_total AS DOUBLE) / SUM(toks_total) OVER ()
+               AS nat_raw,
+             POWER(CAST(toks_total AS DOUBLE), {_MIX_TAU})
+               / SUM(POWER(CAST(toks_total AS DOUBLE), {_MIX_TAU}))
+                   OVER () AS mix_raw
+      FROM g
+    )
+    SELECT source, lang, docs, toks_total, chars_total,
+           {dround_sql('nat_raw', 6)} AS natural_share,
+           {dround_sql('mix_raw', 6)} AS mixture_weight,
+           {dround_sql('mix_raw / NULLIF(nat_raw, 0.0)', 4)}
+             AS upsample_factor
+    FROM n
+    ORDER BY source, lang
+    """,
+    tags=("llm-sampling", "llm-text"),
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DERIVE the training-mix weights the sampling stage consumes:
+    training_mix_sample applies a configured permille per group; this
+    computes where such a config comes from — per (source, lang), the
+    corpus's natural token share and its temperature-scaled mixture
+    weight (w ∝ tokens^τ, τ=0.7, the standard LLM data-recipe
+    smoothing: small high-value groups are upsampled, heads damped).
+    upsample_factor (= weight / natural share) is the per-group repeat
+    factor a budgeted mix plan applies directly.
+
+    100 TB shape: ONE corpus pass with map-side partial aggregation to
+    (source, lang) — group cardinality is sources × languages, i.e.
+    tiny — then normalization against a broadcast single-row total.
+    The window-free Spark plan never moves document rows after the
+    first rollup; τ lives in one literal, so re-deriving a recipe at a
+    new temperature costs one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size(tokens(F.col("text"))))
+        .cast("long")
+        .alias("toks_total"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
+    tot = g.agg(
+        F.sum(F.col("toks_total").cast("double")).alias("t_all"),
+        F.sum(F.pow(F.col("toks_total").cast("double"), _MIX_TAU)).alias(
+            "p_all"
+        ),
+    )
+    nat_raw = F.col("toks_total").cast("double") / F.col("t_all")
+    mix_raw = F.pow(F.col("toks_total").cast("double"), _MIX_TAU) / F.col(
+        "p_all"
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "docs",
+            "toks_total",
+            "chars_total",
+            dround(nat_raw, 6).alias("natural_share"),
+            dround(mix_raw, 6).alias("mixture_weight"),
+            dround(
+                mix_raw / F.nullif(nat_raw, F.lit(0.0)), 4
+            ).alias("upsample_factor"),
+        )
+        .orderBy("source", "lang")
+    )
