@@ -228,11 +228,12 @@ _MIX_TAU = 0.7
     ),
     n AS (
       SELECT *,
-             CAST(toks_total AS DOUBLE) / SUM(toks_total) OVER ()
+             CAST(toks_total AS DOUBLE)
+               / NULLIF(SUM(CAST(toks_total AS DOUBLE)) OVER (), 0.0)
                AS nat_raw,
              POWER(CAST(toks_total AS DOUBLE), {_MIX_TAU})
-               / SUM(POWER(CAST(toks_total AS DOUBLE), {_MIX_TAU}))
-                   OVER () AS mix_raw
+               / NULLIF(SUM(POWER(CAST(toks_total AS DOUBLE),
+                                  {_MIX_TAU})) OVER (), 0.0) AS mix_raw
       FROM g
     )
     SELECT source, lang, docs, toks_total, chars_total,
@@ -275,9 +276,13 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_all"
         ),
     )
-    nat_raw = F.col("toks_total").cast("double") / F.col("t_all")
-    mix_raw = F.pow(F.col("toks_total").cast("double"), _MIX_TAU) / F.col(
-        "p_all"
+    # NULLIF guards: an all-empty corpus zeroes both denominators;
+    # both engines then emit NULL instead of ANSI-throwing / NaN.
+    nat_raw = F.col("toks_total").cast("double") / F.nullif(
+        F.col("t_all"), F.lit(0.0)
+    )
+    mix_raw = F.pow(F.col("toks_total").cast("double"), _MIX_TAU) / F.nullif(
+        F.col("p_all"), F.lit(0.0)
     )
     return (
         g.crossJoin(F.broadcast(tot))

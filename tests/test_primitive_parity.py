@@ -155,3 +155,67 @@ def test_decimal_snap_aggregate_parity(spark, xs):
     assert repr(s_row["s"]) == repr(d_s), (s_row["s"], d_s)
     assert repr(s_row["a"]) == repr(d_a), (s_row["a"], d_a)
     assert [repr(r["r"]) for r in s_r3] == [repr(v) for v in d_r3]
+
+
+# Token-count domain for mixture weights: non-negative integers up to
+# 1e9 tokens per (source, lang) group — far above anything a real
+# corpus rollup produces per group at sf<=1, and the magnitude where
+# POWER's double result still has ULP far below the DECIMAL(30,6)
+# snap used before comparison.
+_tok_totals = st.lists(
+    st.integers(min_value=0, max_value=10**9),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_tok_totals)
+def test_power_normalization_parity(spark, toks):
+    """corpus_mixture_weights' numeric core: tokens^0.7 normalized by
+    the group sum must agree bit-for-bit after the decimal snap. JVM
+    Math.pow and libm pow are each within 1 ulp of correctly rounded;
+    this pins that the residual ulp never survives dround(..., 6) on
+    the token-count domain."""
+    from apache_iceberg_with_clickhouse_olake_spark.functions import (
+        dround,
+        dround_sql,
+    )
+
+    pdf = pd.DataFrame({"i": range(len(toks)), "t": toks})
+    sdf = spark.createDataFrame(pdf)
+    p_all = sum(float(t) ** 0.7 for t in toks)
+    got = (
+        sdf.select(
+            "i",
+            dround(
+                F.pow(F.col("t").cast("double"), 0.7)
+                / F.nullif(F.lit(p_all), F.lit(0.0)),
+                6,
+            ).alias("w"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.register("t", pdf)
+        want = con.execute(
+            f"""
+            SELECT i,
+                   {dround_sql(
+                       'POWER(CAST(t AS DOUBLE), 0.7)'
+                       ' / NULLIF(SUM(POWER(CAST(t AS DOUBLE), 0.7))'
+                       '          OVER (), 0.0)',
+                   6)} AS w
+            FROM t ORDER BY i
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    for s_row, d_row in zip(got, want):
+        assert repr(s_row["w"]) == repr(d_row[1]), (s_row["w"], d_row[1])
