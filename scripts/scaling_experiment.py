@@ -67,6 +67,7 @@ CORPUS_QUERIES = (
     "doc_contamination_fraction",
     "quality_threshold_sweep",
     "dedup_keep_best_quality",
+    "corpus_mixture_weights",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)
