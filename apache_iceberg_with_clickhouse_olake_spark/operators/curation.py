@@ -36,6 +36,12 @@ from .registry import query
 _NORM = norm_text_sql("text")
 _TOKS = tokens_sql("text")
 
+# Shared with the text module so the skyline's fluency dim is the SAME
+# stopword_ratio text_quality_scores reports.
+from .text import _sql_array, _STOPWORDS  # noqa: E402
+
+_STOP_SQL = _sql_array(_STOPWORDS)
+
 
 @query(
     "curation_pipeline",
@@ -769,4 +775,130 @@ def doc_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") < _N_PROBES).alias("is_probe"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto-skyline exemplar selection (quality x length frontier)
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_length_pareto",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             {dround_sql(
+                 'CAST(len(list_filter(' + _TOKS + ','
+                 ' x -> list_contains(' + _STOP_SQL + ', x)))'
+                 ' AS DOUBLE) / len(' + _TOKS + ')', 4)} AS stopword_ratio
+      FROM documents
+      WHERE len({_TOKS}) > 0
+    ),
+    d AS (
+      SELECT stopword_ratio, MAX(n_tokens) AS gm
+      FROM t GROUP BY stopword_ratio
+    ),
+    r AS (
+      SELECT stopword_ratio, gm,
+             MAX(gm) OVER (ORDER BY stopword_ratio DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS hi
+      FROM d
+    )
+    SELECT t.doc_id, t.lang, t.n_tokens, t.stopword_ratio
+    FROM t JOIN r USING (stopword_ratio)
+    WHERE (r.hi IS NULL OR r.hi < t.n_tokens) AND t.n_tokens = r.gm
+    ORDER BY t.stopword_ratio DESC, t.n_tokens DESC, t.doc_id
+    """,
+    tags=("llm-text", "llm-sampling"),
+)
+def quality_length_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-skyline exemplar selection: the documents not strictly
+    dominated on (stopword_ratio, n_tokens) -- no other doc is both
+    more function-word-fluent AND longer. The frontier is what an
+    exemplar/eval-set picker wants when the quality-vs-length
+    trade-off has no single threshold; dominance is on the 4-dp
+    snapped ratio, so the frontier itself is engine-exact. Zero-token
+    docs are outside the domain (their ratio is undefined).
+
+    Skyline-in-SQL shape (after the Spark-SQL skyline integration
+    line of work, PAPERS.md): NOT the O(n^2) dominance self-join --
+    a per-ratio-group MAX(n_tokens), a running MAX over strictly
+    higher ratios, and a filter. 100 TB: phase 1 prunes each
+    partition to its LOCAL skyline with one partition-local window
+    (conservative: drops only rows a same-partition row strictly
+    dominates; the global frontier always survives), so the exact
+    phase-2 pass -- a single-partition window, unavoidable for a
+    total dominance order -- sees only the tiny union of local
+    frontiers, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    base = (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            dround(
+                n_stop.cast("double") / n_tokens.cast("double"), 4
+            ).alias("stopword_ratio"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    return (
+        pareto_frontier(base)
+        .select("doc_id", "lang", "n_tokens", "stopword_ratio")
+        .orderBy(
+            F.col("stopword_ratio").desc(),
+            F.col("n_tokens").desc(),
+            "doc_id",
+        )
+    )
+
+
+def pareto_frontier(base: DataFrame) -> DataFrame:
+    """Strict-Pareto frontier maximizing (stopword_ratio, n_tokens);
+    other columns pass through. Two-phase partition-merge skyline —
+    the core of quality_length_pareto, split out so tie-heavy crafted
+    frames can pin its dominance semantics directly
+    (tests/test_scale_techniques.py)."""
+    # Phase 1: partition-local conservative prune. In (ratio DESC,
+    # tokens DESC) order, a preceding row whose running-max token
+    # count strictly exceeds mine dominates me (strictly longer, at
+    # least as fluent); rows it merely ties are kept for phase 2.
+    w1 = (
+        Window.partitionBy(F.spark_partition_id())
+        .orderBy(F.col("stopword_ratio").desc(), F.col("n_tokens").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    surv = (
+        base.withColumn("pmax", F.max("n_tokens").over(w1))
+        .filter(F.col("pmax").isNull() | (F.col("pmax") <= F.col("n_tokens")))
+        .drop("pmax")
+    )
+    # Phase 2: exact skyline of the survivors (== global skyline,
+    # since phase 1 only drops dominated rows and strict Pareto
+    # dominance is a strict partial order). A LINEAR window chain, not
+    # an aggregate-and-join-back (which would plan the base scan
+    # twice): gm = per-ratio-group max, dense_rank over ratio DESC,
+    # and hi = max token count over rank RANGE (-inf, -1) — exactly
+    # the strictly-higher-ratio rows. Dominated iff hi >= t (a
+    # strictly more fluent doc at least as long) or t < gm (a same-
+    # ratio doc strictly longer). Survivor count is the sum of local-
+    # frontier sizes, so the single-partition rank/hi windows run over
+    # a frame the cluster size bounds, not the corpus.
+    w_gm = Window.partitionBy("stopword_ratio")
+    w_rk = Window.orderBy(F.col("stopword_ratio").desc())
+    w_hi = Window.orderBy("rk").rangeBetween(Window.unboundedPreceding, -1)
+    return (
+        surv.withColumn("gm", F.max("n_tokens").over(w_gm))
+        .withColumn("rk", F.dense_rank().over(w_rk))
+        .withColumn("hi", F.max("n_tokens").over(w_hi))
+        .filter(
+            (F.col("hi").isNull() | (F.col("hi") < F.col("n_tokens")))
+            & (F.col("n_tokens") == F.col("gm"))
+        )
+        .drop("gm", "rk", "hi")
     )

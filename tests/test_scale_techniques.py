@@ -401,3 +401,61 @@ def test_sweep_band_values_consistent_with_production_banding():
         for k in range(4):
             vals[:, j] |= bits[:, j * 4 + k].astype(np.int32) << k
     assert np.array_equal(vals, b324)
+
+
+def _brute_skyline(rows):
+    """O(n^2) strict-Pareto reference: keep (q, t) rows no other row
+    strictly dominates (>= in both dims, > in at least one)."""
+    out = []
+    for i, (qi, ti, di) in enumerate(rows):
+        dominated = any(
+            (qj >= qi and tj >= ti and (qj > qi or tj > ti))
+            for j, (qj, tj, dj) in enumerate(rows)
+            if j != i
+        )
+        if not dominated:
+            out.append((qi, ti, di))
+    return sorted(out)
+
+
+def test_pareto_frontier_matches_bruteforce_on_tie_heavy_frames(spark):
+    """The two-phase skyline's risky surface is dominance ties: equal
+    ratios, equal token counts, duplicated frontier points, and
+    dominated chains that phase 1 may or may not prune depending on
+    partition placement. Pin phase-1 soundness + phase-2 exactness
+    against a brute-force reference, across partition layouts."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.curation import (
+        pareto_frontier,
+    )
+
+    cases = [
+        # duplicated frontier point (both copies must survive)
+        [(0.5, 100, 1), (0.5, 100, 2), (0.3, 200, 3), (0.6, 50, 4)],
+        # equal-ratio chain: only the longest of each ratio survives
+        [(0.4, 10, 1), (0.4, 20, 2), (0.4, 30, 3), (0.2, 40, 4)],
+        # equal-token column: only the highest ratio survives
+        [(0.1, 99, 1), (0.2, 99, 2), (0.3, 99, 3)],
+        # dominated chain spanning ratios (transitivity path)
+        [(0.9, 10, 1), (0.8, 10, 2), (0.7, 10, 3), (0.6, 500, 4)],
+        # single row / total order / anti-chain
+        [(0.5, 5, 1)],
+        [(0.9, 90, 1), (0.8, 80, 2), (0.7, 70, 3)],
+        [(0.7, 10, 1), (0.5, 20, 2), (0.3, 30, 3)],
+        # pseudo-random mix with many collisions
+        [
+            (round(0.1 * ((i * 7) % 5), 4), 10 * ((i * 13) % 7) + 10, i)
+            for i in range(40)
+        ],
+    ]
+    for rows in cases:
+        want = _brute_skyline(rows)
+        for n_parts in (1, 3, 8):
+            df = spark.createDataFrame(
+                [(float(q), int(t), int(d)) for q, t, d in rows],
+                "stopword_ratio double, n_tokens long, doc_id long",
+            ).repartition(n_parts)
+            got = sorted(
+                (r["stopword_ratio"], r["n_tokens"], r["doc_id"])
+                for r in pareto_frontier(df).collect()
+            )
+            assert got == want, (n_parts, rows, got, want)
