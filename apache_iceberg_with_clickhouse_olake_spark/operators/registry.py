@@ -82,8 +82,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #                                pii_redaction_stats + crossdoc pair)
 #   out media_decode_features   (multimodal->media_features_by_type)
 # `python scripts/coverage_gap.py` prints the remaining blind spot
-# (23 names once this rotation's rows land — 20 carried over plus the
-# three r7-authored curation ops; one more disciplined pass clears it).
+# (25 names once this rotation's rows land — 20 carried over, the three
+# r7-authored curation ops, and the two late-r7 additions
+# corpus_mixture_weights / quality_length_pareto; one more disciplined
+# pass clears it).
 _PRIORITY = (
     # core analytics / TPC-H-ish (S2, P*, J*, A*, O1-O2, U*, F*)
     "monthly_revenue",

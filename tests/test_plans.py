@@ -454,3 +454,27 @@ def test_keep_best_dedup_reuses_fingerprint_exchange(spark, sf_dir):
     fp_exchanges = len(re.findall(r"Exchange hashpartitioning\(fp", plan))
     assert fp_exchanges == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_pareto_frontier_single_scan_linear_chain(spark, sf_dir):
+    # the skyline must plan as ONE documents scan feeding a linear
+    # window chain -- the aggregate-and-join-back shape it replaced
+    # planned the scan (and the phase-1 window) twice
+    df = _Q["quality_length_pareto"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert_scan_columns_at_most(df, "documents", {"doc_id", "lang", "text"})
+
+
+def test_mixture_weights_no_raw_doc_window(spark, sf_dir):
+    # normalization rides a broadcast single-row total crossed with the
+    # (source, lang) rollup: document rows must never enter a window
+    # (a Window over the raw corpus would single-partition 100 TB)
+    df = _Q["corpus_mixture_weights"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert_scan_columns_at_most(
+        df, "documents", {"source", "lang", "text", "n_chars"}
+    )
