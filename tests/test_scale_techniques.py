@@ -459,3 +459,69 @@ def test_pareto_frontier_matches_bruteforce_on_tie_heavy_frames(spark):
                 for r in pareto_frontier(df).collect()
             )
             assert got == want, (n_parts, rows, got, want)
+
+
+def test_layout_unlocks_scan_parallelism(spark, sf_dir, tmp_path):
+    """Physical layout, not split config, gates scan-stage parallelism:
+    a parquet row group (or file) is processed whole by one task, so
+    the driver fixtures -- one file, ONE row group -- run every
+    scan+partial-agg on a single core no matter how finely the planner
+    splits byte ranges (measured at sf0.1: the pricing_summary map
+    stage burns ~2.2 s of CPU in one effective task while 31 splits
+    sit empty; BENCH_NOTES.md r7 layout note). Re-laying the same rows
+    through the engine's S6 layout controls (maxRecordsPerFile here --
+    deterministic at any fixture size; parquet.block.size equivalently
+    at real sizes, both pinned by parquet_layout_roundtrip) fans the
+    identical scan across cores. A 100 TB table written by our sinks
+    (128 MiB groups) presents ~800k independently scannable units."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    src = f"{sf_dir}/lineitem.parquet"
+    assert pq.ParquetFile(src).num_row_groups == 1
+    li = spark.read.parquet(src).select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    out = str(tmp_path / "li_rg")
+    (
+        li.coalesce(1)
+        .write.option("maxRecordsPerFile", 1000)
+        .option("compression", "snappy")
+        .parquet(out)
+    )
+    n_files = len([p for p in os.listdir(out) if p.endswith(".parquet")])
+    assert n_files >= 4
+
+    def nonempty_scan_tasks(df):
+        return (
+            df.select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .count()
+            .count()
+        )
+
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # identical fine-split config for both reads
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024))
+        fixture = spark.read.parquet(src).select("l_returnflag", "l_quantity")
+        relaid = spark.read.parquet(out).select("l_returnflag", "l_quantity")
+        assert relaid.count() == fixture.count()
+        # same splits, same rows: layout alone decides effective fan-out
+        assert nonempty_scan_tasks(fixture) == 1
+        assert nonempty_scan_tasks(relaid) >= 4
+        # and the re-laid table is the same table to every query
+        a = sorted(
+            fixture.groupBy("l_returnflag").count().collect(),
+            key=lambda r: r["l_returnflag"],
+        )
+        b = sorted(
+            relaid.groupBy("l_returnflag").count().collect(),
+            key=lambda r: r["l_returnflag"],
+        )
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
