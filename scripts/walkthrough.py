@@ -11,6 +11,8 @@ Mirrored reference steps (file:line cites per step below):
   6. schema evolution + UPDATE            BLOG_POST...md:539-553
   7. compaction                           destination.json:92-93
   8. (extension) training-corpus build    corpus_build_pipeline
+  9. (extension) data recipe              corpus_mixture_weights,
+                                          quality_length_pareto
 
 Usage: python scripts/walkthrough.py [sf_dir]   (default sf0.001)
 Exits non-zero on any failed checkpoint.
@@ -133,6 +135,18 @@ def main() -> int:
         total_seqs = sum(r.sequences for r in shards)
         assert shards and total_seqs > 0
         print(f"   shards: {len(shards)}, packed sequences: {total_seqs}")
+
+        # 9. Extension: the data recipe side — derive the mixture
+        # weights the sampler consumes, pick the frontier exemplars.
+        step(9, "data recipe (mixture weights + pareto exemplars)")
+        weights = qs["corpus_mixture_weights"](spark, sf_dir).collect()
+        assert weights and abs(sum(r.mixture_weight for r in weights) - 1.0) < 1e-3
+        frontier = qs["quality_length_pareto"](spark, sf_dir).collect()
+        assert frontier
+        print(
+            f"   {len(weights)} (source,lang) weights, "
+            f"frontier exemplars: {len(frontier)}"
+        )
 
         print("\nall walkthrough checkpoints passed")
         return 0
