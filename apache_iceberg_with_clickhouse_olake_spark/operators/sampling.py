@@ -258,10 +258,14 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: ONE corpus pass with map-side partial aggregation to
     (source, lang) — group cardinality is sources × languages, i.e.
-    tiny — then normalization against a broadcast single-row total.
-    The window-free Spark plan never moves document rows after the
-    first rollup; τ lives in one literal, so re-deriving a recipe at a
-    new temperature costs one scan."""
+    tiny — then normalization via an unbounded window over that rollup
+    alone. The window is deliberate, not a branch-and-reaggregate
+    (`g.agg(...)` + join-back plans the scan+tokenize twice: each
+    branch prunes different columns, so neither static ReuseExchange
+    nor AQE stage reuse dedupes them — verified by stage metrics); its
+    single partition holds one row per (source, lang), a cardinality
+    that does not scale with data. τ lives in one literal, so
+    re-deriving a recipe at a new temperature costs one scan."""
     docs = load_table(spark, sf_dir, "documents")
     g = docs.groupBy("source", "lang").agg(
         F.count("*").alias("docs"),
@@ -270,23 +274,23 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("toks_total"),
         F.sum("n_chars").cast("long").alias("chars_total"),
     )
-    tot = g.agg(
-        F.sum(F.col("toks_total").cast("double")).alias("t_all"),
-        F.sum(F.pow(F.col("toks_total").cast("double"), _MIX_TAU)).alias(
-            "p_all"
-        ),
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    t_all = F.sum(F.col("toks_total").cast("double")).over(w_all)
+    p_all = F.sum(
+        F.pow(F.col("toks_total").cast("double"), _MIX_TAU)
+    ).over(w_all)
     # NULLIF guards: an all-empty corpus zeroes both denominators;
     # both engines then emit NULL instead of ANSI-throwing / NaN.
     nat_raw = F.col("toks_total").cast("double") / F.nullif(
-        F.col("t_all"), F.lit(0.0)
+        t_all, F.lit(0.0)
     )
     mix_raw = F.pow(F.col("toks_total").cast("double"), _MIX_TAU) / F.nullif(
-        F.col("p_all"), F.lit(0.0)
+        p_all, F.lit(0.0)
     )
     return (
-        g.crossJoin(F.broadcast(tot))
-        .select(
+        g.select(
             "source",
             "lang",
             "docs",

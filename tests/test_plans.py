@@ -467,14 +467,17 @@ def test_pareto_frontier_single_scan_linear_chain(spark, sf_dir):
     assert_scan_columns_at_most(df, "documents", {"doc_id", "lang", "text"})
 
 
-def test_mixture_weights_no_raw_doc_window(spark, sf_dir):
-    # normalization rides a broadcast single-row total crossed with the
-    # (source, lang) rollup: document rows must never enter a window
-    # (a Window over the raw corpus would single-partition 100 TB)
+def test_mixture_weights_single_scan_rollup_window(spark, sf_dir):
+    # ONE documents scan: normalization is an unbounded window over the
+    # (source, lang) rollup — document rows collapse in the first
+    # aggregate, so the window's single partition holds group rows
+    # only. The branch-and-reaggregate alternative planned the
+    # scan+tokenize twice (branch-specific pruning defeats exchange
+    # reuse), which is what this pin forbids.
     df = _Q["corpus_mixture_weights"](spark, sf_dir)
     plan = physical_plan(df)
-    assert "Window" not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
     assert_scan_columns_at_most(
         df, "documents", {"source", "lang", "text", "n_chars"}
     )
