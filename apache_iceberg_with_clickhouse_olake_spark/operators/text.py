@@ -435,18 +435,22 @@ _TFIDF_TOP = 3
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms (the classic salient-term extractor
-    for corpus exploration). Shape at scale: one explode + two keyed
-    groupBys (term cardinality bounds the df side, so the tf<->df join
-    broadcasts under AQE when vocabulary is small), then a per-doc window
-    -- no all-pairs anything."""
+    for corpus exploration). Shape at scale: ONE explode+tokenize pass --
+    df is a COUNT over the term-partitioned window on the tf frame (tf
+    holds one row per (doc, term), so rows-per-term-partition IS the
+    document frequency), replacing the separate df aggregate whose
+    branch re-planned the scan+tokenize (branch-specific pruning
+    defeats exchange reuse; verified by stage metrics). The window is
+    term-DISTRIBUTED, never single-partition, then the per-doc top-k
+    window; no all-pairs anything."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar; one tiny job, not per-row
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df, "term").select(
+    w_df = Window.partitionBy("term")
+    scored = tf.withColumn("df", F.count("*").over(w_df)).select(
         "doc_id",
         "term",
         (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
@@ -494,6 +498,12 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (AQE broadcasts when the vocabulary is small, shuffles otherwise --
     no forced hint since vocabulary grows with the corpus), one scalar
     total via a 1-row broadcast cross join, then a per-doc rollup.
+    The total's branch does re-plan the tf aggregate (one extra
+    scan+tokenize) -- a DELIBERATE trade: the no-rescan alternative is
+    an unbounded window over tf, whose single partition is
+    vocabulary-sized and at 100 TB risks a spill the broadcast branch
+    cannot; at that scale the vocabulary is checkpointed as its own
+    tiny table and both sides read it instead.
     DuckDB ln == JVM log bit-for-bit (functions/__init__.py determinism
     note), so the oracle pins exact values."""
     docs = load_table(spark, sf_dir, "documents")
