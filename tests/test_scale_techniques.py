@@ -525,3 +525,34 @@ def test_layout_unlocks_scan_parallelism(spark, sf_dir, tmp_path):
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_pareto_frontier_matches_bruteforce_on_seeded_random_frames(spark):
+    """Seeded-random frames with forced collisions (tiny value domains)
+    across partition layouts -- the randomized companion to the crafted
+    tie cases above. Seeds are fixed so a failure reproduces exactly."""
+    import random
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators.curation import (
+        pareto_frontier,
+    )
+
+    for seed in (7, 19, 41):
+        rng = random.Random(seed)
+        rows = [
+            (round(rng.choice([0.0, 0.1, 0.2, 0.3]) + rng.choice([0.0, 0.05]), 4),
+             rng.randrange(1, 8) * 10,
+             i)
+            for i in range(rng.randrange(30, 80))
+        ]
+        want = _brute_skyline(rows)
+        for n_parts in (2, 7):
+            df = spark.createDataFrame(
+                [(float(q), int(t), int(d)) for q, t, d in rows],
+                "stopword_ratio double, n_tokens long, doc_id long",
+            ).repartition(n_parts)
+            got = sorted(
+                (r["stopword_ratio"], r["n_tokens"], r["doc_id"])
+                for r in pareto_frontier(df).collect()
+            )
+            assert got == want, (seed, n_parts, got, want)
