@@ -84,8 +84,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # `python scripts/coverage_gap.py` prints the remaining blind spot
 # (25 names once this rotation's rows land — 20 carried over, the three
 # r7-authored curation ops, and the two late-r7 additions
-# corpus_mixture_weights / quality_length_pareto; one more disciplined
-# pass clears it).
+# corpus_mixture_weights / quality_length_pareto).
+# `python scripts/next_rotation.py` composes the next rotation
+# automatically (greedy tag set-cover + never-checked fill); the op-id
+# coverage constraint caps a rotation at ~15 fresh rows, so the blind
+# spot clears over the next TWO disciplined passes, not one.
 _PRIORITY = (
     # core analytics / TPC-H-ish (S2, P*, J*, A*, O1-O2, U*, F*)
     "monthly_revenue",
