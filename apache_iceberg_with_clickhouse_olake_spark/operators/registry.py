@@ -82,9 +82,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #                                pii_redaction_stats + crossdoc pair)
 #   out media_decode_features   (multimodal->media_features_by_type)
 # `python scripts/coverage_gap.py` prints the remaining blind spot
-# (25 names once this rotation's rows land — 20 carried over, the three
-# r7-authored curation ops, and the two late-r7 additions
-# corpus_mixture_weights / quality_length_pareto).
+# (26 names once this rotation's rows land — 20 carried over, the three
+# r7-authored curation ops, and the late-r7 additions
+# corpus_mixture_weights / quality_length_pareto / mixture_plan_apply).
 # `python scripts/next_rotation.py` composes the next rotation
 # automatically (greedy tag set-cover + never-checked fill); the op-id
 # coverage constraint caps a rotation at ~15 fresh rows, so the blind

@@ -304,3 +304,133 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# Base sampling rate the mixture plan scales per group: a group at its
+# natural share (upsample factor 1.0) keeps 500 permille; factors
+# above/below scale that, capped at keep-everything.
+_MIX_BASE_PERMILLE = 500
+_APPLY_HASH = "concat('mixw-', CAST(doc_id AS VARCHAR))"
+
+
+@query(
+    "mixture_plan_apply",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, lang,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS toks_total
+      FROM documents
+      GROUP BY source, lang
+    ),
+    n AS (
+      SELECT source, lang,
+             CAST(toks_total AS DOUBLE)
+               / NULLIF(SUM(CAST(toks_total AS DOUBLE)) OVER (), 0.0)
+               AS nat_raw,
+             POWER(CAST(toks_total AS DOUBLE), {_MIX_TAU})
+               / NULLIF(SUM(POWER(CAST(toks_total AS DOUBLE),
+                                  {_MIX_TAU})) OVER (), 0.0) AS mix_raw
+      FROM g
+    ),
+    r AS (
+      SELECT source, lang,
+             CASE WHEN mix_raw / NULLIF(nat_raw, 0.0) IS NULL
+                  THEN CAST(0 AS BIGINT)
+                  ELSE CAST(LEAST(1000.0, {dround_sql(
+                      '(mix_raw / NULLIF(nat_raw, 0.0))'
+                      f' * {_MIX_BASE_PERMILLE}', 0)}) AS BIGINT)
+             END AS target_permille
+      FROM n
+    )
+    SELECT d.source, d.lang,
+           COUNT(*) AS docs_total,
+           r.target_permille,
+           CAST(COUNT(CASE WHEN {md5_int60_sql(_APPLY_HASH)} % 1000
+                           < r.target_permille THEN 1 END) AS BIGINT)
+             AS sampled_docs,
+           CAST(COALESCE(SUM(CASE WHEN {md5_int60_sql(_APPLY_HASH)} % 1000
+                                  < r.target_permille
+                             THEN n_chars END), 0) AS BIGINT)
+             AS sampled_chars
+    FROM documents d JOIN r USING (source, lang)
+    GROUP BY d.source, d.lang, r.target_permille
+    ORDER BY d.source, d.lang
+    """,
+    tags=("llm-sampling",),
+)
+def mixture_plan_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the derived mixture weights end-to-end — the sampling
+    analog of dedup_removal_apply: corpus_mixture_weights computes the
+    recipe, this turns it into per-document keep/drop decisions and
+    accounts for what the sample actually contains. Each group's
+    target rate is its (temperature-scaled weight / natural share)
+    upsample factor scaling a base 500 permille, capped at
+    keep-everything; a degenerate all-empty group samples at 0, not
+    at the cap. Decisions are stable md5 draws on doc_id, so the
+    sampled corpus is reproducible across engines and topologies.
+
+    100 TB shape: TWO corpus passes by design — a stats pass that
+    tokenizes (rolled up to (source, lang), normalized by an unbounded
+    window over that tiny rollup), and an apply pass that never
+    tokenizes (doc_id/source/lang/n_chars only) and meets the
+    group-cardinality rates frame in a broadcast join. The rate
+    derivation deliberately uses the UNROUNDED factor in both engines
+    (the display-rounded column would make the cap boundary-fragile —
+    the r6-advice lesson from the banding config)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(
+        F.sum(F.size(tokens(F.col("text"))))
+        .cast("long")
+        .alias("toks_total")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t_all = F.sum(F.col("toks_total").cast("double")).over(w_all)
+    p_all = F.sum(
+        F.pow(F.col("toks_total").cast("double"), _MIX_TAU)
+    ).over(w_all)
+    nat_raw = F.col("toks_total").cast("double") / F.nullif(
+        t_all, F.lit(0.0)
+    )
+    mix_raw = F.pow(
+        F.col("toks_total").cast("double"), _MIX_TAU
+    ) / F.nullif(p_all, F.lit(0.0))
+    up_raw = mix_raw / F.nullif(nat_raw, F.lit(0.0))
+    permille = (
+        F.when(up_raw.isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(1000.0),
+                dround(up_raw * _MIX_BASE_PERMILLE, 0),
+            ).cast("long")
+        )
+        .alias("target_permille")
+    )
+    rates = g.select("source", "lang", permille)
+    draw = (
+        md5_int60(F.concat(F.lit("mixw-"), F.col("doc_id").cast("string")))
+        % 1000
+    )
+    keep = draw < F.col("target_permille")
+    return (
+        docs.select("doc_id", "source", "lang", "n_chars")
+        .join(F.broadcast(rates), ["source", "lang"])
+        .groupBy("source", "lang", "target_permille")
+        .agg(
+            F.count("*").alias("docs_total"),
+            F.count(F.when(keep, True)).alias("sampled_docs"),
+            F.coalesce(F.sum(F.when(keep, F.col("n_chars"))), F.lit(0))
+            .cast("long")
+            .alias("sampled_chars"),
+        )
+        .select(
+            "source",
+            "lang",
+            "docs_total",
+            "target_permille",
+            "sampled_docs",
+            "sampled_chars",
+        )
+        .orderBy("source", "lang")
+    )
