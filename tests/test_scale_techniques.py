@@ -556,3 +556,48 @@ def test_pareto_frontier_matches_bruteforce_on_seeded_random_frames(spark):
                 for r in pareto_frontier(df).collect()
             )
             assert got == want, (seed, n_parts, got, want)
+
+
+def test_mixture_ops_on_degenerate_zero_token_groups(spark, tmp_path):
+    """The mixture family's NULL-guard branches never fire on the real
+    fixtures (no all-empty group exists), so pin them on a crafted
+    corpus: one group with only empty/whitespace texts must get NULL
+    shares from corpus_mixture_weights and a target_permille of 0 (not
+    the keep-everything cap LEAST() would silently produce from a NULL
+    factor) from mixture_plan_apply -- verified against the SAME DuckDB
+    oracles the driver runs, on the crafted parquet."""
+    import duckdb
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators import registry
+    from tests.oracle_utils import assert_match
+
+    registry._load_all()
+    rows = [
+        (1, "the quick brown fox jumps", "en", "web", 25),
+        (2, "the slow red fox naps", "en", "web", 21),
+        (3, "", "zz", "junk", 0),
+        (4, "   ", "zz", "junk", 3),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "deg")
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        for name in ("corpus_mixture_weights", "mixture_plan_apply"):
+            spec = registry.REGISTRY[name]
+            assert_match(spec.fn(spark, d), con, spec.oracle, name=name)
+        out = {
+            (r["source"], r["lang"]): r
+            for r in registry.REGISTRY["mixture_plan_apply"].fn(spark, d).collect()
+        }
+        assert out[("junk", "zz")]["target_permille"] == 0
+        assert out[("junk", "zz")]["sampled_docs"] == 0
+        assert out[("web", "en")]["target_permille"] > 0
+    finally:
+        con.close()
