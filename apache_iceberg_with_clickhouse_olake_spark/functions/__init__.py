@@ -47,6 +47,33 @@ from pyspark.sql import functions as F
 _DEC = "decimal(30,6)"
 
 
+def dsnap_sql(expr: str) -> str:
+    """DuckDB double->DECIMAL(30,6) snap that matches Spark's cast
+    semantics EXACTLY. Spark casts a double to decimal through Java's
+    shortest round-trip decimal string (``BigDecimal.valueOf``), then
+    HALF_UP; DuckDB's direct ``CAST(double AS DECIMAL)`` rounds the
+    EXACT binary expansion instead. The two disagree for doubles whose
+    shortest representation lands exactly on a rounding half-point while
+    the binary value sits just below it (hypothesis-found:
+    281474977.6816645 -> Spark ...665 / plain-DuckDB ...664). Routing
+    the oracle's snap through VARCHAR makes DuckDB round the same
+    shortest-string digits with the same HALF_UP tie rule (verified for
+    both signs and scientific-notation strings by
+    tests/test_primitive_parity.py).
+
+    The sub-1e-7 zero-clamp covers a second hypothesis-found class:
+    DuckDB's VARCHAR->DECIMAL parser rounds scientific-notation strings
+    on the first mantissa digit regardless of how far the exponent sits
+    below the scale ('5e-08' -> 0.000001 instead of 0), while every
+    |x| < 1e-7 correctly snaps to 0 under HALF_UP at scale 6 -- so
+    clamping those to 0 before the hop restores exact parity without
+    touching any representable outcome."""
+    return (
+        f"CAST(CAST((CASE WHEN abs({expr}) < 1e-7 THEN 0.0"
+        f" ELSE ({expr}) END) AS VARCHAR) AS DECIMAL(30,6))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic aggregates
 # ---------------------------------------------------------------------------
@@ -59,9 +86,21 @@ def dsum(col: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def ddbl_sql(expr: str) -> str:
+    """Correctly-rounded DECIMAL->DOUBLE presentation cast. DuckDB's
+    direct ``CAST(decimal AS DOUBLE)`` converts the int128 unscaled
+    value to double BEFORE applying the scale, so any unscaled value
+    above 2^53 (i.e. |x| > ~9e9 at scale 6 -- a big fact-table SUM)
+    loses low bits and misrounds (hypothesis-found: 576460752305.000000
+    -> 576460752304.9999). Java's BigDecimal.doubleValue (Spark's path)
+    is correctly rounded; hopping through the exact VARCHAR digits makes
+    DuckDB's strtod produce the identical double."""
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"
+
+
 def dsum_sql(expr: str) -> str:
     """DuckDB-side twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+    return ddbl_sql(f"SUM({dsnap_sql(expr)})")
 
 
 def davg(col: Column | str, alias: str | None = None) -> Column:
@@ -78,7 +117,7 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
 
 def davg_sql(expr: str) -> str:
     return dround_sql(
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+        f"{ddbl_sql(f'SUM({dsnap_sql(expr)})')}"
         f" / CAST(COUNT({expr}) AS DOUBLE)",
         4,
     )
@@ -92,19 +131,20 @@ def dround(col: Column, scale: int = 2) -> Column:
     decimal is an exact HALF_UP in both Spark and DuckDB. Oracle twin:
     :func:`dround_sql`.
 
-    Domain (measured by tests/test_primitive_parity.py fuzzing): stable
-    for |x| up to ~1e9 -- beyond ~1e11 a double's ULP exceeds the 1e-6
-    decimal scale, so the double->decimal CAST itself can land on
-    adjacent representable decimals in the two engines before any
-    rounding happens. All money/ratio values in this repo sit well
-    inside the stable domain (sums stay exact because dsum casts to
-    DECIMAL per row, BEFORE aggregation)."""
+    Domain (measured by tests/test_primitive_parity.py fuzzing): parity
+    holds for arbitrary finite doubles in the DECIMAL(30,6) range now
+    that the oracle snap routes through the shortest decimal
+    representation (see :func:`dsnap_sql`) -- both engines round the
+    SAME digit string with the same HALF_UP tie rule, so neither
+    magnitude-driven ULP gaps (>~1e11) nor shortest-repr half-point
+    ties (e.g. 281474977.6816645) diverge anymore. Sums stay exact
+    because dsum casts to DECIMAL per row, BEFORE aggregation."""
     return F.round(col.cast(_DEC), scale).cast("double")
 
 
 def dround_sql(expr: str, scale: int = 2) -> str:
     """DuckDB-side twin of :func:`dround`."""
-    return f"CAST(ROUND(CAST(({expr}) AS DECIMAL(30,6)), {scale}) AS DOUBLE)"
+    return ddbl_sql(f"ROUND({dsnap_sql(expr)}, {scale})")
 
 
 # ---------------------------------------------------------------------------

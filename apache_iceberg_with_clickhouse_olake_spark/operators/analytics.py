@@ -29,6 +29,7 @@ from ..functions import (
     davg_sql,
     dround,
     dround_sql,
+    dsnap_sql,
     dsum,
     dsum_sql,
     iff,
@@ -896,7 +897,7 @@ _PIVOT_STATUSES = ("F", "O", "P")
     SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT)
              AS order_month,
            {', '.join(
-               "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))"
+               f"CAST(SUM({dsnap_sql('o_totalprice')})"
                f" FILTER (WHERE o_orderstatus = '{s}') AS DOUBLE)"
                f" AS revenue_{s.lower()}"
                for s in _PIVOT_STATUSES

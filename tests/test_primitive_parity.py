@@ -86,18 +86,23 @@ def test_norm_tokens_fingerprint_parity(spark, texts):
         assert s_row["fp"] == d_row[3], (s_row["fp"], d_row[3])
 
 
-# Money-magnitude domain (|x| <= 1e9): the helpers' engine-stability
-# contract. Fuzzing to 1e12 found the boundary, not a bug: above
-# ~1e11 a double's ULP exceeds the DECIMAL(30,6) scale, so the
-# double->decimal snap itself lands on ADJACENT representable decimals
-# in the two engines (observed: avg 576460752304.8789 vs ...8788).
-# Every oracle value in this repo is money/ratio-sized (<= ~1e9 after
-# aggregation in DECIMAL space), squarely inside the safe domain; the
-# boundary is documented on dround in functions/__init__.py.
+# Full double-precision domain to 1e12: the helpers' engine-stability
+# contract. Two divergence classes were hypothesis-found and then
+# FIXED by routing the oracle snap through the shortest decimal
+# representation (functions.dsnap_sql):
+#   1. shortest-repr half-point ties (281474977.6816645: Spark rounds
+#      the Java shortest string HALF_UP to ...665, plain DuckDB rounds
+#      the exact binary expansion to ...664);
+#   2. >~1e11 magnitudes where a double's ULP exceeds the 1e-6 decimal
+#      scale, so exact-binary vs shortest-string casts land on adjacent
+#      decimals (observed: 576460752304.8789 vs ...8788).
+# Both engines now round the SAME digit string with the same HALF_UP
+# tie rule, so the fuzz domain deliberately spans past both former
+# boundaries.
 _doubles = st.lists(
     st.floats(
-        min_value=-1e9,
-        max_value=1e9,
+        min_value=-1e12,
+        max_value=1e12,
         allow_nan=False,
         allow_infinity=False,
     ),
