@@ -1,0 +1,315 @@
+"""Distributed clustering over the ``embeddings`` table: Lloyd k-means
+and SemDeDup-style semantic deduplication (north-star LLM-pipeline
+surface; no reference counterpart -- extends the engine to the
+cluster-then-prune stage of a training-data pipeline).
+
+Two operators:
+
+- ``embedding_kmeans_profile``: k-means (k=8, 2 Lloyd iterations) with a
+  deterministic md5-seeded init, profiled per cluster. Every step is
+  engine-exact, so even this ITERATIVE algorithm is hash-checked against
+  a DuckDB oracle that unrolls the same two iterations in SQL:
+  * init: the k vectors with the smallest md5(vec_id) become centroids
+    0..k-1 (both engines compute identical md5 strings);
+  * assignment: argmin of squared L2 distance, distance snapped to six
+    decimals (dround) with (d2, cluster) tie-break, so float fold noise
+    cannot flip a winner;
+  * update: per-dimension davg (exact decimal mean, snapped to four
+    decimals), so iteration-2 inputs are bit-identical across engines.
+
+- ``semantic_dedup_stats``: SemDeDup (Abbas et al. 2023) shape -- prune
+  near-duplicate pairs WITHIN each k-means cluster only, never across
+  the whole corpus. A document is dropped when a lower-id cluster-mate
+  sits above the cosine threshold (the same keep-first rule as the exact
+  dedup family in operators/dedup.py, so decisions are order-free and
+  SQL-expressible).
+
+Scale design (100 TB):
+- Assignment is shuffle-free: the k centroids ride a broadcast 1-row
+  array (k x dim doubles, built by a collect_list aggregate -- never a
+  driver-side ``.collect()``), and each vector computes its argmin in a
+  single projection. Per Lloyd iteration the only shuffles are the
+  centroid rebuild: posexplode -> groupBy(cluster, dim) reducing to
+  k x dim rows, then a k-row array reassembly.
+- Semantic dedup's pair join is keyed on the cluster id, so the
+  quadratic term is bounded by the largest cluster (~n/k); k is the
+  knob that grows with the corpus (k ~ n / target_cluster_size), the
+  same blocking discipline as the LSH banding in operators/dedup.py.
+  Vectors do not ride a band explosion -- each joins once per pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import davg, davg_sql, dround, dround_sql
+from ..sources.parquet import load_table
+from .registry import query
+from .similarity import _COS_SQL, _cos, _dvec
+
+_DIM = 64
+_K = 8
+_ITERS = 2
+# Within-cluster near-dup threshold: same deliberately-hard synthetic
+# operating point as operators/similarity.py (_NEAR_DUP_COS) -- real
+# corpora run ~0.9+.
+_SEMDEDUP_COS = 0.3
+
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+def _d2(dv: Column, cv: Column) -> Column:
+    """Squared L2 distance, snapped to 6 decimals (see module doc)."""
+    return dround(
+        F.aggregate(
+            F.zip_with(dv, cv, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def _init_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic k-means++-free init: the k vectors with the smallest
+    md5(vec_id) (md5 is engine-identical), components snapped to the
+    4-decimal centroid space shared with the davg updates."""
+    seeds = (
+        emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(_K)
+    )
+    w = Window.orderBy("h", "vec_id")
+    return seeds.select(
+        (F.row_number().over(w) - 1).cast("long").alias("cluster"),
+        F.transform("dv", lambda x: dround(x, 4)).alias("cv"),
+    )
+
+
+def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Shuffle-free argmin assignment: all k centroids are folded into a
+    single broadcast row (sorted by cluster id so the strict-< fold keeps
+    the lowest cluster on distance ties), and each vector scans them in
+    one projection."""
+    cents = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "cv"))).alias("cents")
+    )
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(float("inf")).cast("double").alias("d2"),
+            F.lit(-1).cast("long").alias("cluster"),
+        ),
+        lambda acc, c: F.when(
+            _d2(F.col("dv"), c["cv"]) < acc["d2"],
+            F.struct(
+                _d2(F.col("dv"), c["cv"]).alias("d2"),
+                c["cluster"].alias("cluster"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("b", best)
+        .select(
+            "vec_id",
+            "dv",
+            F.col("b.cluster").alias("cluster"),
+            F.col("b.d2").alias("d2"),
+        )
+    )
+
+
+def _update_centroids(assigned: DataFrame) -> DataFrame:
+    """Lloyd update: per-dimension exact-decimal mean (davg, snapped to 4
+    decimals) -- reduces to k x dim rows, then reassembles arrays."""
+    return (
+        assigned.select(
+            "cluster", F.posexplode("dv").alias("dim", "x")
+        )
+        .groupBy("cluster", "dim")
+        .agg(davg("x", "c"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("s"))
+        .select("cluster", F.transform("s", lambda t: t["c"]).alias("cv"))
+    )
+
+
+def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final (vec_id, dv, cluster, d2) after _ITERS Lloyd iterations."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("dv")
+    )
+    cent = _init_centroids(emb)
+    assigned = _assign(emb, cent)
+    for _ in range(_ITERS - 1):
+        cent = _update_centroids(assigned)
+        assigned = _assign(emb, cent)
+    return assigned
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: the same two Lloyd iterations unrolled in SQL
+# ---------------------------------------------------------------------------
+
+def _d2_sql(dv: str, cv: str) -> str:
+    return dround_sql(
+        f"list_sum(list_transform(range(1, {_DIM} + 1),"
+        f" i -> ({dv}[i] - {cv}[i]) * ({dv}[i] - {cv}[i])))",
+        6,
+    )
+
+
+def _kmeans_sql_prefix() -> str:
+    """WITH-clause chain ending in ``sN`` = the final assignment
+    (vec_id, dv, cluster, d2) after _ITERS iterations."""
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv"
+        " FROM embeddings)",
+        f"""seeds AS (
+          SELECT vec_id, dv,
+                 row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS cluster
+          FROM v
+          QUALIFY cluster < {_K}
+        )""",
+        f"""c0 AS (
+          SELECT cluster,
+                 list_transform(dv, x -> {dround_sql('x', 4)}) AS cv
+          FROM seeds
+        )""",
+    ]
+    for it in range(1, _ITERS + 1):
+        cent = f"c{it - 1}"
+        parts.append(f"""a{it} AS (
+          SELECT v.vec_id, v.dv, c.cluster,
+                 {_d2_sql('v.dv', 'c.cv')} AS d2
+          FROM v CROSS JOIN {cent} c
+        )""")
+        parts.append(f"""s{it} AS (
+          SELECT vec_id, dv, cluster, d2
+          FROM a{it}
+          QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2, cluster) = 1
+        )""")
+        if it < _ITERS:
+            parts.append(f"""c{it}d AS (
+              SELECT cluster, i AS dim, {davg_sql('dv[i]')} AS c
+              FROM s{it} CROSS JOIN range(1, {_DIM} + 1) t(i)
+              GROUP BY cluster, i
+            )""")
+            parts.append(f"""c{it} AS (
+              SELECT cluster, list(c ORDER BY dim) AS cv
+              FROM c{it}d
+              GROUP BY cluster
+            )""")
+    return "WITH " + ",\n".join(parts)
+
+
+_FINAL = f"s{_ITERS}"
+
+
+@query(
+    "embedding_kmeans_profile",
+    oracle=f"""
+    {_kmeans_sql_prefix()}
+    SELECT cluster,
+           COUNT(*) AS n_vectors,
+           {davg_sql('d2')} AS avg_dist2,
+           MIN(vec_id) AS min_vec_id
+    FROM {_FINAL}
+    GROUP BY cluster
+    ORDER BY cluster
+    """,
+    tags=("llm-similarity", "llm-clustering"),
+)
+def embedding_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, 2 iterations), per-cluster profile
+    (size, mean squared distance to the final centroid). The HASH-EXACT
+    oracle unrolls both iterations in SQL -- every intermediate (seed
+    order, snapped centroids, snapped distances, tie-broken argmins) is
+    engine-identical by construction, so the check is exact, not a
+    tolerance compare. See module docstring for the 100 TB shape."""
+    assigned = _kmeans_assign(spark, sf_dir)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            davg("d2", "avg_dist2"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "semantic_dedup_stats",
+    oracle=f"""
+    {_kmeans_sql_prefix()},
+    pairs AS (
+      SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS drop_id
+      FROM {_FINAL} a JOIN {_FINAL} b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL.format(a='a.dv', b='b.dv')} >= {_SEMDEDUP_COS}
+    ),
+    dropped AS (SELECT DISTINCT cluster, drop_id FROM pairs)
+    SELECT s.cluster,
+           COUNT(*) AS n_members,
+           COUNT(d.drop_id) AS n_dropped,
+           COUNT(*) - COUNT(d.drop_id) AS n_kept,
+           {dround_sql(
+               '(COUNT(*) - COUNT(d.drop_id)) / CAST(COUNT(*) AS DOUBLE)', 4
+           )} AS kept_frac
+    FROM {_FINAL} s
+    LEFT JOIN dropped d
+      ON s.cluster = d.cluster AND s.vec_id = d.drop_id
+    GROUP BY s.cluster
+    ORDER BY s.cluster
+    """,
+    tags=("llm-similarity", "llm-dedup", "llm-clustering"),
+)
+def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: drop a vector when a lower-id member of ITS OWN k-means
+    cluster is a cosine near-duplicate. The pair join is keyed on the
+    cluster id (bounded quadratic, see module doc); the keep-first rule
+    makes decisions order-free, so the op stays oracle-exact."""
+    assigned = _kmeans_assign(spark, sf_dir)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(_cos(F.col("a.dv"), F.col("b.dv")) >= _SEMDEDUP_COS)
+        .select(
+            F.col("b.cluster").alias("cluster"),
+            F.col("b.vec_id").alias("drop_id"),
+        )
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped,
+            (assigned["cluster"] == dropped["cluster"])
+            & (assigned["vec_id"] == dropped["drop_id"]),
+            "left",
+        )
+        .groupBy(assigned["cluster"].alias("cluster"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.count("drop_id").alias("n_dropped"),
+            (F.count("*") - F.count("drop_id")).alias("n_kept"),
+            dround(
+                (F.count("*") - F.count("drop_id"))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("kept_frac"),
+        )
+        .orderBy("cluster")
+    )

@@ -180,6 +180,7 @@ def all_oracles() -> dict[str, str]:
 _MODULES = (
     "analytics",
     "cdc",
+    "clustering",
     "curation",
     "datagen_queries",
     "dedup",
@@ -191,6 +192,7 @@ _MODULES = (
     "similarity",
     "streaming_queries",
     "text",
+    "tokenizer",
     "windows",
 )
 

@@ -434,3 +434,73 @@ def mixture_plan_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified quota sampling: rates DERIVED from the data (two-pass)
+# ---------------------------------------------------------------------------
+
+_QUOTA_PER_SOURCE = 40
+
+_QUOTA_HASH = "concat('strat-', CAST(doc_id AS VARCHAR))"
+
+
+@query(
+    "stratified_quota_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS total_docs FROM documents GROUP BY source
+    ),
+    rated AS (
+      SELECT source, total_docs,
+             LEAST(CAST(1000000 AS BIGINT),
+                   CAST({_QUOTA_PER_SOURCE} AS BIGINT) * 1000000
+                     // total_docs) AS threshold_ppm
+      FROM counts
+    )
+    SELECT d.source,
+           r.total_docs,
+           r.threshold_ppm,
+           COUNT(CASE WHEN {md5_int60_sql(_QUOTA_HASH)} % 1000000
+                      < r.threshold_ppm THEN 1 END) AS sampled_docs
+    FROM documents d JOIN rated r USING (source)
+    GROUP BY d.source, r.total_docs, r.threshold_ppm
+    ORDER BY d.source
+    """,
+    tags=("llm-sampling",),
+)
+def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with DATA-DERIVED rates: a fixed per-source
+    quota is converted to a parts-per-million keep threshold by exact
+    integer division (no float rounding to diverge across engines), then
+    each document decides its own fate from a stable md5 draw. Two
+    passes over the corpus: a tiny per-group count, broadcast back as
+    the rate table, then the per-row filter -- the scalable shape for
+    'give me ~N documents per stratum of a 100 TB corpus' (contrast
+    training_mix_sample, whose rates are a CONFIG literal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("total_docs"))
+    rated = counts.select(
+        "source",
+        "total_docs",
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.expr(
+                f"CAST({_QUOTA_PER_SOURCE} AS BIGINT) * 1000000"
+                " div total_docs"
+            ),
+        ).alias("threshold_ppm"),
+    )
+    draw = md5_int60(
+        F.concat(F.lit("strat-"), F.col("doc_id").cast("string"))
+    )
+    return (
+        docs.join(F.broadcast(rated), "source")
+        .groupBy("source", "total_docs", "threshold_ppm")
+        .agg(
+            F.count(
+                F.when(draw % 1000000 < F.col("threshold_ppm"), True)
+            ).alias("sampled_docs"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,240 @@
+"""Tokenizer induction over the ``documents`` table: distributed BPE
+merge learning (north-star LLM-pipeline surface; no reference
+counterpart -- extends the engine to the vocabulary-training stage of a
+training-data pipeline; complements the token-COUNTING ops in
+operators/text.py).
+
+Classic BPE trains on the WORD-TYPE table, not the corpus: count each
+distinct word once with its frequency, represent it as a
+space-delimited symbol string (chars + a ``</w>`` end marker), then
+repeatedly (1) count adjacent symbol pairs weighted by word frequency,
+(2) merge the most frequent pair everywhere. That shape is what makes
+the op scale-friendly: after the first groupBy(word), every iteration
+runs on the type table (vocabulary-sized, corpus-size-independent), and
+the winning pair is a 1-row broadcast.
+
+Engine-exactness (hash-checked against a DuckDB oracle that unrolls all
+iterations in SQL):
+- pair counts are integer sums -- no float anywhere;
+- the winning pair is tie-broken (count DESC, a, b);
+- merge application is plain literal ``replace`` (identical
+  left-to-right non-overlapping semantics in Spark and DuckDB), applied
+  three times to reach the fixpoint that single-pass replace misses
+  when occurrences share a delimiter space (" a b a b " -- pass one
+  merges occurrences 1 and 3, pass two the rest; three passes is
+  fixpoint for any symbol sequence up to the 9 symbols our longest
+  word produces, and BOTH engines run the identical pass count, so
+  parity holds regardless).
+
+Scale notes (100 TB): one corpus-sized shuffle total (the word-type
+groupBy); each of the N merge iterations then shuffles only the
+type-table pair counts (bounded by vocabulary size, not corpus size)
+and broadcasts a single winning row. No Python UDFs, no driver-side
+collect -- the learned merge table is itself a DataFrame.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .registry import query
+
+_N_MERGES = 6
+_TOP_PAIRS = 30
+
+_WORD_RE = "[a-z]+"
+
+# ---------------------------------------------------------------------------
+# Shared builders (Spark)
+# ---------------------------------------------------------------------------
+
+
+def _word_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, s) -- the word-type table with its initial symbol
+    string ' h e l l o </w> ' (leading/trailing spaces so every symbol
+    occurrence is space-delimited for literal replace)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{_WORD_RE}', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    return wf.select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.expr("regexp_extract_all(word, '.', 0)"), " "),
+            F.lit(" </w> "),
+        ).alias("s"),
+    )
+
+
+def _pair_counts(symbols: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent symbol pairs weighted by word frequency."""
+    return (
+        symbols.withColumn("syms", F.split(F.trim(F.col("s")), " "))
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+# Literal space-delimited replace, three passes to fixpoint (module doc).
+_APPLY_MERGE = "s"
+for _ in range(3):
+    _APPLY_MERGE = (
+        f"replace({_APPLY_MERGE},"
+        " concat(' ', a, ' ', b, ' '), concat(' ', a, b, ' '))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle builders
+# ---------------------------------------------------------------------------
+
+_SQL_BASE = f"""
+    w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS word
+      FROM documents
+    ),
+    wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+    s0 AS (
+      SELECT word, freq,
+             ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+                 || ' </w> ' AS s
+      FROM wf
+    )"""
+
+
+def _pairs_sql(sym_cte: str, name: str) -> str:
+    return f"""{name} AS (
+      SELECT p[1] AS a, p[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(syms)),
+                                     i -> [syms[i], syms[i+1]])) AS p
+        FROM (
+          SELECT freq, string_split(trim(s), ' ') AS syms FROM {sym_cte}
+        )
+      )
+      GROUP BY 1, 2
+    )"""
+
+
+_APPLY_MERGE_SQL = "s"
+for _ in range(3):
+    _APPLY_MERGE_SQL = (
+        f"replace({_APPLY_MERGE_SQL},"
+        " ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')"
+    )
+
+
+def _learn_sql() -> str:
+    parts = [_SQL_BASE]
+    for it in range(1, _N_MERGES + 1):
+        parts.append(_pairs_sql(f"s{it - 1}", f"p{it}"))
+        parts.append(
+            f"c{it} AS (SELECT a, b, cnt FROM p{it}"
+            f" ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        if it < _N_MERGES:
+            parts.append(f"""s{it} AS (
+              SELECT word, freq, {_APPLY_MERGE_SQL} AS s
+              FROM s{it - 1} CROSS JOIN c{it}
+            )""")
+    ranks = "\nUNION ALL\n".join(
+        f"SELECT {it} AS merge_rank, a AS sym_a, b AS sym_b,"
+        f" a || b AS merged, cnt AS pair_count FROM c{it}"
+        for it in range(1, _N_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({ranks}) ORDER BY merge_rank"
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bpe_pair_frequencies",
+    oracle=f"""
+    WITH {_SQL_BASE.strip()},
+    {_pairs_sql('s0', 'p1')}
+    SELECT a AS sym_a, b AS sym_b, cnt AS pair_count
+    FROM p1
+    ORDER BY pair_count DESC, sym_a, sym_b
+    LIMIT {_TOP_PAIRS}
+    """,
+    tags=("llm-text", "llm-tokenizer"),
+)
+def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent symbol pairs of the initial (character-level) BPE
+    state, weighted by word frequency -- the single-shot primitive the
+    merge-learning loop iterates. Fully tie-broken top-k
+    (TakeOrderedAndProject; the pair space is vocabulary-bounded)."""
+    pairs = _pair_counts(_word_symbols(spark, sf_dir))
+    return (
+        pairs.select(
+            F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"),
+            F.col("cnt").alias("pair_count"),
+        )
+        .orderBy(F.col("pair_count").desc(), "sym_a", "sym_b")
+        .limit(_TOP_PAIRS)
+    )
+
+
+@query(
+    "bpe_learn_merges",
+    oracle=_learn_sql(),
+    tags=("llm-text", "llm-tokenizer"),
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first N BPE merges: N iterations of count-pairs ->
+    broadcast the tie-broken winner -> literal-replace it into every
+    word's symbol string. The oracle unrolls the identical N iterations
+    in SQL, so even this iterative training loop is hash-exact. The
+    per-iteration type table is persisted (vocabulary-sized) so the
+    chained lineage doesn't recompute the whole history each round."""
+    symbols = _word_symbols(spark, sf_dir)
+    out = []
+    for rank in range(1, _N_MERGES + 1):
+        symbols = symbols.persist()
+        top = (
+            _pair_counts(symbols)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+        )
+        out.append(
+            top.select(
+                F.lit(rank).alias("merge_rank"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        if rank < _N_MERGES:
+            symbols = (
+                symbols.crossJoin(F.broadcast(top.select("a", "b")))
+                .withColumn("s", F.expr(_APPLY_MERGE))
+                .select("word", "freq", "s")
+            )
+    return reduce(DataFrame.unionAll, out).orderBy("merge_rank")

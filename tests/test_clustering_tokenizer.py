@@ -1,0 +1,67 @@
+"""Semantic invariants of the round-8 clustering / tokenizer-induction
+operators (their value-level correctness is oracle-checked in
+test_correctness.py; these pin the algorithmic properties)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_iceberg_with_clickhouse_olake_spark.operators import registry
+from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import _K
+from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import load_table
+
+registry._load_all()
+_Q = {name: spec.fn for name, spec in registry.REGISTRY.items()}
+
+
+def test_kmeans_partitions_every_vector(spark, sf_dir):
+    rows = _Q["embedding_kmeans_profile"](spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == n_total
+    assert len(rows) <= _K
+    assert all(0 <= r["cluster"] < _K for r in rows)
+    assert all(r["avg_dist2"] >= 0 for r in rows)
+
+
+def test_semantic_dedup_accounting_closes(spark, sf_dir):
+    rows = _Q["semantic_dedup_stats"](spark, sf_dir).collect()
+    assert rows, "expected at least one cluster"
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_members"], r
+        assert r["n_kept"] >= 1, r  # keep-first can never empty a cluster
+    # the synthetic corpus is calibrated to produce SOME near-dups
+    assert any(r["n_dropped"] > 0 for r in rows)
+
+
+def test_bpe_merge_counts_monotone_nonincreasing(spark, sf_dir):
+    """Each merge's count is the max over available pairs; merging pair
+    P with count c can only create pairs of count <= c, so the selected
+    counts must be non-increasing -- the core BPE training invariant."""
+    rows = _Q["bpe_learn_merges"](spark, sf_dir).orderBy("merge_rank").collect()
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True), counts
+    for r in rows:
+        assert r["merged"] == r["sym_a"] + r["sym_b"], r
+
+
+def test_bpe_top_pair_is_learned_first(spark, sf_dir):
+    top = _Q["bpe_pair_frequencies"](spark, sf_dir).limit(1).collect()[0]
+    first = (
+        _Q["bpe_learn_merges"](spark, sf_dir)
+        .filter(F.col("merge_rank") == 1)
+        .collect()[0]
+    )
+    assert (top["sym_a"], top["sym_b"], top["pair_count"]) == (
+        first["sym_a"],
+        first["sym_b"],
+        first["pair_count"],
+    )
+
+
+def test_stratified_quota_respects_population(spark, sf_dir):
+    for r in _Q["stratified_quota_sample"](spark, sf_dir).collect():
+        assert 0 <= r["sampled_docs"] <= r["total_docs"], r
+        assert 0 <= r["threshold_ppm"] <= 1_000_000, r
+        # a stratum at-or-under quota keeps everything
+        if r["threshold_ppm"] == 1_000_000:
+            assert r["sampled_docs"] == r["total_docs"], r

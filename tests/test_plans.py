@@ -481,3 +481,56 @@ def test_mixture_weights_single_scan_rollup_window(spark, sf_dir):
     assert_scan_columns_at_most(
         df, "documents", {"source", "lang", "text", "n_chars"}
     )
+
+
+def test_kmeans_assignment_is_broadcast_shuffle_free(spark, sf_dir):
+    """The Lloyd assignment must never join vectors against a
+    vector-scale side: centroids ride a single-row broadcast (BNLJ over
+    the collect_list row -- constant k x dim bytes at any corpus scale),
+    so the only legitimate joins are those 1-row attaches. No cartesian,
+    no sort-merge join, and the only hash exchanges are the centroid
+    rebuild / final profile aggregations."""
+    plan = physical_plan(_Q["embedding_kmeans_profile"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_semantic_dedup_pair_join_is_cluster_keyed(spark, sf_dir):
+    """SemDeDup's quadratic term must stay bounded by the cluster: the
+    a-b pair join has to be an equi-join keyed on the cluster id, never
+    a cartesian over the corpus."""
+    import re
+
+    plan = physical_plan(_Q["semantic_dedup_stats"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    keys = re.findall(
+        r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[(\w+)#",
+        plan,
+    )
+    assert keys and all(k == "cluster" for k in keys), (keys, plan)
+
+
+def test_bpe_plans_are_type_table_shaped(spark, sf_dir):
+    """BPE learning: the winning pair is a 1-row broadcast per iteration
+    (BNLJ attaches only), never a cartesian / sort-merge join; the
+    initial pair top-k is TakeOrderedAndProject, not a global sort."""
+    plan = physical_plan(_Q["bpe_learn_merges"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    plan = physical_plan(_Q["bpe_pair_frequencies"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_stratified_quota_rate_table_is_broadcast(spark, sf_dir):
+    """The data-derived per-stratum rate table is tiny and must attach
+    as a broadcast hash join on the stratum key -- the corpus side
+    streams past it map-side."""
+    import re
+
+    plan = physical_plan(_Q["stratified_quota_sample"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    keys = re.findall(r"BroadcastHashJoin \[(\w+)#", plan)
+    assert keys and all(k == "source" for k in keys), (keys, plan)
