@@ -40,6 +40,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -246,6 +248,26 @@ def embedding_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dropped(assigned: DataFrame) -> DataFrame:
+    """(cluster, drop_id): vectors with a lower-id cosine near-dup in
+    their own cluster (the order-free keep-first rule)."""
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(_cos(F.col("a.dv"), F.col("b.dv")) >= _SEMDEDUP_COS)
+        .select(
+            F.col("b.cluster").alias("cluster"),
+            F.col("b.vec_id").alias("drop_id"),
+        )
+        .distinct()
+    )
+
+
 @query(
     "semantic_dedup_stats",
     oracle=f"""
@@ -278,21 +300,7 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster id (bounded quadratic, see module doc); the keep-first rule
     makes decisions order-free, so the op stays oracle-exact."""
     assigned = _kmeans_assign(spark, sf_dir)
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(_cos(F.col("a.dv"), F.col("b.dv")) >= _SEMDEDUP_COS)
-        .select(
-            F.col("b.cluster").alias("cluster"),
-            F.col("b.vec_id").alias("drop_id"),
-        )
-        .distinct()
-    )
+    dropped = _semantic_dropped(assigned)
     return (
         assigned.join(
             dropped,
@@ -310,6 +318,95 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*").cast("double"),
                 4,
             ).alias("kept_frac"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "semantic_dedup_apply",
+    oracle=f"""
+    {_kmeans_sql_prefix()},
+    pairs AS (
+      SELECT a.cluster, b.vec_id AS drop_id
+      FROM {_FINAL} a JOIN {_FINAL} b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL.format(a='a.dv', b='b.dv')} >= {_SEMDEDUP_COS}
+    ),
+    dropped AS (SELECT DISTINCT cluster, drop_id FROM pairs),
+    kept AS (
+      SELECT s.cluster, s.vec_id
+      FROM {_FINAL} s LEFT JOIN dropped d
+        ON s.cluster = d.cluster AND s.vec_id = d.drop_id
+      WHERE d.drop_id IS NULL
+    )
+    SELECT s.cluster,
+           COUNT(DISTINCT s.vec_id) AS n_members,
+           (SELECT COUNT(*) FROM kept k WHERE k.cluster = s.cluster)
+             AS kept_readback,
+           (SELECT COALESCE(CAST(SUM(vec_id) AS BIGINT), 0)
+            FROM kept k WHERE k.cluster = s.cluster) AS kept_id_sum,
+           (SELECT COUNT(*) FROM dropped d WHERE d.cluster = s.cluster)
+             AS n_dropped
+    FROM {_FINAL} s
+    GROUP BY s.cluster
+    ORDER BY s.cluster
+    """,
+    tags=("llm-similarity", "llm-dedup", "llm-clustering", "S3"),
+)
+def semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the semantic dedup end-to-end: materialize the kept vectors
+    to a parquet sink and account from the files READ BACK from disk
+    (the clustering analog of dedup_removal_apply; reference silver-
+    rebuild shape, scripts/iceberg-setup.sql:66-75). kept_readback and
+    kept_id_sum come from the readback side while n_members/n_dropped
+    come from the plan side, so a lossy or duplicating write breaks the
+    n_members = kept_readback + n_dropped identity (and the id-sum
+    checksum pins WHICH vectors survived, not just how many) -- the
+    value-hash compare then fails.
+
+    100 TB: the kept frame writes in parallel at its existing
+    partitioning (no coalesce); the tempfile sink is the sandbox
+    stand-in for a shared warehouse path, same one-line swap as every
+    temp-materializing op in this repo."""
+    assigned = _kmeans_assign(spark, sf_dir)
+    dropped = _semantic_dropped(assigned)
+    kept = (
+        assigned.join(
+            dropped,
+            (assigned["cluster"] == dropped["cluster"])
+            & (assigned["vec_id"] == dropped["drop_id"]),
+            "left",
+        )
+        .filter(F.col("drop_id").isNull())
+        .select(assigned["cluster"].alias("cluster"), "vec_id")
+    )
+    tmp = tempfile.mkdtemp(prefix="semantic_dedup_apply_")
+    kept.write.mode("overwrite").parquet(tmp)
+    back = spark.read.parquet(tmp)
+    plan_side = assigned.groupBy("cluster").agg(
+        F.countDistinct("vec_id").alias("n_members")
+    )
+    drop_side = dropped.groupBy("cluster").agg(
+        F.count("*").alias("n_dropped")
+    )
+    read_side = back.groupBy("cluster").agg(
+        F.count("*").alias("kept_readback"),
+        F.sum("vec_id").cast("long").alias("kept_id_sum"),
+    )
+    return (
+        plan_side.join(read_side, "cluster", "left")
+        .join(drop_side, "cluster", "left")
+        .select(
+            "cluster",
+            "n_members",
+            F.coalesce("kept_readback", F.lit(0)).alias("kept_readback"),
+            F.coalesce("kept_id_sum", F.lit(0)).cast("long").alias(
+                "kept_id_sum"
+            ),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias(
+                "n_dropped"
+            ),
         )
         .orderBy("cluster")
     )

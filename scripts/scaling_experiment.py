@@ -68,6 +68,16 @@ CORPUS_QUERIES = (
     "quality_threshold_sweep",
     "dedup_keep_best_quality",
     "corpus_mixture_weights",
+    # r8 additions: iterative clustering (broadcast-centroid k-means),
+    # cluster-bounded semantic dedup (quadratic only WITHIN clusters --
+    # the fully-replicated corpus is its adversarial case, since every
+    # replica clique lands in one cluster), vocabulary-bounded BPE
+    # training (corpus pass + type-table iterations), and the two-pass
+    # derived-rate stratified sampler.
+    "embedding_kmeans_profile",
+    "semantic_dedup_stats",
+    "bpe_learn_merges",
+    "stratified_quota_sample",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)
@@ -81,6 +91,10 @@ SKEW_QUERIES = (
     "embedding_near_dup_pairs",
     "embedding_dedup_cascade_stats",
     "corpus_build_pipeline",
+    # r8: the hot-label replication concentrates one k-means cluster --
+    # exactly the reducer-key skew the within-cluster pair join must
+    # survive.
+    "semantic_dedup_stats",
 )
 SKEW_K = 8
 

@@ -65,3 +65,21 @@ def test_stratified_quota_respects_population(spark, sf_dir):
         # a stratum at-or-under quota keeps everything
         if r["threshold_ppm"] == 1_000_000:
             assert r["sampled_docs"] == r["total_docs"], r
+
+
+def test_semantic_dedup_apply_readback_closes(spark, sf_dir):
+    """The applied twin's identity: plan-side members must equal
+    readback-kept + plan-dropped per cluster, and the applied decisions
+    must agree with the stats op."""
+    rows = {
+        r["cluster"]: r
+        for r in _Q["semantic_dedup_apply"](spark, sf_dir).collect()
+    }
+    stats = {
+        r["cluster"]: r
+        for r in _Q["semantic_dedup_stats"](spark, sf_dir).collect()
+    }
+    assert rows.keys() == stats.keys()
+    for c, r in rows.items():
+        assert r["kept_readback"] + r["n_dropped"] == r["n_members"], r
+        assert r["n_dropped"] == stats[c]["n_dropped"], (r, stats[c])
