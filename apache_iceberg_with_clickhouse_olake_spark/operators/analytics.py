@@ -786,6 +786,108 @@ def order_part_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCTS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@query(
+    "order_value_percentiles",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           {', '.join(
+               dround_sql(f'quantile_cont(o_totalprice, {p})', 4)
+               + f' AS p{int(p * 100)}'
+               for p in _PCTS
+           )},
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("A10", "A2"),
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric distribution profiling (A10 beyond categorical counts):
+    exact continuous percentiles of order value per status. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the
+    a + (b - a) * g interpolation over identical sorted positions, so
+    the snapped results are engine-exact. Exact percentiles sort within
+    each group -- the profiling trade; at 100 TB the same shape runs
+    with ``percentile_approx`` (one pass, mergeable sketches) when a
+    bounded error beats a per-group sort, mirroring the exact-vs-HLL
+    twin discipline of unique_customers."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            *[
+                dround(
+                    F.percentile(F.col("o_totalprice"), F.lit(p)), 4
+                ).alias(f"p{int(p * 100)}")
+                for p in _PCTS
+            ],
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "order_value_percentiles_approx",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           {', '.join(
+               f'TRUE AS p{int(p * 100)}_within_bound' for p in _PCTS
+           )}
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("A10",),
+)
+def order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of order_value_percentiles: percentile_approx
+    (Greenwald-Khanna sketch -- single pass, mergeable partials, no
+    per-group sort). Same bounds-oracle discipline as
+    unique_customers_approx: estimates are engine-specific, so the
+    hashable contract is the error envelope -- each approx percentile
+    must land within 5% relative VALUE error of the exact one (the
+    sketch's rank guarantee at accuracy 10000 is far tighter on this
+    data; the envelope catches broken plumbing, not sketch noise). The
+    exact branch exists only to verify; production runs the sketch
+    alone."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_orders")]
+    for p in _PCTS:
+        tag = int(p * 100)
+        aggs.append(
+            F.percentile_approx(
+                F.col("o_totalprice"), F.lit(p), F.lit(10000)
+            ).alias(f"_a{tag}")
+        )
+        aggs.append(
+            F.percentile(F.col("o_totalprice"), F.lit(p)).alias(f"_e{tag}")
+        )
+    bounds = [
+        (
+            F.abs(F.col(f"_a{int(p * 100)}") - F.col(f"_e{int(p * 100)}"))
+            / F.abs(F.col(f"_e{int(p * 100)}"))
+            <= _APPROX_REL_ERR
+        ).alias(f"p{int(p * 100)}_within_bound")
+        for p in _PCTS
+    ]
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(*aggs)
+        .select("status", "n_orders", *bounds)
+        .orderBy("status")
+    )
+
+
 # ---------------------------------------------------------------------------
 # A10: GROUP BY distribution profiling -- inspect-mysql-data.sh:38-46
 # ---------------------------------------------------------------------------

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from ..functions import davg, davg_sql, dround, dround_sql
 from ..sources.parquet import load_table
 from .registry import query
-from .similarity import _COS_SQL, _cos, _dvec
+from .similarity import _COS_SQL, _VEC_FP_SQL, _cos, _dvec
 
 _DIM = 64
 _K = 8
@@ -141,10 +141,24 @@ def _update_centroids(assigned: DataFrame) -> DataFrame:
 
 
 def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final (vec_id, dv, cluster, d2) after _ITERS Lloyd iterations."""
+    """Final (vec_id, dv, cluster, d2) after _ITERS Lloyd iterations.
+
+    The vector frame is persisted: every Lloyd iteration rescans it
+    (assignment) and the update rescans the assignment built on it --
+    caching the vectors once instead of re-reading the corpus per
+    iteration is the standard k-means discipline (at 100 TB this is
+    MEMORY_AND_DISK across the cluster; the alternative is I *
+    full-corpus parquet scans)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("dv")
     )
+    return _kmeans_assign_frames(emb)
+
+
+def _kmeans_assign_frames(emb: DataFrame) -> DataFrame:
+    """Lloyd core over any (vec_id, dv) frame (used by the cascade with
+    representatives instead of the full corpus)."""
+    emb = emb.persist()
     cent = _init_centroids(emb)
     assigned = _assign(emb, cent)
     for _ in range(_ITERS - 1):
@@ -165,12 +179,17 @@ def _d2_sql(dv: str, cv: str) -> str:
     )
 
 
-def _kmeans_sql_prefix() -> str:
+_KMEANS_SOURCE = (
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings"
+)
+
+
+def _kmeans_sql_prefix(source: str = _KMEANS_SOURCE) -> str:
     """WITH-clause chain ending in ``sN`` = the final assignment
-    (vec_id, dv, cluster, d2) after _ITERS iterations."""
+    (vec_id, dv, cluster, d2) after _ITERS iterations, clustered over
+    ``source`` (any SELECT yielding vec_id + dv)."""
     parts = [
-        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv"
-        " FROM embeddings)",
+        f"v AS ({source})",
         f"""seeds AS (
           SELECT vec_id, dv,
                  row_number() OVER (
@@ -299,7 +318,10 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster is a cosine near-duplicate. The pair join is keyed on the
     cluster id (bounded quadratic, see module doc); the keep-first rule
     makes decisions order-free, so the op stays oracle-exact."""
-    assigned = _kmeans_assign(spark, sf_dir)
+    # persisted: the assignment feeds the pair join twice (both sides)
+    # plus the final rollup -- without the cache the whole 2-iteration
+    # k-means chain re-executes per use (measured 3x wall at x1).
+    assigned = _kmeans_assign(spark, sf_dir).persist()
     dropped = _semantic_dropped(assigned)
     return (
         assigned.join(
@@ -369,7 +391,7 @@ def semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (no coalesce); the tempfile sink is the sandbox
     stand-in for a shared warehouse path, same one-line swap as every
     temp-materializing op in this repo."""
-    assigned = _kmeans_assign(spark, sf_dir)
+    assigned = _kmeans_assign(spark, sf_dir).persist()
     dropped = _semantic_dropped(assigned)
     kept = (
         assigned.join(
@@ -407,6 +429,117 @@ def semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_dropped", F.lit(0)).cast("long").alias(
                 "n_dropped"
             ),
+        )
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Production shape: exact-collapse BEFORE clustering (cascade)
+# ---------------------------------------------------------------------------
+
+_REPS_SOURCE = f"""SELECT vec_id, dv FROM (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+             row_number() OVER (
+               PARTITION BY {_VEC_FP_SQL} ORDER BY vec_id) AS rn
+      FROM embeddings) WHERE rn = 1"""
+
+
+@query(
+    "semantic_dedup_cascade_stats",
+    oracle=f"""
+    {_kmeans_sql_prefix(_REPS_SOURCE)},
+    sizes AS (
+      SELECT {_VEC_FP_SQL} AS fp,
+             COUNT(*) AS grp_n, MIN(vec_id) AS rep_id
+      FROM embeddings GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.cluster, b.vec_id AS drop_id
+      FROM {_FINAL} a JOIN {_FINAL} b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL.format(a='a.dv', b='b.dv')} >= {_SEMDEDUP_COS}
+    ),
+    dropped AS (SELECT DISTINCT cluster, drop_id FROM pairs),
+    per_rep AS (
+      SELECT s.cluster, z.grp_n,
+             CASE WHEN d.drop_id IS NOT NULL THEN 1 ELSE 0 END AS is_dropped
+      FROM {_FINAL} s
+      JOIN sizes z ON s.vec_id = z.rep_id
+      LEFT JOIN dropped d
+        ON s.cluster = d.cluster AND s.vec_id = d.drop_id
+    )
+    SELECT cluster,
+           COUNT(*) AS n_reps,
+           CAST(SUM(is_dropped) AS BIGINT) AS reps_dropped,
+           CAST(SUM(grp_n) AS BIGINT) AS vectors_total,
+           CAST(SUM(grp_n - 1) AS BIGINT) AS removed_exact,
+           CAST(SUM(CASE WHEN is_dropped = 1 THEN grp_n ELSE 0 END)
+                AS BIGINT) AS removed_semantic
+    FROM per_rep
+    GROUP BY cluster
+    ORDER BY cluster
+    """,
+    tags=("llm-similarity", "llm-dedup", "llm-clustering"),
+)
+def semantic_dedup_cascade_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION SemDeDup shape: quantized-fingerprint exact dedup
+    collapses replica groups to their lowest-id representative FIRST
+    (one uniform-key shuffle), then k-means + within-cluster pruning run
+    over REPRESENTATIVES ONLY, and each decision fans back out over the
+    replica group it represents. On a corpus with replicated vectors the
+    direct semantic_dedup_stats pair join grows quadratically in the
+    replication factor (every replica clique lands in one cluster); the
+    cascade's pair stage sees each clique once, so cost tracks DISTINCT
+    vectors -- the same mitigation embedding_dedup_cascade_stats
+    measures for the banded pairing (SCALING.md)."""
+    from .similarity import _vec_fp
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = emb.select(
+        "vec_id",
+        _vec_fp().alias("fp"),
+        _dvec(F.col("embedding")).alias("dv"),
+    )
+    w = Window.partitionBy("fp").orderBy("vec_id")
+    reps = (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "dv")
+    )
+    sizes = g.groupBy("fp").agg(
+        F.count("*").alias("grp_n"), F.min("vec_id").alias("rep_id")
+    )
+    assigned = _kmeans_assign_frames(reps).persist()
+    dropped = _semantic_dropped(assigned)
+    per_rep = (
+        assigned.join(sizes, assigned["vec_id"] == sizes["rep_id"])
+        .join(
+            dropped,
+            (assigned["cluster"] == dropped["cluster"])
+            & (assigned["vec_id"] == dropped["drop_id"]),
+            "left",
+        )
+        .select(
+            assigned["cluster"].alias("cluster"),
+            "grp_n",
+            F.when(F.col("drop_id").isNotNull(), 1)
+            .otherwise(0)
+            .alias("is_dropped"),
+        )
+    )
+    return (
+        per_rep.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_reps"),
+            F.sum("is_dropped").cast("long").alias("reps_dropped"),
+            F.sum("grp_n").cast("long").alias("vectors_total"),
+            F.sum(F.col("grp_n") - 1).cast("long").alias("removed_exact"),
+            F.sum(F.when(F.col("is_dropped") == 1, F.col("grp_n")).otherwise(0))
+            .cast("long")
+            .alias("removed_semantic"),
         )
         .orderBy("cluster")
     )

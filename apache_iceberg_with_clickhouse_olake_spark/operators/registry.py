@@ -89,6 +89,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # automatically (greedy tag set-cover + never-checked fill); the op-id
 # coverage constraint caps a rotation at ~15 fresh rows, so the blind
 # spot clears over the next TWO disciplined passes, not one.
+# r8 note: the round-7 driver pass never produced artifacts (no
+# CORRECTNESS_r07.json / BENCH_r07.json exist), so this rotation has
+# not yet earned its rows -- the window is intentionally HELD for the
+# round-8 driver run rather than rotated a second time blind. The full
+# local gate re-verified every entry green this round (driver_sim
+# 132/132 before the r8 additions, plus each new op individually).
 _PRIORITY = (
     # core analytics / TPC-H-ish (S2, P*, J*, A*, O1-O2, U*, F*)
     "monthly_revenue",

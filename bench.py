@@ -320,6 +320,10 @@ def main() -> None:
         # a new name, so the llm delta/verdict blocks (intersection-
         # based) simply skip it until both rounds carry it
         "doc_contamination_fraction",
+        # r8: the cluster-then-prune flagship (exact-collapse -> k-means
+        # over representatives -> within-cluster SemDeDup) -- new name,
+        # same intersection-skip on its first round
+        "semantic_dedup_cascade_stats",
     )
     llm_timings: dict[str, float] = {}
     llm_iqrs: dict[str, float] = {}

@@ -76,6 +76,7 @@ CORPUS_QUERIES = (
     # derived-rate stratified sampler.
     "embedding_kmeans_profile",
     "semantic_dedup_stats",
+    "semantic_dedup_cascade_stats",
     "bpe_learn_merges",
     "stratified_quota_sample",
 )

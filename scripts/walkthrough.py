@@ -136,7 +136,7 @@ def main() -> int:
         assert shards and total_seqs > 0
         print(f"   shards: {len(shards)}, packed sequences: {total_seqs}")
 
-        # 9. Extension: the data recipe side — derive the mixture
+        # 9. Extension: the data recipe side -- derive the mixture
         # weights the sampler consumes, pick the frontier exemplars.
         step(9, "data recipe (mixture weights + pareto exemplars)")
         weights = qs["corpus_mixture_weights"](spark, sf_dir).collect()
@@ -146,6 +146,25 @@ def main() -> int:
         print(
             f"   {len(weights)} (source,lang) weights, "
             f"frontier exemplars: {len(frontier)}"
+        )
+
+        # 10. Extension: cluster-then-prune (k-means -> SemDeDup) and
+        # tokenizer induction over the surviving corpus.
+        step(10, "semantic dedup (k-means clusters) + BPE merges")
+        sem = qs["semantic_dedup_apply"](spark, sf_dir).collect()
+        assert sem
+        assert all(
+            r.kept_readback + r.n_dropped == r.n_members for r in sem
+        )
+        merges = qs["bpe_learn_merges"](spark, sf_dir).collect()
+        assert merges and all(
+            r.merged == r.sym_a + r.sym_b for r in merges
+        )
+        print(
+            f"   {len(sem)} clusters "
+            f"(kept {sum(r.kept_readback for r in sem)}"
+            f"/{sum(r.n_members for r in sem)}), "
+            f"learned merges: {[r.merged for r in merges]}"
         )
 
         print("\nall walkthrough checkpoints passed")

@@ -83,3 +83,57 @@ def test_semantic_dedup_apply_readback_closes(spark, sf_dir):
     for c, r in rows.items():
         assert r["kept_readback"] + r["n_dropped"] == r["n_members"], r
         assert r["n_dropped"] == stats[c]["n_dropped"], (r, stats[c])
+
+
+def test_bpe_replace_three_passes_reach_fixpoint_and_match_duckdb():
+    """Pin the merge-application contract without Spark: (1) DuckDB's
+    literal replace() behaves exactly like Python str.replace (all
+    non-overlapping occurrences, scanning left to right), and (2) three
+    passes reach the fixpoint for every symbol sequence up to 12
+    symbols over a worst-case tiny alphabet -- the longest word in any
+    fixture produces 9. Spark's SQL replace shares the same contract
+    (exercised end-to-end by the bpe_learn_merges oracle match)."""
+    import itertools
+
+    import duckdb
+
+    con = duckdb.connect()
+    checked = 0
+    for n in range(2, 13):
+        # worst case for overlap chains: all symbols drawn from {a, b}
+        for seq in itertools.product("ab", repeat=min(n, 8)):
+            s = " " + " ".join(seq) + " </w> "
+            for pat_a, pat_b in (("a", "b"), ("a", "a"), ("b", "a")):
+                pat = f" {pat_a} {pat_b} "
+                rep = f" {pat_a}{pat_b} "
+                three = s
+                for _ in range(3):
+                    three = three.replace(pat, rep)
+                assert three.replace(pat, rep) == three, (s, pat, three)
+                got = con.execute(
+                    "SELECT replace(?, ?, ?)", [s, pat, rep]
+                ).fetchone()[0]
+                assert got == s.replace(pat, rep), (s, pat)
+                checked += 1
+        if n > 8:
+            break
+    assert checked > 500
+
+
+def test_order_value_percentiles_are_monotone(spark, sf_dir):
+    for r in _Q["order_value_percentiles"](spark, sf_dir).collect():
+        seq = [r["min_price"], r["p25"], r["p50"], r["p75"], r["p90"],
+               r["p99"], r["max_price"]]
+        assert seq == sorted(seq), r
+
+
+def test_semantic_dedup_cascade_accounting_closes(spark, sf_dir):
+    rows = _Q["semantic_dedup_cascade_stats"](spark, sf_dir).collect()
+    assert rows
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["vectors_total"] for r in rows) == n_total
+    for r in rows:
+        assert r["vectors_total"] >= r["n_reps"], r
+        assert r["removed_exact"] == r["vectors_total"] - r["n_reps"], r
+        assert 0 <= r["reps_dropped"] < r["n_reps"] or r["n_reps"] == 1, r
+        assert r["removed_semantic"] >= r["reps_dropped"], r
