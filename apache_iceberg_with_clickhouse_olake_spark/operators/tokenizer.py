@@ -40,6 +40,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import dround, dround_sql
 from ..sources.parquet import load_table
 from .registry import query
 
@@ -238,3 +239,103 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("word", "freq", "s")
             )
     return reduce(DataFrame.unionAll, out).orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
+# Apply the learned merges back to the corpus (train -> tokenize closure)
+# ---------------------------------------------------------------------------
+
+
+def _merged_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, s) after applying ALL _N_MERGES learned merges (the
+    learn loop applies only the first N-1 before selecting the Nth)."""
+    symbols = _word_symbols(spark, sf_dir)
+    for _ in range(_N_MERGES):
+        symbols = symbols.persist()
+        top = (
+            _pair_counts(symbols)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+        )
+        symbols = (
+            symbols.crossJoin(F.broadcast(top.select("a", "b")))
+            .withColumn("s", F.expr(_APPLY_MERGE))
+            .select("word", "freq", "s")
+        )
+    return symbols
+
+
+def _applied_sql() -> str:
+    """CTE chain ending in s{_N_MERGES}: symbols after ALL merges."""
+    parts = [_SQL_BASE]
+    for it in range(1, _N_MERGES + 1):
+        parts.append(_pairs_sql(f"s{it - 1}", f"p{it}"))
+        parts.append(
+            f"c{it} AS (SELECT a, b, cnt FROM p{it}"
+            f" ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        parts.append(f"""s{it} AS (
+          SELECT word, freq, {_APPLY_MERGE_SQL} AS s
+          FROM s{it - 1} CROSS JOIN c{it}
+        )""")
+    return "WITH " + ",\n".join(parts)
+
+
+@query(
+    "bpe_tokenize_corpus_stats",
+    oracle=f"""
+    {_applied_sql()},
+    wtok AS (
+      SELECT word, len(string_split(trim(s), ' ')) AS n_sym
+      FROM s{_N_MERGES}
+    ),
+    docw AS (
+      SELECT lang,
+             unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS word
+      FROM documents
+    )
+    SELECT d.lang,
+           COUNT(*) AS words,
+           CAST(SUM(w.n_sym) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(length(d.word) + 1) AS BIGINT) AS char_tokens,
+           {dround_sql('CAST(SUM(w.n_sym) AS DOUBLE) / COUNT(*)', 4)}
+             AS tokens_per_word
+    FROM docw d JOIN wtok w USING (word)
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+    tags=("llm-text", "llm-tokenizer"),
+)
+def bpe_tokenize_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the train->apply loop: tokenize the whole corpus with the
+    learned merge table and measure the compression (BPE tokens per
+    word vs the char+marker baseline the merges started from). The
+    expensive part stays vocabulary-shaped: per-word symbol counts come
+    from the merged TYPE table, broadcast back onto one corpus pass of
+    exploded words -- no per-document merge application, which is how a
+    trained tokenizer is applied at 100 TB (the corpus join is the same
+    word-keyed broadcast as the stratified sampler's rate table)."""
+    merged = _merged_symbols(spark, sf_dir)
+    wtok = merged.select(
+        "word", F.size(F.split(F.trim(F.col("s")), " ")).alias("n_sym")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    docw = docs.select(
+        "lang",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{_WORD_RE}', 0)")
+        ).alias("word"),
+    )
+    return (
+        docw.join(F.broadcast(wtok), "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("words"),
+            F.sum("n_sym").cast("long").alias("bpe_tokens"),
+            F.sum(F.length("word") + 1).cast("long").alias("char_tokens"),
+            dround(
+                F.sum("n_sym").cast("double") / F.count("*"), 4
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("lang")
+    )

@@ -137,3 +137,15 @@ def test_semantic_dedup_cascade_accounting_closes(spark, sf_dir):
         assert r["removed_exact"] == r["vectors_total"] - r["n_reps"], r
         assert 0 <= r["reps_dropped"] < r["n_reps"] or r["n_reps"] == 1, r
         assert r["removed_semantic"] >= r["reps_dropped"], r
+
+
+def test_bpe_tokenize_compression_bounded(spark, sf_dir):
+    """Applying merges can only SHRINK the symbol stream: per lang,
+    bpe_tokens <= char_tokens (the char+marker baseline), and each word
+    still tokenizes to >= 1 symbol."""
+    rows = _Q["bpe_tokenize_corpus_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["bpe_tokens"] <= r["char_tokens"], r
+        assert r["bpe_tokens"] >= r["words"], r
+        assert r["tokens_per_word"] >= 1.0, r
