@@ -158,13 +158,19 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_assign_frames(emb: DataFrame) -> DataFrame:
     """Lloyd core over any (vec_id, dv) frame (used by the cascade with
     representatives instead of the full corpus)."""
+    return _kmeans_state_frames(emb)[0]
+
+
+def _kmeans_state_frames(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(assigned, centroids): the final assignment plus the centroid
+    frame that produced it (the inverted-file index the ANN op probes)."""
     emb = emb.persist()
     cent = _init_centroids(emb)
     assigned = _assign(emb, cent)
     for _ in range(_ITERS - 1):
         cent = _update_centroids(assigned)
         assigned = _assign(emb, cent)
-    return assigned
+    return assigned, cent
 
 
 # ---------------------------------------------------------------------------
@@ -542,4 +548,78 @@ def semantic_dedup_cascade_stats(
             .alias("removed_semantic"),
         )
         .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unsupervised IVF: ANN over the k-means index
+# ---------------------------------------------------------------------------
+
+_N_PROBES = 2
+_TOP_K = 10
+
+
+@query(
+    "ann_kmeans_ivf_topk",
+    oracle=f"""
+    {_kmeans_sql_prefix()},
+    q AS (SELECT vec_id AS qid, dv AS qv FROM v ORDER BY vec_id LIMIT 1),
+    probe AS (
+      SELECT c.cluster
+      FROM c{_ITERS - 1} c CROSS JOIN q
+      ORDER BY {dround_sql(_COS_SQL.format(a='c.cv', b='q.qv'), 6)} DESC,
+               c.cluster
+      LIMIT {_N_PROBES}
+    )
+    SELECT s.vec_id, s.cluster,
+           {dround_sql(_COS_SQL.format(a='s.dv', b='q.qv'), 6)} AS cos_sim
+    FROM {_FINAL} s JOIN probe USING (cluster) CROSS JOIN q
+    WHERE s.vec_id <> q.qid
+    ORDER BY cos_sim DESC, s.vec_id
+    LIMIT {_TOP_K}
+    """,
+    tags=("llm-similarity", "llm-clustering"),
+)
+def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE (unsupervised) IVF: the inverted lists are the k-means
+    clusters -- no label supervision, the index is learned from the
+    vectors themselves (contrast ann_ivf_topk's per-label centroids).
+    Probe the _N_PROBES centroids nearest the query, exact-score only
+    their lists. Engine-exact end-to-end: the index build is the
+    unrolled Lloyd oracle, centroid probing snaps its cosines, and the
+    final top-k is fully tie-broken. Scale shape: centroids are a
+    broadcast, the probed fraction is n_probes/k of the corpus, and the
+    top-k is TakeOrderedAndProject -- never a global sort."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("dv")
+    )
+    assigned, cent = _kmeans_state_frames(emb)
+    assigned = assigned.persist()
+    q = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("qid"), F.col("dv").alias("qv"))
+    )
+    probe = (
+        cent.join(F.broadcast(q))
+        .select(
+            "cluster",
+            "qid",
+            "qv",
+            dround(_cos(F.col("cv"), F.col("qv")), 6).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), "cluster")
+        .limit(_N_PROBES)
+        .select("cluster", "qid", "qv")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "vec_id",
+            "cluster",
+            dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_TOP_K)
     )

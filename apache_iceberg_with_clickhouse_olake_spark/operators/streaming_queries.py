@@ -146,3 +146,88 @@ def streaming_restart_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _state_rollup(spark, state_dir)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Vector-index serving twin: train batch-side, assign via the stream
+# ---------------------------------------------------------------------------
+
+_N_VEC_CHUNKS = 4
+
+from .clustering import _FINAL as _KM_FINAL  # noqa: E402
+from .clustering import _kmeans_sql_prefix  # noqa: E402
+
+_VEC_ASSIGN_ORACLE = f"""
+    {_kmeans_sql_prefix()}
+    SELECT cluster,
+           COUNT(*) AS n_vectors,
+           MIN(vec_id) AS min_vec_id
+    FROM {_KM_FINAL}
+    GROUP BY cluster
+    ORDER BY cluster
+"""
+
+
+@query(
+    "streaming_vector_assign",
+    oracle=_VEC_ASSIGN_ORACLE,
+    tags=("C2", "C3", "llm-similarity", "llm-clustering"),
+)
+def streaming_vector_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-serve the k-means index: train centroids batch-side
+    (operators/clustering), publish them as a parquet index artifact,
+    then drain the embeddings table through the file-stream source in
+    chunks (one micro-batch per file) and assign every arriving vector
+    against the published index. The rollup of the streamed assignments
+    must equal the batch k-means assignment EXACTLY -- same centroids,
+    same snapped argmin -- which the DuckDB oracle (the unrolled Lloyd
+    chain) pins value-for-value. Proves the online half of the
+    clustering family: chunked arrival, restart-safe idempotent sink,
+    stateless per-batch projection."""
+    import tempfile
+
+    from ..operators.clustering import _kmeans_state_frames
+    from ..operators.similarity import _dvec
+    from ..streaming import run_vector_assign_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="stream_vec_assign_")
+    vec_dir = os.path.join(work, "vectors")
+    index_dir = os.path.join(work, "index")
+    out_dir = os.path.join(work, "assigned")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(vec_dir, exist_ok=True)
+
+    # train the index on the batch table and publish the artifact
+    _, cent = _kmeans_state_frames(
+        emb.select("vec_id", _dvec(F.col("embedding")).alias("dv"))
+    )
+    cent.write.mode("overwrite").parquet(index_dir)
+
+    # stage the "arriving" vectors as ordered chunk files
+    for c in range(_N_VEC_CHUNKS):
+        stage = os.path.join(work, f"_stage_{c}")
+        (
+            emb.filter(F.col("vec_id") % _N_VEC_CHUNKS == c)
+            .select("vec_id", "embedding")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(vec_dir, f"chunk{c}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(dst, (1_700_000_000 + c, 1_700_000_000 + c))
+
+    run_vector_assign_stream(spark, vec_dir, index_dir, out_dir, ckpt)
+
+    assigned = spark.read.parquet(out_dir)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("cluster")
+    )

@@ -29,7 +29,9 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    FloatType,
     LongType,
     StringType,
     StructField,
@@ -553,3 +555,65 @@ def _corpus_ingest_body(
         .write.mode("overwrite")
         .parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector-index serving: assign an arriving embedding stream to a
+# trained k-means index (the online half of operators/clustering.py)
+# ---------------------------------------------------------------------------
+
+VEC_STREAM_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def run_vector_assign_stream(
+    spark: SparkSession,
+    vec_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Serve a TRAINED k-means index over an arriving vector stream:
+    each micro-batch of embeddings is assigned to its nearest centroid
+    with the same broadcast-argmin projection the batch op uses
+    (operators/clustering._assign), against the index materialized at
+    ``index_dir`` (the model artifact a training run publishes).
+
+    Replay safety: each micro-batch overwrites its own
+    ``batch=<id>`` partition, so a batch replayed after a crash
+    rewrites the identical rows instead of duplicating them -- the same
+    idempotent-partitioned-sink rule as the corpus ingest stream. The
+    assignment itself is stateless (pure projection against a constant
+    index), which is why serving scales to any arrival rate: no
+    streaming state store, no watermark, one task per input split."""
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.clustering import _assign
+        from ..operators.similarity import _dvec
+
+        bspark = batch.sparkSession
+        cent = bspark.read.parquet(index_dir)
+        assigned = _assign(
+            batch.select("vec_id", _dvec(F.col("embedding")).alias("dv")),
+            cent,
+        )
+        (
+            assigned.select("vec_id", "cluster", "d2")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch={batch_id}"))
+        )
+
+    q = (
+        spark.readStream.schema(VEC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vec_dir)
+        .writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -149,3 +149,35 @@ def test_bpe_tokenize_compression_bounded(spark, sf_dir):
         assert r["bpe_tokens"] <= r["char_tokens"], r
         assert r["bpe_tokens"] >= r["words"], r
         assert r["tokens_per_word"] >= 1.0, r
+
+
+def test_ann_kmeans_ivf_subset_of_exact_topk(spark, sf_dir):
+    """IVF results are drawn from the probed clusters only; every
+    returned neighbor must also score correctly: cos_sim descending,
+    fully tie-broken, k rows, and no result may beat the probed-cluster
+    best (internal consistency)."""
+    rows = _Q["ann_kmeans_ivf_topk"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert len({r["vec_id"] for r in rows}) == 10
+    # probed clusters: at most _N_PROBES distinct
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _N_PROBES,
+    )
+
+    assert len({r["cluster"] for r in rows}) <= _N_PROBES
+
+
+def test_streaming_vector_assign_matches_batch(spark, sf_dir):
+    """The streamed assignment rollup must equal the batch k-means
+    profile's (cluster, n_vectors) exactly -- same index, same argmin."""
+    streamed = {
+        r["cluster"]: (r["n_vectors"], r["min_vec_id"])
+        for r in _Q["streaming_vector_assign"](spark, sf_dir).collect()
+    }
+    batch = {
+        r["cluster"]: (r["n_vectors"], r["min_vec_id"])
+        for r in _Q["embedding_kmeans_profile"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
