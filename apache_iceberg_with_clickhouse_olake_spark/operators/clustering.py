@@ -504,11 +504,13 @@ def semantic_dedup_cascade_stats(
     from .similarity import _vec_fp
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # persisted: reps AND sizes both derive from the fingerprint frame;
+    # without the cache each one is a full corpus scan (stage-audited).
     g = emb.select(
         "vec_id",
         _vec_fp().alias("fp"),
         _dvec(F.col("embedding")).alias("dv"),
-    )
+    ).persist()
     w = Window.partitionBy("fp").orderBy("vec_id")
     reps = (
         g.withColumn("rn", F.row_number().over(w))
