@@ -569,7 +569,7 @@ _TOP_K = 10
     probe AS (
       SELECT c.cluster
       FROM c{_ITERS - 1} c CROSS JOIN q
-      ORDER BY {dround_sql(_COS_SQL.format(a='c.cv', b='q.qv'), 6)} DESC,
+      ORDER BY {dround_sql(_COS_SQL.format(a='c.cv', b='q.qv'), 6)} DESC NULLS LAST,
                c.cluster
       LIMIT {_N_PROBES}
     )
@@ -577,7 +577,7 @@ _TOP_K = 10
            {dround_sql(_COS_SQL.format(a='s.dv', b='q.qv'), 6)} AS cos_sim
     FROM {_FINAL} s JOIN probe USING (cluster) CROSS JOIN q
     WHERE s.vec_id <> q.qid
-    ORDER BY cos_sim DESC, s.vec_id
+    ORDER BY cos_sim DESC NULLS LAST, s.vec_id
     LIMIT {_TOP_K}
     """,
     tags=("llm-similarity", "llm-clustering"),

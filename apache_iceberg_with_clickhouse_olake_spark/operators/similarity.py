@@ -99,7 +99,16 @@ def _norm(a: Column) -> Column:
 
 
 def _cos(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine with zero-norm defined as NULL (undefined), not a value.
+    Real corpora contain zero vectors (failed embedding rows); Spark's
+    raw fold yields NaN (0/0) for them while DuckDB's
+    list_cosine_similarity returns -1.0 -- conflating "undefined" with
+    a legitimate antiparallel cosine AND diverging cross-engine. Both
+    sides therefore guard the denominator: NULL ranks last under every
+    DESC NULLS LAST top-k and fails every >= threshold filter, in both
+    engines (pinned by tests/test_crafted_corpora.py)."""
+    denom = _norm(a) * _norm(b)
+    return _dot(a, b) / F.when(denom == 0, F.lit(None)).otherwise(denom)
 
 
 def _plane_sql(p: int) -> str:
@@ -132,8 +141,14 @@ def _bucket_sql(vec_expr: str) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
+# Zero-norm guard mirrors _cos (see its docstring): the squared-norm
+# product is exactly 0 iff either vector is all-zero.
 _COS_SQL = (
-    "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    "(CASE WHEN list_sum(list_transform(CAST({a} AS DOUBLE[]), x -> x*x))"
+    " * list_sum(list_transform(CAST({b} AS DOUBLE[]), x -> x*x)) = 0"
+    " THEN NULL ELSE"
+    " list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " END)"
 )
 
 
@@ -150,7 +165,7 @@ _COS_SQL = (
            {dround_sql(_COS_SQL.format(a='e.embedding', b='q.qv'), 6)} AS cos_sim
     FROM embeddings e, q
     WHERE e.vec_id <> q.qid
-    ORDER BY cos_sim DESC, e.vec_id
+    ORDER BY cos_sim DESC NULLS LAST, e.vec_id
     LIMIT {_TOP_K}
     """,
     tags=("llm-similarity",),
@@ -935,7 +950,7 @@ def embedding_neardup_config_sweep(
            {dround_sql(_COS_SQL.format(a='e.embedding', b='q.qv'), 6)} AS cos_sim
     FROM b e, q
     WHERE e.bucket = q.qbucket AND e.vec_id <> q.qid
-    ORDER BY cos_sim DESC, e.vec_id
+    ORDER BY cos_sim DESC NULLS LAST, e.vec_id
     LIMIT {_TOP_K}
     """,
     tags=("llm-similarity",),
@@ -1001,7 +1016,7 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.vec_id, e.label, e.bucket,
            {dround_sql(_COS_SQL.format(a='e.embedding', b='p.qv'), 6)} AS cos_sim
     FROM b e JOIN probes p ON e.bucket = p.bucket AND e.vec_id <> p.qid
-    ORDER BY cos_sim DESC, e.vec_id
+    ORDER BY cos_sim DESC NULLS LAST, e.vec_id
     LIMIT {_TOP_K}
     """,
     tags=("llm-similarity",),
@@ -1080,14 +1095,14 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM embeddings ORDER BY vec_id LIMIT 1),
     probe AS (
       SELECT cvec.label FROM cvec, q
-      ORDER BY list_cosine_similarity(cv, qv) DESC, cvec.label
+      ORDER BY list_cosine_similarity(cv, qv) DESC NULLS LAST, cvec.label
       LIMIT 2
     )
     SELECT e.vec_id, e.label,
            {dround_sql(_COS_SQL.format(a='e.embedding', b='q.qv'), 6)} AS cos_sim
     FROM embeddings e JOIN probe ON e.label = probe.label, q
     WHERE e.vec_id <> q.qid
-    ORDER BY cos_sim DESC, e.vec_id
+    ORDER BY cos_sim DESC NULLS LAST, e.vec_id
     LIMIT {_TOP_K}
     """,
     tags=("llm-similarity",),
@@ -1198,8 +1213,10 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
       SELECT vec_id, label, dv, lo,
              (hi - lo) / 255.0 AS scale,
-             list_transform(dv, x -> CAST(round((x - lo) / ((hi - lo) / 255.0))
-                                         AS BIGINT)) AS iq
+             list_transform(dv, x -> CAST(CASE WHEN hi = lo THEN 0
+                                          ELSE round((x - lo) /
+                                               ((hi - lo) / 255.0))
+                                          END AS BIGINT)) AS iq
       FROM s
     )
     SELECT label,
@@ -1232,11 +1249,20 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = s.select(
         "vec_id", "label", "dv", "lo",
         ((F.col("hi") - F.col("lo")) / 255.0).alias("scale"),
+        # constant vectors (hi == lo, incl. the all-zero failed-embedding
+        # row) quantize to code 0 with EXACT reconstruction (iq*0 + lo =
+        # lo = x) -- guarding the range division instead of erroring
+        # under ANSI division-by-zero (tests/test_crafted_corpora.py)
         F.transform(
             F.col("dv"),
-            lambda x: F.round(
-                (x - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 255.0)
-            ).cast("long"),
+            lambda x: F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.round(
+                    (x - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 255.0)
+                )
+            )
+            .cast("long"),
         ).alias("iq"),
     )
     mse = (
@@ -1292,12 +1318,12 @@ _N_EVAL_Q = 20
     exact AS (
       SELECT qid, vec_id FROM scored
       QUALIFY row_number() OVER (PARTITION BY qid
-                ORDER BY cos_sim DESC, vec_id) <= {_TOP_K}
+                ORDER BY cos_sim DESC NULLS LAST, vec_id) <= {_TOP_K}
     ),
     approx AS (
       SELECT qid, vec_id, 1 AS hit FROM scored WHERE bucket = qbucket
       QUALIFY row_number() OVER (PARTITION BY qid
-                ORDER BY cos_sim DESC, vec_id) <= {_TOP_K}
+                ORDER BY cos_sim DESC NULLS LAST, vec_id) <= {_TOP_K}
     )
     SELECT x.qid,
            COUNT(*) AS exact_k,
@@ -1387,7 +1413,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact AS (
       SELECT qid, vec_id FROM scored
       QUALIFY row_number() OVER (PARTITION BY qid
-                ORDER BY cos_sim DESC, vec_id) <= {_TOP_K}
+                ORDER BY cos_sim DESC NULLS LAST, vec_id) <= {_TOP_K}
     ),
     cand AS (
       SELECT 'multi_probe' AS method, * FROM scored
@@ -1399,7 +1425,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx AS (
       SELECT method, qid, vec_id FROM cand
       QUALIFY row_number() OVER (PARTITION BY method, qid
-                ORDER BY cos_sim DESC, vec_id) <= {_TOP_K}
+                ORDER BY cos_sim DESC NULLS LAST, vec_id) <= {_TOP_K}
     ),
     methods AS (SELECT unnest(['multi_probe', 'single_bucket']) AS method),
     per_q_recall AS (
@@ -1533,13 +1559,13 @@ def ann_probe_sweep_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cos_sim
       FROM embeddings e, q
       WHERE e.vec_id <> q.qid
-      ORDER BY cos_sim DESC, e.vec_id
+      ORDER BY cos_sim DESC NULLS LAST, e.vec_id
       LIMIT {_TOP_K}
     )
     SELECT h.vec_id AS doc_id, d.lang, d.source,
            substr(d.text, 1, 40) AS snippet, h.cos_sim
     FROM hits h JOIN documents d ON h.vec_id = d.doc_id
-    ORDER BY h.cos_sim DESC, doc_id
+    ORDER BY h.cos_sim DESC NULLS LAST, doc_id
     """,
     tags=("llm-similarity", "llm-text"),
 )

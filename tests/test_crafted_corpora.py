@@ -1,0 +1,109 @@
+"""Edge-domain pinning on crafted parquet: degenerate inputs the real
+fixtures never produce (zero-norm embeddings, exact replica cliques,
+antiparallel pairs, fewer vectors than k) must keep every oracle
+hash-exact. This is where the zero-norm-cosine contract is enforced:
+Spark's raw fold yields NaN while DuckDB's list_cosine_similarity
+yields -1.0 -- both sides now define it as NULL (similarity._cos /
+_COS_SQL), ranked last under DESC NULLS LAST."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from apache_iceberg_with_clickhouse_olake_spark.operators import registry
+from tests.oracle_utils import assert_match
+
+registry._load_all()
+
+_DIM = 64
+
+
+def _vec(*head: float) -> list[float]:
+    v = [0.0] * _DIM
+    for i, x in enumerate(head):
+        v[i] = float(x)
+    return v
+
+
+_CRAFTED_EMB = [
+    # replica clique: three byte-identical vectors
+    (1, _vec(1, 2, 3), 0),
+    (2, _vec(1, 2, 3), 0),
+    (3, _vec(1, 2, 3), 1),
+    # zero-norm vector (failed embedding row)
+    (4, _vec(), 1),
+    # antiparallel pair: TRUE cosine -1, which must stay distinct from
+    # the zero-norm NULL
+    (5, _vec(2, 0, 1), 2),
+    (6, _vec(-2, 0, -1), 2),
+    # a loner
+    (7, _vec(0, 5, 0, 1), 3),
+]
+
+_EMB_QUERIES = (
+    "cosine_topk",
+    "embedding_kmeans_profile",
+    "semantic_dedup_stats",
+    "semantic_dedup_cascade_stats",
+    "ann_kmeans_ivf_topk",
+    "embedding_near_dup_pairs",
+    "embedding_dedup_cascade_stats",
+    "embedding_norm_profile",
+    "embedding_int8_quantization",
+)
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("crafted") / "sf")
+    emb = spark.createDataFrame(
+        _CRAFTED_EMB, "vec_id long, embedding array<float>, label int"
+    )
+    emb.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def crafted_duck(crafted_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{crafted_dir}/embeddings.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _EMB_QUERIES)
+def test_embedding_ops_hash_exact_on_crafted(
+    spark, crafted_dir, crafted_duck, name
+):
+    spec = registry.REGISTRY[name]
+    if spec.oracle is None:
+        pytest.skip("rows-only op")
+    assert_match(spec.fn(spark, crafted_dir), crafted_duck, spec.oracle, name)
+
+
+def test_zero_vector_never_wins_topk(spark, crafted_dir):
+    """The zero vector's cosine is NULL (undefined): it may appear only
+    after every defined-cosine candidate, and the antiparallel partner
+    keeps its legitimate -1.0."""
+    rows = registry.REGISTRY["cosine_topk"].fn(spark, crafted_dir).collect()
+    sims = [r["cos_sim"] for r in rows]
+    defined = [x for x in sims if x is not None]
+    assert defined == sorted(defined, reverse=True)
+    if None in sims:
+        assert all(x is None for x in sims[sims.index(None):])
+    assert -1.0 in defined or min(defined) < 0  # antiparallel visible
+
+
+def test_replica_clique_collapses_in_cascade(spark, crafted_dir):
+    rows = (
+        registry.REGISTRY["semantic_dedup_cascade_stats"]
+        .fn(spark, crafted_dir)
+        .collect()
+    )
+    assert sum(r["vectors_total"] for r in rows) == len(_CRAFTED_EMB)
+    # the 3-replica clique loses exactly 2 rows to exact dedup
+    assert sum(r["removed_exact"] for r in rows) == 2
