@@ -861,7 +861,12 @@ def order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
     exact branch exists only to verify; production runs the sketch
     alone."""
     orders = load_table(spark, sf_dir, "orders")
-    aggs = [F.count("*").alias("n_orders")]
+    aggs = [
+        F.count("*").alias("n_orders"),
+        # verification-only exact order statistics (at 100 TB production
+        # runs the sketch alone; the exact branch exists to bound it)
+        F.sort_array(F.collect_list("o_totalprice")).alias("_sorted"),
+    ]
     for p in _PCTS:
         tag = int(p * 100)
         aggs.append(
@@ -872,14 +877,28 @@ def order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
         aggs.append(
             F.percentile(F.col("o_totalprice"), F.lit(p)).alias(f"_e{tag}")
         )
-    bounds = [
-        (
-            F.abs(F.col(f"_a{int(p * 100)}") - F.col(f"_e{int(p * 100)}"))
-            / F.abs(F.col(f"_e{int(p * 100)}"))
-            <= _APPROX_REL_ERR
-        ).alias(f"p{int(p * 100)}_within_bound")
-        for p in _PCTS
-    ]
+    # The sketch's guarantee is on RANK, not value: on tiny groups the
+    # returned element can sit a full interpolation step from the exact
+    # continuous percentile (crafted group [10, 20]: exact p25 = 12.5,
+    # sketch returns 10 -- a 20% "value error" that is rank-PERFECT).
+    # The bound is therefore rank-correct first: the estimate must lie
+    # between the order statistics bracketing the continuous position
+    # (a theorem at accuracy 10000 while n << accuracy), OR within the
+    # relative-value envelope that takes over once n is large enough
+    # for genuine rank slack to appear.
+    def _within(p: float):
+        tag = int(p * 100)
+        pos = F.lit(p) * (F.col("n_orders") - 1)
+        lo = F.element_at("_sorted", (F.floor(pos) + 1).cast("int"))
+        hi = F.element_at("_sorted", (F.ceil(pos) + 1).cast("int"))
+        a, e = F.col(f"_a{tag}"), F.col(f"_e{tag}")
+        rank_ok = (a >= F.least(lo, hi)) & (a <= F.greatest(lo, hi))
+        value_ok = F.when(e == 0, a == 0).otherwise(
+            F.abs(a - e) / F.abs(e) <= _APPROX_REL_ERR
+        )
+        return (rank_ok | value_ok).alias(f"p{tag}_within_bound")
+
+    bounds = [_within(p) for p in _PCTS]
     return (
         orders.groupBy(F.col("o_orderstatus").alias("status"))
         .agg(*aggs)

@@ -83,6 +83,10 @@ def _pair_counts(symbols: DataFrame) -> DataFrame:
     """(a, b, cnt): adjacent symbol pairs weighted by word frequency."""
     return (
         symbols.withColumn("syms", F.split(F.trim(F.col("s")), " "))
+        # a word can merge down to ONE symbol; Spark's sequence(1, 0) is
+        # the DESCENDING [1, 0] (not empty like DuckDB's range), which
+        # would index syms[1] out of bounds -- drop pairless rows first
+        .filter(F.size(F.col("syms")) >= 2)
         .select(
             "freq",
             F.explode(

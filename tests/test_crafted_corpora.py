@@ -107,3 +107,118 @@ def test_replica_clique_collapses_in_cascade(spark, crafted_dir):
     assert sum(r["vectors_total"] for r in rows) == len(_CRAFTED_EMB)
     # the 3-replica clique loses exactly 2 rows to exact dedup
     assert sum(r["removed_exact"] for r in rows) == 2
+
+
+# ---------------------------------------------------------------------------
+# Pathological text: empty docs, no-word docs, same-char runs
+# ---------------------------------------------------------------------------
+
+_CRAFTED_DOCS = [
+    (1, "aaa aaa aaa", "en", "web", 11),        # one word type, (a,a) overlap runs
+    (2, "", "en", "web", 0),                     # empty text
+    (3, "123 456 !!!", "zz", "junk", 11),        # no [a-z] word at all
+    (4, "a", "en", "web", 1),                    # single 1-char word
+    (5, "abab abab baba", "de", "web", 14),      # alternating pairs
+]
+
+_DOC_QUERIES = (
+    "bpe_pair_frequencies",
+    "bpe_learn_merges",
+    "bpe_tokenize_corpus_stats",
+    "stratified_quota_sample",
+    "text_token_stats",
+)
+
+
+@pytest.fixture(scope="module")
+def crafted_docs_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("crafted_docs") / "sf")
+    docs = spark.createDataFrame(
+        _CRAFTED_DOCS,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def crafted_docs_duck(crafted_docs_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{crafted_docs_dir}/documents.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _DOC_QUERIES)
+def test_text_ops_hash_exact_on_pathological_docs(
+    spark, crafted_docs_dir, crafted_docs_duck, name
+):
+    spec = registry.REGISTRY[name]
+    assert_match(
+        spec.fn(spark, crafted_docs_dir), crafted_docs_duck, spec.oracle, name
+    )
+
+
+def test_bpe_merges_handle_same_char_runs(spark, crafted_docs_dir):
+    """'aaa' x3 + alternation: the first merge must be a real pair and
+    every merge count stays positive (no empty-table wedge from the
+    no-word docs)."""
+    rows = (
+        registry.REGISTRY["bpe_learn_merges"]
+        .fn(spark, crafted_docs_dir)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    assert rows, "merges must exist on a corpus with words"
+    assert all(r["pair_count"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Degenerate percentile groups: 1-row, all-ties, zero-price
+# ---------------------------------------------------------------------------
+
+_CRAFTED_ORDERS = [
+    ("X", 100.0),                                  # singleton group
+    ("Y", 10.0), ("Y", 20.0),                      # even-count interpolation
+    ("Z", 5.0), ("Z", 5.0), ("Z", 5.0),            # all ties
+    ("W", 0.0), ("W", 0.0),                        # zero-price group
+]
+
+
+@pytest.fixture(scope="module")
+def crafted_orders_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("crafted_orders") / "sf")
+    orders = spark.createDataFrame(
+        _CRAFTED_ORDERS, "o_orderstatus string, o_totalprice double"
+    )
+    orders.coalesce(1).write.parquet(f"{d}/orders.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def crafted_orders_duck(crafted_orders_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{crafted_orders_dir}/orders.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name", ["order_value_percentiles", "order_value_percentiles_approx"]
+)
+def test_percentiles_hash_exact_on_degenerate_groups(
+    spark, crafted_orders_dir, crafted_orders_duck, name
+):
+    spec = registry.REGISTRY[name]
+    assert_match(
+        spec.fn(spark, crafted_orders_dir),
+        crafted_orders_duck,
+        spec.oracle,
+        name,
+    )
