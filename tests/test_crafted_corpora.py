@@ -127,6 +127,28 @@ _DOC_QUERIES = (
     "bpe_tokenize_corpus_stats",
     "stratified_quota_sample",
     "text_token_stats",
+    # the wider text/dedup family over the same pathological corpus
+    "text_quality_scores",
+    "lang_distribution",
+    "language_id_heuristic",
+    "doc_fingerprints",
+    "dedup_exact_stats",
+    "dedup_keep_first",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_neardups",
+    "simhash_fingerprints",
+    "doc_repetition_stats",
+    "crossdoc_ngram_repetition",
+    "repeated_span_examples",
+    "top_terms",
+    "tfidf_top_terms",
+    "token_count_bpe",
+    "unigram_logprob_quality",
+    "quality_threshold_sweep",
+    "uniform_hash_sample",
+    "sequence_packing_stats",
+    "corpus_mixture_weights",
+    "quality_length_pareto",
 )
 
 
