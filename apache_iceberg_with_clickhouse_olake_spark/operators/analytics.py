@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..functions import (
     davg,
     davg_sql,
+    ddbl_sql,
     dround,
     dround_sql,
     dsnap_sql,
@@ -1018,9 +1019,11 @@ _PIVOT_STATUSES = ("F", "O", "P")
     SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT)
              AS order_month,
            {', '.join(
-               f"CAST(SUM({dsnap_sql('o_totalprice')})"
-               f" FILTER (WHERE o_orderstatus = '{s}') AS DOUBLE)"
-               f" AS revenue_{s.lower()}"
+               ddbl_sql(
+                   f"SUM({dsnap_sql('o_totalprice')})"
+                   f" FILTER (WHERE o_orderstatus = '{s}')"
+               )
+               + f" AS revenue_{s.lower()}"
                for s in _PIVOT_STATUSES
            )}
     FROM orders

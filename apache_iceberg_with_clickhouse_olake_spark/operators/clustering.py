@@ -47,6 +47,9 @@ from pyspark.sql import functions as F
 
 from ..functions import davg, davg_sql, dround, dround_sql
 from ..sources.parquet import load_table
+from ._cache import finalize as _finalize
+from ._cache import persist_tracked as _persist
+from ._cache import release_caches  # noqa: F401  (re-export: streaming_queries)
 from .registry import query
 from .similarity import _COS_SQL, _VEC_FP_SQL, _cos, _dvec
 
@@ -99,19 +102,30 @@ def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     cents = cent.agg(
         F.array_sort(F.collect_list(F.struct("cluster", "cv"))).alias("cents")
     )
+    # Spark does not CSE inside higher-order-function lambdas, so a
+    # when(_d2 < acc)/then(_d2) fold pays the 64-dim distance fold TWICE
+    # per centroid. Precompute each (d2, cluster) struct once with
+    # transform, then run the strict-< fold over the precomputed structs
+    # -- same tie semantics as before (ascending-cluster array, strict <
+    # keeps the lowest cluster id on distance ties) at half the
+    # per-vector FLOPs. (An array_min over the structs was measured too:
+    # identical semantics but the interpreted struct comparator made it
+    # the slowest of the three variants; at sf0.1 all three are within
+    # noise because the pair join dominates, so the FLOP-minimal form
+    # wins on the 100 TB argument where k grows with the corpus.)
     best = F.aggregate(
-        F.col("cents"),
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _d2(F.col("dv"), c["cv"]).alias("d2"),
+                c["cluster"].alias("cluster"),
+            ),
+        ),
         F.struct(
             F.lit(float("inf")).cast("double").alias("d2"),
             F.lit(-1).cast("long").alias("cluster"),
         ),
-        lambda acc, c: F.when(
-            _d2(F.col("dv"), c["cv"]) < acc["d2"],
-            F.struct(
-                _d2(F.col("dv"), c["cv"]).alias("d2"),
-                c["cluster"].alias("cluster"),
-            ),
-        ).otherwise(acc),
+        lambda acc, c: F.when(c["d2"] < acc["d2"], c).otherwise(acc),
     )
     return (
         emb.crossJoin(F.broadcast(cents))
@@ -164,7 +178,7 @@ def _kmeans_assign_frames(emb: DataFrame) -> DataFrame:
 def _kmeans_state_frames(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(assigned, centroids): the final assignment plus the centroid
     frame that produced it (the inverted-file index the ANN op probes)."""
-    emb = emb.persist()
+    emb = _persist(emb)
     cent = _init_centroids(emb)
     assigned = _assign(emb, cent)
     for _ in range(_ITERS - 1):
@@ -261,6 +275,12 @@ def embedding_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, snapped centroids, snapped distances, tie-broken argmins) is
     engine-identical by construction, so the check is exact, not a
     tolerance compare. See module docstring for the 100 TB shape."""
+    return _finalize(spark, _kmeans_profile_frame(spark, sf_dir))
+
+
+def _kmeans_profile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy per-cluster profile frame (plan tests pin its physical shape
+    BEFORE the materialization idiom collapses it to local rows)."""
     assigned = _kmeans_assign(spark, sf_dir)
     return (
         assigned.groupBy("cluster")
@@ -327,7 +347,12 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the assignment feeds the pair join twice (both sides)
     # plus the final rollup -- without the cache the whole 2-iteration
     # k-means chain re-executes per use (measured 3x wall at x1).
-    assigned = _kmeans_assign(spark, sf_dir).persist()
+    return _finalize(spark, _semantic_stats_frame(spark, sf_dir))
+
+
+def _semantic_stats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy SemDeDup per-cluster stats frame (plan-pinned)."""
+    assigned = _persist(_kmeans_assign(spark, sf_dir))
     dropped = _semantic_dropped(assigned)
     return (
         assigned.join(
@@ -397,7 +422,7 @@ def semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (no coalesce); the tempfile sink is the sandbox
     stand-in for a shared warehouse path, same one-line swap as every
     temp-materializing op in this repo."""
-    assigned = _kmeans_assign(spark, sf_dir).persist()
+    assigned = _persist(_kmeans_assign(spark, sf_dir))
     dropped = _semantic_dropped(assigned)
     kept = (
         assigned.join(
@@ -422,7 +447,7 @@ def semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("kept_readback"),
         F.sum("vec_id").cast("long").alias("kept_id_sum"),
     )
-    return (
+    return _finalize(spark, (
         plan_side.join(read_side, "cluster", "left")
         .join(drop_side, "cluster", "left")
         .select(
@@ -437,7 +462,7 @@ def semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("cluster")
-    )
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -510,7 +535,8 @@ def semantic_dedup_cascade_stats(
         "vec_id",
         _vec_fp().alias("fp"),
         _dvec(F.col("embedding")).alias("dv"),
-    ).persist()
+    )
+    g = _persist(g)
     w = Window.partitionBy("fp").orderBy("vec_id")
     reps = (
         g.withColumn("rn", F.row_number().over(w))
@@ -520,7 +546,7 @@ def semantic_dedup_cascade_stats(
     sizes = g.groupBy("fp").agg(
         F.count("*").alias("grp_n"), F.min("vec_id").alias("rep_id")
     )
-    assigned = _kmeans_assign_frames(reps).persist()
+    assigned = _persist(_kmeans_assign_frames(reps))
     dropped = _semantic_dropped(assigned)
     per_rep = (
         assigned.join(sizes, assigned["vec_id"] == sizes["rep_id"])
@@ -538,7 +564,7 @@ def semantic_dedup_cascade_stats(
             .alias("is_dropped"),
         )
     )
-    return (
+    return _finalize(spark, (
         per_rep.groupBy("cluster")
         .agg(
             F.count("*").alias("n_reps"),
@@ -550,7 +576,7 @@ def semantic_dedup_cascade_stats(
             .alias("removed_semantic"),
         )
         .orderBy("cluster")
-    )
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -596,7 +622,7 @@ def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _dvec(F.col("embedding")).alias("dv")
     )
     assigned, cent = _kmeans_state_frames(emb)
-    assigned = assigned.persist()
+    assigned = _persist(assigned)
     q = (
         emb.orderBy("vec_id")
         .limit(1)
@@ -614,7 +640,7 @@ def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_N_PROBES)
         .select("cluster", "qid", "qv")
     )
-    return (
+    return _finalize(spark, (
         assigned.join(F.broadcast(probe), "cluster")
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
@@ -624,4 +650,4 @@ def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_TOP_K)
-    )
+    ))

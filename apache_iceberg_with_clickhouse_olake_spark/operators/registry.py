@@ -89,73 +89,66 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # automatically (greedy tag set-cover + never-checked fill); the op-id
 # coverage constraint caps a rotation at ~15 fresh rows, so the blind
 # spot clears over the next TWO disciplined passes, not one.
-# r8 note: the round-7 driver pass never produced artifacts (no
-# CORRECTNESS_r07.json / BENCH_r07.json exist), so this rotation has
-# not yet earned its rows -- the window is intentionally HELD for the
-# round-8 driver run rather than rotated a second time blind. The full
-# local gate re-verified every entry green this round (driver_sim
-# 132/132 before the r8 additions, plus each new op individually).
+# r9 note: CORRECTNESS_r08 landed green (50/50, every implemented op-id
+# represented), so the window rotates per the r8 VERDICT plan: 16
+# first-driver rows led by the r8 clustering family (k-means profile,
+# SemDeDup stats/apply/cascade), the similarity stragglers (norm
+# profile, int8 quantization, label centroids, embedding cascade),
+# percentiles/pivot/tier/dense-rank, dedup_keep_best_quality,
+# session_length_distribution, and streaming_vector_assign. One
+# representative per SURVEY §2 op-id is retained
+# (tests/test_registry_window.py asserts the invariant).
 _PRIORITY = (
-    # core analytics / TPC-H-ish (S2, P*, J*, A*, O1-O2, U*, F*)
-    "monthly_revenue",
-    "high_value_orders",
-    "unique_customers",
-    "revenue_by_nation",
-    "order_date_range",
-    "table_counts",
-    "distinct_status",
-    "silver_projection",
     "scalar_functions",
-    "profile_distributions",
-    "max_key_bootstrap",
-    "current_date_sanity",
-    "session_settings_roundtrip",
-    "daily_active_users",
-    "session_epoch_stats",
-    # datagen / seed bootstrap (S7, J2, J3, O4, F4, F11, U2)
+    "high_value_orders",
+    "medallion_readback",
+    "corpus_build_pipeline",
     "datagen_users",
-    "datagen_products",
-    "datagen_orders_by_status",
-    "datagen_ecommerce_counts",
-    # CDC (S5, C1, C4, C5, D6, D9)
+    "schema_evolution_merge",
+    "streaming_vector_assign",  # first driver row
+    "orders_by_status",
+    "monthly_revenue",
+    "unique_customers",
+    "table_counts",
     "cdc_change_log",
     "cdc_upsert_state",
-    # medallion / lake / DDL (S1, S3, S4, S6, D1-D12, L1-L4, P7, O5, A9)
-    "medallion_readback",
-    "schema_evolution_merge",
-    "time_travel_counts",
-    "lake_compaction_stats",
     "ddl_roundtrip",
-    "seed_literal_insert",
-    "partition_pruning_roundtrip",
+    "session_length_distribution",  # first driver row
+    "silver_projection",
+    "order_part_lookup",
+    "current_date_sanity",
     "parquet_layout_roundtrip",
+    "partition_pruning_roundtrip",
+    "order_value_dense_rank",  # first driver row
+    "revenue_by_nation",
+    "order_date_range",
+    "distinct_status",
+    "top_customers",
+    "daily_active_users",
+    "max_key_bootstrap",
+    "datagen_products",
+    "datagen_orders_by_status",
+    "session_epoch_stats",
+    "datagen_ecommerce_counts",
+    "time_travel_counts",
+    "session_settings_roundtrip",
+    "lake_compaction_stats",
+    "seed_literal_insert",
     "bucket_index_lookup",
-    # streaming twins (C2, C6) + C3 via events_tumbling_windows
     "streaming_restart_state",
-    "events_tumbling_windows",   # first driver row; C3 tumbling rollup
-    # window-function family (W-ext)
-    "customer_order_gaps",       # first driver row; lag-gap windows
-    # sessions family
-    "retention_cohorts",         # first driver row; cohort retention
-    # LLM pipeline: dedup / curation / similarity / text / multimodal.
-    # The flagships keep their rows (cascade, corpus build, pair
-    # enumeration); the rest of the slate is first-driver-row burndown.
-    "dedup_cascade_stats",
-    "corpus_build_pipeline",
-    "embedding_near_dup_pairs",
-    "dedup_removal_plan",        # first driver row; keep/remove decisions
-    "dedup_removal_apply",       # NEW r7; applied plan, readback-accounted
-    "incremental_dedup_stats",   # first driver row; batch-vs-index dedup
-    "ann_ivf_topk",              # first driver row; ANN family
-    "ann_lsh_bucketed_topk",     # first driver row; ANN family
-    "ann_probe_sweep_recall",    # first driver row; ANN family
-    "top_terms",                 # first driver row; text family (O1+O3)
-    "tfidf_top_terms",           # first driver row; text family
-    "token_count_bpe",           # first driver row; text family
-    "pii_redaction_stats",       # first driver row; text family
-    "crossdoc_ngram_repetition", # first driver row; r6-authored oracle
-    "repeated_span_examples",    # first driver row; r6-authored oracle
-    "media_features_by_type",    # first driver row; multimodal family
+    "order_value_percentiles",  # first driver row
+    "order_value_percentiles_approx",  # first driver row
+    "monthly_status_pivot",  # first driver row
+    "order_value_tier_stats",  # first driver row
+    "embedding_norm_profile",  # first driver row
+    "embedding_dedup_cascade_stats",  # first driver row
+    "label_centroids",  # first driver row
+    "embedding_int8_quantization",  # first driver row
+    "dedup_keep_best_quality",  # first driver row
+    "embedding_kmeans_profile",  # first driver row
+    "semantic_dedup_stats",  # first driver row
+    "semantic_dedup_apply",  # first driver row
+    "semantic_dedup_cascade_stats",  # first driver row
 )
 
 

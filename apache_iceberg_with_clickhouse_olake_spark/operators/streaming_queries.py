@@ -199,10 +199,15 @@ def streaming_vector_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(vec_dir, exist_ok=True)
 
     # train the index on the batch table and publish the artifact
+    from ..operators.clustering import release_caches
+
     _, cent = _kmeans_state_frames(
         emb.select("vec_id", _dvec(F.col("embedding")).alias("dv"))
     )
     cent.write.mode("overwrite").parquet(index_dir)
+    # the artifact is on disk; the Lloyd training caches (persisted
+    # vector frame) are no longer needed by the serving stream
+    release_caches()
 
     # stage the "arriving" vectors as ordered chunk files
     for c in range(_N_VEC_CHUNKS):
@@ -214,7 +219,13 @@ def streaming_vector_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(stage)
         )
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        parts = glob.glob(os.path.join(stage, "part-*.parquet"))
+        if not parts:
+            # an empty residue class (sparse or non-contiguous vec_ids)
+            # writes no part file; skip the chunk instead of IndexError
+            shutil.rmtree(stage, ignore_errors=True)
+            continue
+        part = parts[0]
         dst = os.path.join(vec_dir, f"chunk{c}.parquet")
         shutil.move(part, dst)
         shutil.rmtree(stage, ignore_errors=True)

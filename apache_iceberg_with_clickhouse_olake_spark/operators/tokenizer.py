@@ -42,6 +42,8 @@ from pyspark.sql import functions as F
 
 from ..functions import dround, dround_sql
 from ..sources.parquet import load_table
+from ._cache import finalize as _finalize
+from ._cache import persist_tracked as _persist
 from .registry import query
 
 _N_MERGES = 6
@@ -218,10 +220,16 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     in SQL, so even this iterative training loop is hash-exact. The
     per-iteration type table is persisted (vocabulary-sized) so the
     chained lineage doesn't recompute the whole history each round."""
+    return _finalize(spark, _learn_merges_frame(spark, sf_dir))
+
+
+def _learn_merges_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy merge-table frame (plan tests pin its physical shape BEFORE
+    the materialization idiom collapses it to local rows)."""
     symbols = _word_symbols(spark, sf_dir)
     out = []
     for rank in range(1, _N_MERGES + 1):
-        symbols = symbols.persist()
+        symbols = _persist(symbols)
         top = (
             _pair_counts(symbols)
             .orderBy(F.col("cnt").desc(), "a", "b")
@@ -255,7 +263,7 @@ def _merged_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     learn loop applies only the first N-1 before selecting the Nth)."""
     symbols = _word_symbols(spark, sf_dir)
     for _ in range(_N_MERGES):
-        symbols = symbols.persist()
+        symbols = _persist(symbols)
         top = (
             _pair_counts(symbols)
             .orderBy(F.col("cnt").desc(), "a", "b")
@@ -330,7 +338,8 @@ def bpe_tokenize_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"regexp_extract_all(lower(text), '{_WORD_RE}', 0)")
         ).alias("word"),
     )
-    return (
+    return _finalize(
+        spark,
         docw.join(F.broadcast(wtok), "word")
         .groupBy("lang")
         .agg(
@@ -341,5 +350,5 @@ def bpe_tokenize_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_sym").cast("double") / F.count("*"), 4
             ).alias("tokens_per_word"),
         )
-        .orderBy("lang")
+        .orderBy("lang"),
     )

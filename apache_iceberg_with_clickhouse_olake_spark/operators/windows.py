@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import dsnap_sql, dsum, dsum_sql
+from ..functions import ddbl_sql, dsnap_sql, dsum, dsum_sql
 from ..sources.parquet import load_table
 from .registry import query
 
@@ -88,9 +88,11 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1, 2
     )
     SELECT status, order_month, month_revenue,
-           CAST(SUM({dsnap_sql('month_revenue')}) OVER (
-             PARTITION BY status ORDER BY order_month
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           {ddbl_sql(
+               f"SUM({dsnap_sql('month_revenue')}) OVER ("
+               " PARTITION BY status ORDER BY order_month"
+               " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+           )}
              AS running_revenue
     FROM m
     """,

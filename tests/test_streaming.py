@@ -743,3 +743,65 @@ def test_dedup_index_backfill_batch_writes_multiple_files(
     _dedup_index_body(index_dir, backfill, 1)
     after = _rows(spark.read.parquet(index_dir), ["fp", "doc_id"])
     assert before == after
+
+
+def test_corpus_ingest_backfill_batch_writes_multiple_files(
+    spark, sf_dir, tmp_path
+):
+    """r9 departition of the CORPUS ingest write (the r8 VERDICT's one
+    remaining scale wart): same contract as the dedup-index twin above
+    — a trickle batch still lands one file, a backfill-sized batch fans
+    its corpus write across tasks via the fp partitioning + AQE byte
+    sizing instead of serializing through coalesce(1), and a replay of
+    the multi-file batch overwrites to identical content."""
+    from apache_iceberg_with_clickhouse_olake_spark.streaming import (
+        _corpus_ingest_body,
+    )
+
+    corpus_dir = str(tmp_path / "corpus")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+    )
+    trickle = docs.filter(F.col("doc_id") < 40).repartition(1)
+    _corpus_ingest_body(corpus_dir, 8, trickle, 0)
+    part0 = os.path.join(corpus_dir, "batch=0")
+    files0 = [f for f in os.listdir(part0) if f.endswith(".parquet")]
+    assert len(files0) == 1, "trickle batch should still land one file"
+
+    advisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    min_size = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    )
+    backfill = docs.filter(F.col("doc_id") >= 20).repartition(8)
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "4096"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1024"
+        )
+        _corpus_ingest_body(corpus_dir, 8, backfill, 1)
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", min_size
+        )
+    part1 = os.path.join(corpus_dir, "batch=1")
+    files1 = [f for f in os.listdir(part1) if f.endswith(".parquet")]
+    assert len(files1) > 1, (
+        f"backfill batch wrote {len(files1)} file(s); the fp-keyed "
+        "write should fan out once the batch outgrows the advisory size"
+    )
+
+    # Corpus correctness with the multi-file partition in place: each
+    # fingerprint exactly once across batches (anti-join + in-batch
+    # keep-first), and a replay converges to identical content.
+    got = spark.read.parquet(corpus_dir)
+    assert got.groupBy("fp").count().filter("count > 1").count() == 0
+    before = _rows(got, ["fp", "doc_id"])
+    _corpus_ingest_body(corpus_dir, 8, backfill, 1)
+    after = _rows(spark.read.parquet(corpus_dir), ["fp", "doc_id"])
+    assert before == after
