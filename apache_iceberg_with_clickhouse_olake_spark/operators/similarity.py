@@ -345,7 +345,14 @@ def _embed_candidate_pairs(e: DataFrame, n_bands: int = _ND_BANDS) -> DataFrame:
     vector data). Vectors join back by vec_id AFTER pair formation, so
     the heavy payload moves once per surviving pair side, not once per
     band row."""
-    vecs = e.select("vec_id", F.col("v").alias("vv"))
+    # Norms ride the vector frame: computed once per vector row (the
+    # projection sits BELOW the pair join in the plan), so each pair
+    # pays one dot fold plus a scalar multiply instead of three 64-dim
+    # folds. The guard is the same denom==0 -> NULL as _cos -- the r9
+    # idle A/B measured the guard itself as free, this is the FLOP cut.
+    vecs = e.select(
+        "vec_id", F.col("v").alias("vv"), _norm(F.col("v")).alias("vn")
+    )
     par = e.sparkSession.sparkContext.defaultParallelism
     # Explicit repartition on the join keys (same discipline as
     # _minhash_verified_pairs): the pair stage amplifies COMPUTE
@@ -384,7 +391,10 @@ def _embed_candidate_pairs(e: DataFrame, n_bands: int = _ND_BANDS) -> DataFrame:
         F.col("x.label").alias("label"),
     )
     va, vb = vecs.alias("va"), vecs.alias("vb")
-    cos = _cos(F.col("va.vv"), F.col("vb.vv"))
+    denom = F.col("va.vn") * F.col("vb.vn")
+    cos = _dot(F.col("va.vv"), F.col("vb.vv")) / F.when(
+        denom == 0, F.lit(None)
+    ).otherwise(denom)
     return (
         pairs.join(va, pairs.vec_a == F.col("va.vec_id"))
         .join(vb, pairs.vec_b == F.col("vb.vec_id"))
