@@ -691,3 +691,122 @@ def bucket_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# ---------------------------------------------------------------------------
+# Z-order data layout (multi-dimensional clustering): the public
+# Delta/Iceberg OPTIMIZE ZORDER idea re-expressed as plain Spark --
+# interleave the bits of two scan-predicate columns into one sort key,
+# range-partition + sort the write on it, and every file ends up with a
+# narrow min/max envelope on BOTH dimensions (the reference pins
+# single-dimension layout via ClickHouse ORDER BY keys,
+# mysql-init/01-setup.sql:17-23; z-order is the two-column analog).
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_FILES = 8
+_Z_BUCKET_SHIFT = 16  # report granularity: 11/66/649 realized
+                      # buckets at sf0.001/0.01/0.1 (top half of
+                      # the 32-bit z space; the realized key
+                      # ranges concentrate in the low bits)
+
+
+def _z_terms(shiftleft, shiftright):
+    """The interleave as a sum of disjoint-bit terms (sum == OR when no
+    two terms share a bit), generated once for each engine's syntax."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(shiftleft(shiftright("zx", i), 2 * i))
+        terms.append(shiftleft(shiftright("zy", i), 2 * i + 1))
+    return " + ".join(terms)
+
+
+_Z_SPARK = _z_terms(
+    lambda e, n: f"shiftleft({e}, {n})",
+    lambda c, n: f"(shiftright({c}, {n}) & 1)",
+)
+_Z_DUCK = _z_terms(
+    lambda e, n: f"({e} << {n})",
+    lambda c, n: f"(({c} >> {n}) & 1)",
+)
+
+
+@query(
+    "zorder_layout_roundtrip",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT (o_custkey & 65535) AS zx,
+             (datediff('day', DATE '1970-01-01', o_orderdate) & 65535)
+               AS zy,
+             o_totalprice
+      FROM orders
+    ),
+    z AS (SELECT ({_Z_DUCK}) AS z, o_totalprice FROM keyed)
+    SELECT (z >> {_Z_BUCKET_SHIFT}) AS zbucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(z) AS BIGINT) AS z_sum,
+           MIN(z) AS z_min,
+           MAX(z) AS z_max,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM z
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("O5", "D12"),
+)
+def zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders Z-ORDERED on (custkey, orderdate), read the files
+    back, and report the per-z-bucket profile FROM THE READBACK -- a
+    lossy or duplicating layout rewrite breaks the count/z-sum/revenue
+    checksums against the oracle's direct computation.
+
+    Scale shape: the z key is pure per-row bit arithmetic (no shuffle to
+    compute); the write is ONE range-partition shuffle on z plus a
+    per-partition sort -- exactly what a sorted lake sink costs anyway
+    -- and buys min/max file envelopes that are narrow in BOTH custkey
+    and orderdate, so scans filtering on either dimension prune files
+    (row-group stats do the pruning; tests/test_dsir_layout.py asserts
+    the per-file z spans are disjoint and narrow). At 100 TB the same
+    two lines run per partition of a partitioned table; nothing here is
+    corpus-global except the range-boundary sample Spark already does
+    for repartitionByRange."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        (F.col("o_custkey").cast("long") % 65536).alias("zx_raw"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("zy_days"),
+        "o_totalprice",
+    ).select(
+        F.col("zx_raw").alias("zx"),
+        (F.col("zy_days") % 65536).alias("zy"),
+        "o_totalprice",
+    )
+    z = keyed.select(
+        F.expr(_Z_SPARK).cast("long").alias("z"), "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="zorder_")
+    try:
+        (
+            z.repartitionByRange(_Z_FILES, "z")
+            .sortWithinPartitions("z")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        back = spark.read.parquet(tmp)
+        out = (
+            back.groupBy(
+                F.shiftright(F.col("z"), _Z_BUCKET_SHIFT).alias("zbucket")
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("z").cast("long").alias("z_sum"),
+                F.min("z").alias("z_min"),
+                F.max("z").alias("z_max"),
+                dsum(F.col("o_totalprice"), "revenue"),
+            )
+            .orderBy("zbucket")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from ..functions import (
     dround,
     dround_sql,
+    dsum,
+    dsum_sql,
     md5_int60,
     md5_int60_sql,
     tokens,
@@ -504,3 +506,227 @@ def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling" -- public method):
+# hashed n-gram bag features, per-bucket log-likelihood ratio between a
+# TARGET distribution and the RAW corpus, per-document importance
+# weight = sum of feature log-ratios, then Gumbel-top-k selection
+# (log-weight + Gumbel noise), all deterministic via md5 draws.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64                 # hashed feature buckets
+_DSIR_TARGET_LANG = "en"     # the distribution to match (upsample target)
+_DSIR_TOP = 50               # rows returned by the weights query
+_DSIR_K = 100                # Gumbel-top-k sample size
+_DSIR_2POW60 = float(1 << 60)
+
+
+def _dsir_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, b): one row per unigram+bigram occurrence,
+    hashed into _DSIR_B buckets. The single corpus-tokenize pass every
+    downstream DSIR aggregate derives from."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
+    ).withColumn(
+        "bis",
+        # Spark sequence(1, 0) is the DESCENDING [1, 0], not empty
+        # (DuckDB range(1,1) = []) -- guard single-token docs explicitly
+        F.when(
+            F.size("toks") >= 2,
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(toks[i-1], ' ', toks[i]))"
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.concat("toks", "bis")).alias("f"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        (md5_int60(F.concat(F.lit("f:"), F.col("f"))) % _DSIR_B).alias("b"),
+    )
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, n_feats, weight): per-document DSIR
+    importance weight. Scale shape: ONE corpus tokenize+hash pass
+    (persisted -- both the bucket table and the per-doc rollup read it),
+    a _DSIR_B-row aggregate, Laplace-smoothed log-ratio per bucket as a
+    broadcast, then one per-doc rollup. The log-ratio arithmetic is
+    float-identical cross-engine (IEEE mul/div + ln; see
+    unigram_logprob_quality's determinism note) and each per-occurrence
+    term is decimal-snapped by dsum, so the summed weight is
+    partition-order-independent."""
+    from ._cache import persist_tracked
+
+    bucketed = persist_tracked(_dsir_bucketed(spark, sf_dir))
+    btab = bucketed.groupBy("b").agg(
+        F.count("*").alias("r_cnt"),
+        F.count(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
+        ).alias("t_cnt"),
+    )
+    tot = btab.agg(
+        F.sum("r_cnt").alias("rtot"), F.sum("t_cnt").alias("ttot")
+    )
+    lam = btab.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            (
+                (F.col("t_cnt") + 1).cast("double")
+                * (F.col("rtot") + _DSIR_B).cast("double")
+            )
+            / (
+                (F.col("r_cnt") + 1).cast("double")
+                * (F.col("ttot") + _DSIR_B).cast("double")
+            )
+        ).alias("lam"),
+    )
+    return (
+        bucketed.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count("*").alias("n_feats"),
+            dsum(F.col("lam"), "weight"),
+        )
+    )
+
+
+_DSIR_W_SQL = f"""
+    d AS (SELECT doc_id, lang, source, {tokens_sql('text')} AS toks
+          FROM documents),
+    d2 AS (SELECT doc_id, lang, source,
+             list_concat(toks,
+               CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])
+                 ELSE [] END) AS fs
+           FROM d),
+    fb AS (SELECT doc_id, lang, source,
+             {md5_int60_sql("concat('f:', f)")} % {_DSIR_B} AS b
+           FROM (SELECT doc_id, lang, source, unnest(fs) AS f FROM d2)),
+    bt AS (SELECT b, COUNT(*) AS r_cnt,
+             COUNT(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 END)
+               AS t_cnt
+           FROM fb GROUP BY b),
+    tot AS (SELECT SUM(r_cnt) AS rtot, SUM(t_cnt) AS ttot FROM bt),
+    lam AS (SELECT b,
+              ln((CAST(t_cnt + 1 AS DOUBLE)
+                    * CAST(rtot + {_DSIR_B} AS DOUBLE))
+                 / (CAST(r_cnt + 1 AS DOUBLE)
+                    * CAST(ttot + {_DSIR_B} AS DOUBLE))) AS lam
+            FROM bt CROSS JOIN tot),
+    w AS (SELECT doc_id, lang, source, COUNT(*) AS n_feats,
+            {dsum_sql('lam')} AS weight
+          FROM fb JOIN lam USING (b)
+          GROUP BY doc_id, lang, source)"""
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_DSIR_W_SQL}
+    SELECT doc_id, lang, source, n_feats, weight
+    FROM w
+    ORDER BY weight DESC NULLS LAST, doc_id
+    LIMIT {_DSIR_TOP}
+    """,
+    tags=("llm-sampling", "llm-text"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top documents by DSIR importance weight (how target-like a raw
+    document's hashed n-gram bag is). Fully tie-broken top-k
+    (TakeOrderedAndProject -- never a global sort); the weight itself is
+    hash-exact cross-engine, so even the float ordering agrees."""
+    from ._cache import finalize
+
+    out = (
+        _dsir_weights(spark, sf_dir)
+        .orderBy(F.col("weight").desc_nulls_last(), "doc_id")
+        .limit(_DSIR_TOP)
+    )
+    return finalize(spark, out)
+
+
+_DSIR_GUMBEL_SQL = (
+    "-ln(-ln((CAST("
+    + md5_int60_sql("concat('dsir:', CAST(doc_id AS VARCHAR))")
+    + f" AS DOUBLE) + 0.5) / {_DSIR_2POW60!r}))"
+)
+
+
+@query(
+    "dsir_resample_counts",
+    oracle=f"""
+    WITH {_DSIR_W_SQL},
+    keyed AS (SELECT doc_id, lang,
+                weight + {_DSIR_GUMBEL_SQL} AS gkey
+              FROM w),
+    sel AS (SELECT doc_id, lang FROM keyed
+            ORDER BY gkey DESC NULLS LAST, doc_id LIMIT {_DSIR_K}),
+    ltot AS (SELECT lang, COUNT(*) AS total_docs FROM documents
+            GROUP BY lang)
+    SELECT t.lang,
+           t.total_docs,
+           COUNT(s.doc_id) AS selected_docs,
+           {dround_sql('COUNT(s.doc_id) / CAST(t.total_docs AS DOUBLE)', 4)}
+             AS selected_frac
+    FROM ltot t LEFT JOIN sel s ON s.lang = t.lang
+    GROUP BY t.lang, t.total_docs
+    ORDER BY t.lang
+    """,
+    tags=("llm-sampling",),
+)
+def dsir_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k importance RESAMPLING over the DSIR weights: the
+    selection key is log-weight + Gumbel noise (the standard
+    reproducible weighted-sample-without-replacement construction), with
+    the Gumbel drawn from a stable md5 uniform so the selected set is
+    identical across engines, runs, and cluster topologies. Output is
+    the per-language selection profile -- the point of DSIR is exactly
+    that this profile shifts toward the target distribution, which the
+    companion pytest asserts. Top-k is TakeOrderedAndProject; the
+    rollup joins a per-language total computed straight from the
+    documents table (honest denominators: docs with zero features can
+    never be selected but still count)."""
+    from ._cache import finalize
+
+    w = _dsir_weights(spark, sf_dir)
+    u = (
+        md5_int60(
+            F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_DSIR_2POW60)
+    sel = (
+        w.select(
+            "doc_id",
+            "lang",
+            (F.col("weight") + (-F.log(-F.log(u)))).alias("gkey"),
+        )
+        .orderBy(F.col("gkey").desc_nulls_last(), "doc_id")
+        .limit(_DSIR_K)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.groupBy("lang").agg(F.count("*").alias("total_docs"))
+    out = (
+        tot.join(sel, "lang", "left")
+        .groupBy("lang", "total_docs")
+        .agg(
+            F.count("doc_id").alias("selected_docs"),
+            dround(
+                F.count("doc_id") / F.col("total_docs").cast("double"), 4
+            ).alias("selected_frac"),
+        )
+        .orderBy("lang")
+    )
+    return finalize(spark, out)

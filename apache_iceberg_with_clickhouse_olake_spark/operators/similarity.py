@@ -1732,3 +1732,89 @@ def crossmodal_neardup_agreement(
         )
         .orderBy("cos_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep): for each query
+# vector, the single most-similar vector with a DIFFERENT label -- the
+# exact brute-force baseline of the "mine hard negatives for every
+# anchor" stage of contrastive/embedding training.
+# ---------------------------------------------------------------------------
+
+_HN_QUERIES = 8
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+          FROM v ORDER BY vec_id LIMIT {_HN_QUERIES}),
+    scored AS (
+      SELECT q.qid, q.qlabel, v.vec_id, v.label,
+             {dround_sql(_COS_SQL.format(a='v.v', b='q.qv'), 6)} AS cos_sim
+      FROM v CROSS JOIN q
+      WHERE v.label <> q.qlabel
+    )
+    SELECT qid, qlabel, vec_id AS neg_id, label AS neg_label, cos_sim
+    FROM scored
+    WHERE cos_sim IS NOT NULL
+    QUALIFY row_number() OVER (
+      PARTITION BY qid ORDER BY cos_sim DESC, vec_id) = 1
+    ORDER BY qid
+    """,
+    tags=("llm-similarity",),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-1 cross-label neighbor per anchor (hard negative).
+
+    Scale shape: the anchor set is a broadcast (queries are a tiny,
+    explicitly bounded batch); the corpus streams past it in ONE pass
+    and the per-anchor argmax is a partial-aggregable struct-max
+    (map-side combine reduces every partition to |anchors| rows before
+    the single tiny shuffle) -- deliberately NOT a window over the
+    scored pairs, whose |anchors| hot partitions would straggle at
+    100 TB. Tie-break: highest snapped cosine, then lowest vec_id
+    (negated id inside the max struct); zero-norm vectors drop out via
+    the NULL-cosine guard on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dvec(F.col("embedding")).alias("v")
+    )
+    q = (
+        emb.orderBy("vec_id")
+        .limit(_HN_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            dround(_cos(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    best = scored.groupBy("qid", "qlabel").agg(
+        F.max(
+            F.struct(
+                F.col("cos_sim"),
+                (-F.col("vec_id")).alias("nid"),
+                F.col("label").alias("nlabel"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "qid",
+        "qlabel",
+        (-F.col("b.nid")).alias("neg_id"),
+        F.col("b.nlabel").alias("neg_label"),
+        F.col("b.cos_sim").alias("cos_sim"),
+    ).orderBy("qid")
