@@ -21,7 +21,7 @@ Scale notes, applied throughout:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import (
@@ -1578,3 +1578,99 @@ def validate_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         chk(F.col("l_quantity") <= 0).alias("nonpositive_amounts"),
     ).select(F.lit("lineitem").alias("table_name"), "*")
     return o.unionByName(li).orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew profiling: the planning tool behind every salting /
+# AQE-skew decision in this repo. For each key family that backs a
+# shuffle somewhere (fact join key, corpus language, embedding label),
+# report cardinality and top-key concentration -- at 100 TB this report
+# is what decides which joins get salted (salted_skew_join) and which
+# rely on AQE skew splitting. Top-N SHARES are deterministic under
+# count ties: the top-N multiset of counts is unique even when which
+# tied key enters the cut is not, and only the counts are summed.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+    WITH fams AS (
+      SELECT 'orders.o_custkey' AS key_family,
+             CAST(o_custkey AS VARCHAR) AS k FROM orders
+      UNION ALL
+      SELECT 'documents.lang', lang FROM documents
+      UNION ALL
+      SELECT 'embeddings.label', CAST(label AS VARCHAR) FROM embeddings
+    ),
+    cnts AS (
+      SELECT key_family, k, COUNT(*) AS cnt
+      FROM fams GROUP BY key_family, k
+    ),
+    ranked AS (
+      SELECT key_family, cnt,
+             row_number() OVER (
+               PARTITION BY key_family ORDER BY cnt DESC, k) AS rn
+      FROM cnts
+    )
+    SELECT key_family,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_keys,
+           CAST(MAX(CASE WHEN rn = 1 THEN cnt END) AS BIGINT)
+             AS top1_rows,
+           CAST(SUM(CASE WHEN rn <= 10 THEN cnt ELSE 0 END) AS BIGINT)
+             AS top10_rows
+    FROM ranked
+    GROUP BY key_family
+    ORDER BY key_family
+    """,
+    tags=("A2", "llm-text"),
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-cardinality + concentration profile over the three shuffle
+    key families. Shape: per-family key counting is one partial-agg
+    shuffle each (key space, not row space, crosses the wire); the
+    top-N cut is a per-family window over the COUNTED keys (n_keys
+    rows, not corpus rows) -- at 100 TB that window input is the
+    distinct-key table, which is the object a skew planner has to
+    materialize anyway."""
+    orders = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    fams = (
+        orders.select(
+            F.lit("orders.o_custkey").alias("key_family"),
+            F.col("o_custkey").cast("string").alias("k"),
+        )
+        .unionByName(
+            docs.select(
+                F.lit("documents.lang").alias("key_family"),
+                F.col("lang").alias("k"),
+            )
+        )
+        .unionByName(
+            emb.select(
+                F.lit("embeddings.label").alias("key_family"),
+                F.col("label").cast("string").alias("k"),
+            )
+        )
+    )
+    cnts = fams.groupBy("key_family", "k").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("key_family").orderBy(
+        F.col("cnt").desc(), F.col("k")
+    )
+    ranked = cnts.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("key_family")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max(F.when(F.col("rn") == 1, F.col("cnt")))
+            .cast("long")
+            .alias("top1_rows"),
+            F.sum(F.when(F.col("rn") <= 10, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("top10_rows"),
+        )
+        .orderBy("key_family")
+    )

@@ -184,6 +184,7 @@ _MODULES = (
     "datagen_queries",
     "dedup",
     "evolution",
+    "linalg",
     "medallion",
     "multimodal",
     "sampling",

@@ -38,6 +38,9 @@ QUERIES = (
     "daily_active_users",
     "salted_skew_join",
     "events_sliding_windows",
+    # r9: z-order layout write -- reads orders (a replicated fact); the
+    # range shuffle + per-partition sort must track the fact volume
+    "zorder_layout_roundtrip",
 )
 KEY_COLS = {
     "orders": "o_orderkey",
@@ -79,6 +82,15 @@ CORPUS_QUERIES = (
     "semantic_dedup_cascade_stats",
     "bpe_learn_merges",
     "stratified_quota_sample",
+    # r9 additions: DSIR weights (one tokenize+hash pass + broadcast
+    # ratio table -- should scale with the corpus pass), Gumbel-top-k
+    # resampling on top of it, hard-negative mining (broadcast anchors,
+    # partial-aggregable struct-max -- the replication multiplies the
+    # streamed side only), and the z-order layout write (range shuffle +
+    # per-partition sort).
+    "dsir_importance_weights",
+    "dsir_resample_counts",
+    "hard_negative_mining",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)

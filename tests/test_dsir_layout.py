@@ -212,3 +212,54 @@ def test_zorder_key_interleaves_both_dimensions(spark, sf_dir):
         x = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(16))
         y = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (x, y) == (r["zx"], r["zy"]), r
+
+
+# ---------------------------------------------------------------------------
+# Power iteration
+# ---------------------------------------------------------------------------
+
+
+def test_power_iteration_rayleigh_is_monotone_and_unit_norm(spark, sf_dir):
+    """True invariants of power iteration on a PSD gram matrix,
+    independent of the fixture's (near-isotropic) eigen-gap: the
+    Rayleigh quotient v'(X'X)v must be non-decreasing across
+    iterations, every iterate must be (snap-tolerance) unit-norm, and
+    the op must be run-to-run deterministic."""
+    import numpy as np
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators.linalg import (
+        _pi_frame,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.operators._cache import (
+        release_caches,
+    )
+
+    X = np.array(
+        [
+            r["dv"]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .selectExpr(
+                "transform(embedding, x -> cast(x as double)) AS dv"
+            )
+            .collect()
+        ]
+    )
+    G = X.T @ X
+    rayleighs = []
+    for iters in (1, 2, 3):
+        v = np.array(
+            [
+                r["component"]
+                for r in _pi_frame(spark, sf_dir, iters=iters)
+                .orderBy("dim")
+                .collect()
+            ]
+        )
+        release_caches()
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-2  # 4-dp snapped iterate
+        rayleighs.append(float(v @ G @ v))
+    assert rayleighs == sorted(rayleighs), rayleighs
+
+    a = _Q["embedding_power_iteration"](spark, sf_dir).collect()
+    b = _Q["embedding_power_iteration"](spark, sf_dir).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
