@@ -1674,3 +1674,165 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_family")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed ARGMIN join (the TPC-H Q2 "min-cost supplier" shape,
+# re-keyed to this dataset's lineitem facts): for every part, the
+# supplier offering the lowest observed unit cost. The motif the
+# reference expresses with ClickHouse argMin() (compare-query-
+# performance.sql's grouped aggregates are its simpler cousins).
+# ---------------------------------------------------------------------------
+
+_ARGMIN_TOP_PARTS = 100
+
+
+@query(
+    "min_cost_supplier_per_part",
+    oracle=f"""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             {dround_sql('l_extendedprice / l_quantity', 4)} AS unit_cost
+      FROM lineitem
+    ),
+    best AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             row_number() OVER (
+               PARTITION BY l_partkey
+               ORDER BY unit_cost, l_suppkey) AS rn
+      FROM unit
+    )
+    SELECT b.l_partkey AS partkey,
+           p.p_name AS part_name,
+           b.l_suppkey AS suppkey,
+           s.s_name AS supplier_name,
+           b.unit_cost
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE b.rn = 1
+    ORDER BY partkey
+    LIMIT {_ARGMIN_TOP_PARTS}
+    """,
+    tags=("J1", "A5", "O3"),
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part minimum-unit-cost supplier as a partial-aggregable
+    struct-min: ONE shuffle keyed by partkey with map-side combine (each
+    partition reduces to its distinct partkeys before the exchange) --
+    deliberately NOT a row_number window over the fact table, whose
+    rank-then-filter shape shuffles every fact row. Supplier/part names
+    attach afterwards: supplier is a broadcast dim; the part join runs
+    over the already-reduced one-row-per-part frame, not the facts.
+    Tie-break inside the min struct: lowest snapped cost, then lowest
+    suppkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    best = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            dround(
+                F.col("l_extendedprice") / F.col("l_quantity"), 4
+            ).alias("unit_cost"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.min(F.struct("unit_cost", "l_suppkey")).alias("b")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("b.l_suppkey").alias("suppkey"),
+            F.col("b.unit_cost").alias("unit_cost"),
+        )
+    )
+    return (
+        best.join(part, best.partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.suppkey == supp.s_suppkey)
+        .select(
+            "partkey",
+            F.col("p_name").alias("part_name"),
+            "suppkey",
+            F.col("s_name").alias("supplier_name"),
+            "unit_cost",
+        )
+        .orderBy("partkey")
+        .limit(_ARGMIN_TOP_PARTS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-share conditional aggregation over a fact-fact join (the TPC-H
+# Q8 shape): one nation's share of total revenue per order-year.
+# ---------------------------------------------------------------------------
+
+_SHARE_NATION = "NATION_0"
+
+
+@query(
+    "nation_market_share",
+    oracle=f"""
+    WITH j AS (
+      SELECT year(o.o_orderdate) AS yr,
+             l.l_extendedprice * (1 - l.l_discount) AS rev,
+             n.n_name
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ),
+    agg AS (
+      SELECT CAST(yr AS BIGINT) AS order_year,
+             {dsum_sql('rev')} AS total_revenue,
+             {dsum_sql(
+                 "CASE WHEN n_name = '" + _SHARE_NATION + "'"
+                 " THEN rev ELSE 0 END"
+             )} AS nation_revenue
+      FROM j GROUP BY 1
+    )
+    SELECT order_year, total_revenue, nation_revenue,
+           {dround_sql('nation_revenue / total_revenue', 4)} AS mkt_share
+    FROM agg
+    ORDER BY order_year
+    """,
+    tags=("J1", "A4", "A8"),
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's revenue share per order-year (TPC-H Q8 shape): the
+    fact-fact lineitem-orders join shuffles on the orderkey (AQE sizes
+    it); supplier and nation are broadcast dims, so the nation tag is a
+    map-side attach; the share is a conditional aggregate over ONE
+    joined pass -- never two scans subtracted. The share division runs
+    on the two decimal-exact sums presented as doubles, then snaps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_rev = F.when(F.col("n_name") == _SHARE_NATION, rev).otherwise(
+        F.lit(0.0)
+    )
+    from ..functions import dsum
+
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year")
+        )
+        .agg(
+            dsum(rev, "total_revenue"),
+            dsum(nat_rev, "nation_revenue"),
+        )
+        .withColumn(
+            "mkt_share",
+            dround(
+                F.col("nation_revenue") / F.col("total_revenue"), 4
+            ),
+        )
+        .orderBy("order_year")
+    )

@@ -612,3 +612,119 @@ def test_stratified_quota_rate_table_is_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     keys = re.findall(r"BroadcastHashJoin \[(\w+)#", plan)
     assert keys and all(k == "source" for k in keys), (keys, plan)
+
+
+def test_dsir_ratio_table_is_broadcast_and_topk_is_take_ordered(spark, sf_dir):
+    """DSIR's 64-row log-ratio table must attach as a broadcast hash
+    join on the bucket key (the corpus side streams past it), and the
+    top-50 must be TakeOrderedAndProject, never a global sort."""
+    import re
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators.sampling import (
+        _dsir_weights,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.operators._cache import (
+        release_caches,
+    )
+    from pyspark.sql import functions as F
+
+    w = _dsir_weights(spark, sf_dir)
+    top = w.orderBy(F.col("weight").desc_nulls_last(), "doc_id").limit(50)
+    plan = physical_plan(top)
+    release_caches()
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    keys = re.findall(r"BroadcastHashJoin \[(\w+)#", plan)
+    assert keys and all(k == "b" for k in keys), (keys, plan)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hard_negative_argmax_is_partial_aggregable(spark, sf_dir):
+    """The anchors ride a broadcast (BNLJ) and the per-anchor argmax is
+    a hash aggregate (map-side partial combine) -- NOT a window over
+    the scored pairs, whose |anchors| hot partitions would straggle."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators import registry
+
+    plan = physical_plan(
+        registry.REGISTRY["hard_negative_mining"].fn(spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    # the argmax must run as an aggregate with a map-side partial pass
+    # (struct-max plans as Sort/ObjectHashAggregate; what matters is the
+    # partial_max combine before the tiny |anchors|-row shuffle)
+    assert "partial_max" in plan, plan
+
+
+def test_zorder_write_is_single_range_exchange(spark, sf_dir):
+    """The z-ordered layout costs exactly one range-partition shuffle +
+    per-partition sort -- no hash exchange, no global sort."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.evolution import (
+        _Z_FILES,
+        _Z_SPARK,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    z = (
+        orders.select(
+            (F.col("o_custkey").cast("long") % 65536).alias("zx"),
+            (F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).cast("long") % 65536).alias("zy"),
+        )
+        .select(F.expr(_Z_SPARK).cast("long").alias("z"))
+        .repartitionByRange(_Z_FILES, "z")
+        .sortWithinPartitions("z")
+    )
+    plan = physical_plan(z)
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_power_iteration_is_broadcast_only_on_the_vector_side(spark, sf_dir):
+    """Each power iteration joins the corpus only against 1-row
+    broadcasts (current vector, norm): no cartesian, no sort-merge
+    join anywhere in the unrolled 3-iteration plan."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.linalg import (
+        _pi_frame,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.operators._cache import (
+        release_caches,
+    )
+
+    plan = physical_plan(_pi_frame(spark, sf_dir))
+    release_caches()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_argmin_join_is_partial_aggregable_not_windowed(spark, sf_dir):
+    """The per-part min-cost supplier must reduce via a map-side
+    partial struct-min (each partition collapses to its distinct
+    partkeys before the exchange), never a rank-filter window over the
+    raw fact rows."""
+    plan = physical_plan(_Q["min_cost_supplier_per_part"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_market_share_keeps_fact_join_shuffled_dims_broadcast(spark, sf_dir):
+    """Q8 shape: supplier/nation attach as broadcasts; the lineitem-
+    orders fact-fact join must NOT sit under an explicit broadcast hint
+    (AQE may still choose one at toy scale -- the assert is on hints,
+    which would override AQE at 100 TB)."""
+    plan = analyzed_plan(_Q["nation_market_share"](spark, sf_dir))
+    blocks = plan.split("ResolvedHint")[1:]
+    for block in blocks:
+        scan_part = block[:2000].lower()
+        for bad in ("orders.parquet", "lineitem.parquet"):
+            assert bad not in scan_part, f"broadcast hint over {bad}"
+    pplan = physical_plan(_Q["nation_market_share"](spark, sf_dir))
+    assert "CartesianProduct" not in pplan, pplan
