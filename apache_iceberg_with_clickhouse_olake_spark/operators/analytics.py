@@ -1836,3 +1836,115 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-level aggregation (ROLLUP) -- the OLAP cube surface ClickHouse
+# exposes as WITH ROLLUP (reference family A8 presented at every
+# grouping level at once, subtotals + grand total in ONE pass).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_rollup_levels",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           o_orderstatus AS status,
+           CAST(GROUPING(year(o_orderdate)) AS INT) AS g_year,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           COUNT(*) AS orders,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+    ORDER BY g_year, g_status, order_year NULLS FIRST, status NULLS FIRST
+    """,
+    tags=("A8", "A4", "U1"),
+)
+def revenue_rollup_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(year, status) revenue at every ROLLUP level -- detail rows,
+    per-year subtotals, grand total -- in ONE aggregation pass: Spark
+    plans rollup() as a single Expand + hash aggregate (each input row
+    fans to its grouping sets map-side, partials combine per set), which
+    beats the UNION-of-three-aggregations a naive port would write by
+    re-reading the fact table once per level. GROUPING flags
+    disambiguate a real NULL key from a subtotal row, identically in
+    both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    from ..functions import dsum
+
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.col("o_orderstatus").alias("status"),
+            "o_totalprice",
+        )
+        .rollup("order_year", "status")
+        .agg(
+            F.grouping("order_year").cast("int").alias("g_year"),
+            F.grouping("status").cast("int").alias("g_status"),
+            F.count("*").alias("orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .select(
+            "order_year", "status", "g_year", "g_status", "orders", "revenue"
+        )
+        .orderBy(
+            "g_year",
+            "g_status",
+            F.col("order_year").asc_nulls_first(),
+            F.col("status").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-aggregate filter (the "orders above their customer's
+# average" motif): the decorrelated join-back shape Catalyst rewrites
+# correlated subqueries into, written explicitly so the plan is pinned.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_above_customer_avg",
+    oracle=f"""
+    WITH cavg AS (
+      SELECT o_custkey, {davg_sql('o_totalprice')} AS avg_price
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_above,
+           {dsum_sql('o.o_totalprice')} AS above_revenue
+    FROM orders o
+    JOIN cavg a ON a.o_custkey = o.o_custkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 1.5 * a.avg_price
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+    tags=("A2", "J1", "P3"),
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced >1.5x their OWN customer's average, rolled up by
+    market segment -- the correlated-subquery motif decorrelated into a
+    per-customer aggregate joined back on the same key. Both the
+    aggregate and the join shuffle on o_custkey, so Catalyst reuses one
+    exchange for the two (no second fact shuffle); the snapped decimal
+    average makes the >1.5x boundary engine-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    from ..functions import davg, dsum
+
+    cavg = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        davg(F.col("o_totalprice"), "avg_price")
+    )
+    return (
+        orders.join(cavg, orders.o_custkey == cavg.ck)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_above"),
+            dsum(F.col("o_totalprice"), "above_revenue"),
+        )
+        .orderBy("segment")
+    )

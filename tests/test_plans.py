@@ -728,3 +728,13 @@ def test_market_share_keeps_fact_join_shuffled_dims_broadcast(spark, sf_dir):
             assert bad not in scan_part, f"broadcast hint over {bad}"
     pplan = physical_plan(_Q["nation_market_share"](spark, sf_dir))
     assert "CartesianProduct" not in pplan, pplan
+
+
+def test_rollup_is_one_expand_one_scan(spark, sf_dir):
+    """ROLLUP must plan as a single Expand + hash aggregate over ONE
+    fact scan -- never the union of three per-level aggregations that
+    each re-read the table."""
+    plan = physical_plan(_Q["revenue_rollup_levels"](spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert "Union" not in plan, plan
