@@ -242,3 +242,123 @@ def streaming_vector_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark / late-data twin: append-mode windowed aggregation where a
+# held-back slice of the event stream arrives LAST (after the watermark
+# moved past it) and must be dropped by the engine -- the oracle
+# emulates the exact drop/emit semantics relationally.
+# ---------------------------------------------------------------------------
+
+# chunk boundaries (epoch seconds): the events fixture spans
+# 2024-01-01 .. 2024-01-30; chunks 0/1/2 arrive in time order, chunk 3
+# is every 50th event FROM THE FIRST WEEK held back until the end (the
+# late arrivals). The hold-back cutoff sits a full day below even the
+# FIRST nontrivial watermark (max(chunk0) - delay ~ Jan 9), because
+# Spark's late-row filter applies the watermark with a one-batch lag
+# (empirically: batch 3 filters with the watermark recorded at batch 2;
+# the offset log's batchWatermarkMs confirms it) -- every held-back row
+# must be late under the LAGGED watermark too, or the drop set becomes
+# a Spark-internals detail no oracle should chase.
+_WM_T1 = 1704931200     # 2024-01-11
+_WM_T2 = 1705795200     # 2024-01-21
+_WM_T_HOLD = 1704672000  # 2024-01-08: held-back rows are older than this
+_WM_HOLD_MOD = 50
+
+
+@query(
+    "events_watermark_late_drop",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, epoch_us(ts) AS us, value FROM events
+    ),
+    wm AS (
+      -- final watermark: max event time over everything that arrived
+      -- BEFORE the last (no-data) batch = the whole stream, minus the
+      -- allowed lateness
+      SELECT MAX(us) - CAST({2 * 86400} AS BIGINT) * 1000000 AS wm_us
+      FROM e
+    )
+    SELECT (us // 1000000) // 3600 * 3600 AS window_start_epoch,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS window_value
+    FROM e CROSS JOIN wm
+    -- held-back rows arrive when the watermark (even the one-batch-
+    -- lagged one the filter applies) already passed their event time,
+    -- so the engine drops them; rows in time-ordered chunks are never
+    -- late
+    WHERE NOT (event_id % {_WM_HOLD_MOD} = 0
+               AND us < CAST({_WM_T_HOLD} AS BIGINT) * 1000000)
+    GROUP BY 1, wm_us
+    -- append mode emits a window exactly once, when the watermark
+    -- passes its END; windows still open at termination never emit
+    HAVING window_start_epoch + 3600 <= wm_us // 1000000
+    ORDER BY 1
+    """,
+    tags=("C3", "C2", "A8"),
+)
+def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL watermarked append-mode streaming aggregation (not a batch
+    twin): the event stream is staged as three time-ordered chunks plus
+    a held-back chunk that arrives last, drained one file per
+    micro-batch through withWatermark + window + append parquet sink.
+    The engine must (a) drop every held-back row -- by arrival time the
+    watermark (max seen - 2 days) has passed them, (b) emit exactly the
+    windows whose end the final watermark passed, and (c) never emit a
+    window twice. The oracle derives the same set relationally; the
+    value-hash compare then pins Spark's drop/emit behavior
+    value-for-value. Determinism: chunk files carry pinned mtimes (the
+    file source processes oldest-first), on-time chunks are strictly
+    time-ordered so only held-back rows are ever late, and the
+    watermark carries microseconds so it never lands exactly on a
+    window boundary (no <=-vs-< edge)."""
+    from ..streaming import run_watermark_window_stream
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "value",
+    )
+    es = F.unix_timestamp("ts")
+    held = (F.col("event_id") % _WM_HOLD_MOD == 0) & (es < _WM_T_HOLD)
+    chunks = [
+        (~held) & (es < _WM_T1),
+        (es >= _WM_T1) & (es < _WM_T2),
+        (es >= _WM_T2),
+        held,
+    ]
+    work = tempfile.mkdtemp(prefix="stream_wm_")
+    events_dir = os.path.join(work, "events")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(events_dir, exist_ok=True)
+    for c, pred in enumerate(chunks):
+        stage = os.path.join(work, f"_stage_{c}")
+        (
+            events.filter(pred)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        parts = glob.glob(os.path.join(stage, "part-*.parquet"))
+        if not parts:
+            shutil.rmtree(stage, ignore_errors=True)
+            continue
+        dst = os.path.join(events_dir, f"chunk{c}.parquet")
+        shutil.move(parts[0], dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(dst, (1_700_000_000 + c, 1_700_000_000 + c))
+
+    try:
+        run_watermark_window_stream(spark, events_dir, out_dir, ckpt)
+        out = (
+            spark.read.parquet(out_dir)
+            .select("window_start_epoch", "n_events", "window_value")
+            .orderBy("window_start_epoch")
+        )
+        # snapshot before the temp stream dirs are deleted
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -36,6 +36,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 CDC_EVENT_SCHEMA = StructType(
@@ -618,6 +619,74 @@ def run_vector_assign_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(vec_dir)
         .writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Event-time watermark + append-mode windowed aggregation (late-data
+# drop semantics -- the watermark half of the C3 streaming surface;
+# the tumbling/sliding batch twins live in operators/windows.py)
+# ---------------------------------------------------------------------------
+
+EVENT_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+WM_DELAY_SECS = 2 * 86400    # watermark: 2 days of allowed lateness
+WM_WINDOW_SECS = 3600        # 1-hour tumbling windows
+
+
+def run_watermark_window_stream(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Append-mode tumbling-window aggregation under an event-time
+    watermark: windows are emitted exactly once, when the watermark
+    (max event time seen so far minus WM_DELAY_SECS) passes their end;
+    rows arriving after the watermark passed their event time are
+    DROPPED by the engine. Deterministic because the staged chunk files
+    arrive in a pinned order (mtime-ordered, one file per micro-batch)
+    and the final watermark never lands exactly on a window boundary
+    (event times carry microseconds; the delay is a whole number of
+    seconds), so the <=-vs-< eviction edge cannot trigger.
+
+    100 TB shape: the only state is one row per OPEN window (bounded by
+    delay/window, not by corpus size); the aggregation is the same
+    partial-combine window rollup as the batch twin; eviction is
+    watermark-driven, so state never grows with history."""
+    agg = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+        .withWatermark("ts", f"{WM_DELAY_SECS} seconds")
+        .groupBy(F.window("ts", f"{WM_WINDOW_SECS} seconds").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("window_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "n_events",
+            "window_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

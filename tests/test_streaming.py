@@ -805,3 +805,42 @@ def test_corpus_ingest_backfill_batch_writes_multiple_files(
     _corpus_ingest_body(corpus_dir, 8, backfill, 1)
     after = _rows(spark.read.parquet(corpus_dir), ["fp", "doc_id"])
     assert before == after
+
+
+def test_watermark_stream_drops_late_and_emits_once(spark, sf_dir):
+    """events_watermark_late_drop invariants beyond the oracle hash:
+    every emitted window closed under the final watermark, no window
+    emitted twice, and the held-back rows really were dropped (emitted
+    totals are strictly below the all-rows batch rollup)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.registry import (
+        REGISTRY,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.operators.streaming_queries import (
+        _WM_HOLD_MOD,
+        _WM_T_HOLD,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.streaming import (
+        WM_DELAY_SECS,
+        WM_WINDOW_SECS,
+    )
+
+    rows = REGISTRY["events_watermark_late_drop"].fn(spark, sf_dir).collect()
+    assert rows
+    starts = [r["window_start_epoch"] for r in rows]
+    assert len(starts) == len(set(starts))  # exactly-once emission
+
+    events = load_table(spark, sf_dir, "events")
+    es = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    max_es = events.agg(F.max(es)).first()[0]
+    wm = max_es - WM_DELAY_SECS
+    assert all(s + WM_WINDOW_SECS <= wm for s in starts), (max(starts), wm)
+
+    emitted_total = sum(r["n_events"] for r in rows)
+    batch_total = events.filter(es + WM_WINDOW_SECS <= wm).count()
+    held_dropped = events.filter(
+        (F.col("event_id") % _WM_HOLD_MOD == 0) & (es < _WM_T_HOLD)
+    ).count()
+    assert held_dropped > 0
+    # emitted = on-time rows in closed windows; strictly fewer than the
+    # all-rows batch count over the same horizon => drops really happened
+    assert emitted_total < batch_total, (emitted_total, batch_total)
