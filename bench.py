@@ -324,6 +324,10 @@ def main() -> None:
         # over representatives -> within-cluster SemDeDup) -- new name,
         # same intersection-skip on its first round
         "semantic_dedup_cascade_stats",
+        # r9: the data-selection flagship (DSIR hashed-ngram importance
+        # weights; one corpus tokenize+hash pass + broadcast ratio
+        # table) -- new name, intersection-skip on its first round
+        "dsir_importance_weights",
     )
     llm_timings: dict[str, float] = {}
     llm_iqrs: dict[str, float] = {}
