@@ -40,7 +40,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import dround, dround_sql
+from ..functions import dround, dround_sql, md5_int60_sql
 from ..sources.parquet import load_table
 from ._cache import finalize as _finalize
 from ._cache import persist_tracked as _persist
@@ -60,7 +60,12 @@ def _word_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, freq, s) -- the word-type table with its initial symbol
     string ' h e l l o </w> ' (leading/trailing spaces so every symbol
     occurrence is space-delimited for literal replace)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _word_symbols_from(load_table(spark, sf_dir, "documents"))
+
+
+def _word_symbols_from(docs: DataFrame) -> DataFrame:
+    """Word-symbol table over an arbitrary documents frame (the
+    train/held-out split op passes filtered subsets)."""
     wf = (
         docs.select(
             F.explode(
@@ -346,6 +351,148 @@ def bpe_tokenize_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("words"),
             F.sum("n_sym").cast("long").alias("bpe_tokens"),
             F.sum(F.length("word") + 1).cast("long").alias("char_tokens"),
+            dround(
+                F.sum("n_sym").cast("double") / F.count("*"), 4
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/held-out split: learn merges on 90% of documents, tokenize the
+# held-out 10% with the TRAIN-learned merge table (the generalization
+# measurement a real tokenizer-training pipeline runs; every merge can
+# only shorten a word, so unseen held-out types still tokenize -- the
+# signal is compression, not OOV failure).
+# ---------------------------------------------------------------------------
+
+_SPLIT_MOD = 10  # doc_id-hash split: residue 0 = held-out (10%)
+_SPLIT_HASH = "concat('split-', CAST(doc_id AS VARCHAR))"
+
+
+def _sql_base_where(where: str, w: str, wf: str, s0: str) -> str:
+    """Parameterized word-symbol CTE chain over a documents subset."""
+    return f"""
+    {w} AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS word
+      FROM documents WHERE {where}
+    ),
+    {wf} AS (SELECT word, COUNT(*) AS freq FROM {w} GROUP BY word),
+    {s0} AS (
+      SELECT word, freq,
+             ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+                 || ' </w> ' AS s
+      FROM {wf}
+    )"""
+
+
+def _heldout_sql() -> str:
+    """Train chain (winner per iteration) + held-out chain (application
+    of every train winner), unrolled."""
+    train = f"{md5_int60_sql(_SPLIT_HASH)} % {_SPLIT_MOD} <> 0"
+    held = f"{md5_int60_sql(_SPLIT_HASH)} % {_SPLIT_MOD} = 0"
+    parts = [
+        _sql_base_where(train, "w", "wf", "s0").strip(),
+        _sql_base_where(held, "hw", "hwf", "h0").strip(),
+    ]
+    for it in range(1, _N_MERGES + 1):
+        parts.append(_pairs_sql(f"s{it - 1}", f"p{it}"))
+        parts.append(
+            f"c{it} AS (SELECT a, b, cnt FROM p{it}"
+            f" ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        parts.append(f"""s{it} AS (
+          SELECT word, freq, {_APPLY_MERGE_SQL} AS s
+          FROM s{it - 1} CROSS JOIN c{it}
+        )""")
+        parts.append(f"""h{it} AS (
+          SELECT word, freq, {_APPLY_MERGE_SQL} AS s
+          FROM h{it - 1} CROSS JOIN c{it}
+        )""")
+    return "WITH " + ",\n".join(parts)
+
+
+@query(
+    "bpe_heldout_compression",
+    oracle=f"""
+    {_heldout_sql()},
+    wtok AS (
+      SELECT word, len(string_split(trim(s), ' ')) AS n_sym
+      FROM h{_N_MERGES}
+    ),
+    docw AS (
+      SELECT lang,
+             unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS word
+      FROM documents
+      WHERE {md5_int60_sql(_SPLIT_HASH)} % {_SPLIT_MOD} = 0
+    )
+    SELECT lang,
+           COUNT(*) AS words,
+           CAST(SUM(n_sym) AS BIGINT) AS bpe_tokens,
+           {dround_sql('CAST(SUM(n_sym) AS DOUBLE) / COUNT(*)', 4)}
+             AS tokens_per_word
+    FROM docw JOIN wtok USING (word)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("llm-text", "llm-tokenizer", "llm-sampling"),
+)
+def bpe_heldout_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize HELD-OUT documents with merges learned on the TRAIN
+    split only: per-language held-out compression (BPE tokens per word).
+    The deterministic md5 doc split makes train/test membership
+    reproducible; the train loop is the same vocabulary-bounded
+    iteration as bpe_learn_merges, and each winning pair is applied to
+    BOTH symbol tables via 1-row broadcasts. The oracle unrolls the
+    twin chains, so train/test discipline itself is hash-checked.
+    Scale: the held-out chain is type-table-sized like the train chain;
+    the corpus passes are one tokenize per split."""
+    from ..functions import md5_int60
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = (
+        md5_int60(F.concat(F.lit("split-"), F.col("doc_id").cast("string")))
+        % _SPLIT_MOD
+    )
+    train_docs = docs.filter(split != 0)
+    held_docs = docs.filter(split == 0)
+    sym_t = _word_symbols_from(train_docs)
+    sym_h = _word_symbols_from(held_docs)
+    for _ in range(_N_MERGES):
+        sym_t = _persist(sym_t)
+        top = (
+            _pair_counts(sym_t)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .select("a", "b")
+        )
+        sym_t = (
+            sym_t.crossJoin(F.broadcast(top))
+            .withColumn("s", F.expr(_APPLY_MERGE))
+            .select("word", "freq", "s")
+        )
+        sym_h = (
+            sym_h.crossJoin(F.broadcast(top))
+            .withColumn("s", F.expr(_APPLY_MERGE))
+            .select("word", "freq", "s")
+        )
+    wtok = sym_h.select(
+        "word", F.size(F.split(F.trim(F.col("s")), " ")).alias("n_sym")
+    )
+    docw = held_docs.select(
+        "lang",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{_WORD_RE}', 0)")
+        ).alias("word"),
+    )
+    return _finalize(
+        spark,
+        docw.join(F.broadcast(wtok), "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("words"),
+            F.sum("n_sym").cast("long").alias("bpe_tokens"),
             dround(
                 F.sum("n_sym").cast("double") / F.count("*"), 4
             ).alias("tokens_per_word"),
