@@ -935,3 +935,152 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("max_punct_ratio")
     )
+
+
+# ---------------------------------------------------------------------------
+# Typo / OCR-error mining: edit-distance-1 word pairs via SymSpell-style
+# deletion-neighborhood blocking (Garbe's public algorithm shape).
+# Candidate pairs come from a shared one-character-deletion variant, so
+# the join is bucketed by variant and NEVER all-pairs over the
+# vocabulary; exact Levenshtein (identical built-in in both engines)
+# verifies each candidate. The synthetic fixture vocabulary contains no
+# organic distance-1 pairs at ANY scale (verified across sf0.001-0.1),
+# so the op first INJECTS deterministic OCR noise -- every
+# frequent-enough word contributes a one-char-deletion twin at a
+# simulated 5% error rate, md5-chosen position -- and then mines it
+# back out: an inject->detect roundtrip whose result is exact and
+# non-trivial. On a real corpus the injection stage is dropped and the
+# mining stage runs unchanged.
+# ---------------------------------------------------------------------------
+
+_TYPO_TOP = 50
+_TYPO_MIN_LEN = 4    # ignore very short words (every 3-letter pair collides)
+_TYPO_MIN_FREQ = 20  # only frequent words get a noisy twin
+_TYPO_RATE = 20      # 1/20 of occurrences misspelled
+
+
+@query(
+    "vocab_edit_distance_pairs",
+    oracle=f"""
+    WITH wf0 AS (
+      SELECT word, COUNT(*) AS freq
+      FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+      WHERE len(word) >= {_TYPO_MIN_LEN}
+      GROUP BY word
+    ),
+    noisy AS (
+      SELECT substr(word, 1, pos - 1) || substr(word, pos + 1) AS word,
+             freq // {_TYPO_RATE} AS freq
+      FROM (
+        SELECT word, freq,
+               CAST({md5_int60_sql("concat('typo-', word)")} % len(word)
+                    AS BIGINT) + 1 AS pos
+        FROM wf0 WHERE freq >= {_TYPO_MIN_FREQ}
+      )
+    ),
+    wf AS (
+      SELECT word, CAST(SUM(freq) AS BIGINT) AS freq
+      FROM (SELECT * FROM wf0 UNION ALL SELECT * FROM noisy)
+      GROUP BY word
+    ),
+    variants AS (
+      SELECT word, freq,
+             unnest(list_append(
+               list_transform(range(1, len(word) + 1),
+                 i -> substr(word, 1, i - 1) || substr(word, i + 1)),
+               word)) AS v
+      FROM wf
+    ),
+    cand AS (
+      SELECT DISTINCT a.word AS w1, b.word AS w2,
+             a.freq AS freq1, b.freq AS freq2
+      FROM variants a JOIN variants b
+        ON a.v = b.v AND a.word < b.word
+    )
+    SELECT w1, w2, freq1, freq2,
+           CAST(freq1 + freq2 AS BIGINT) AS pair_freq
+    FROM cand
+    WHERE levenshtein(w1, w2) = 1
+    ORDER BY pair_freq DESC, w1, w2
+    LIMIT {_TYPO_TOP}
+    """,
+    tags=("llm-text", "llm-dedup"),
+)
+def vocab_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 word pairs over the (noise-augmented) corpus
+    vocabulary -- the typo/OCR mining primitive of corpus cleaning.
+    Blocking: each word emits its |w| one-char-deletion variants plus
+    itself; two words at distance 1 always share a variant, so the
+    self-join keys on the variant string (bucketed by construction) and
+    the quadratic term is bounded by the largest variant bucket, not
+    the vocabulary. The distinct() collapses multi-variant collisions
+    on the VOCAB-sized candidate set -- corpus scale only enters through
+    the one word-count shuffle. Exact Levenshtein keeps true distance-1
+    pairs. See the section comment for the deterministic
+    noise-injection stage this synthetic fixture needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf0 = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") >= _TYPO_MIN_LEN)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pos = (
+        md5_int60(F.concat(F.lit("typo-"), F.col("word")))
+        % F.length("word")
+    ).cast("long") + 1
+    # _pos rides as a column for the substr exprs below
+    noisy = (
+        wf0.filter(F.col("freq") >= _TYPO_MIN_FREQ)
+        .withColumn("_pos", pos)
+        .select(
+            F.concat(
+                F.expr("substr(word, 1, CAST(_pos AS INT) - 1)"),
+                F.expr("substr(word, CAST(_pos AS INT) + 1)"),
+            ).alias("word"),
+            F.floor(F.col("freq") / _TYPO_RATE).cast("long").alias("freq"),
+        )
+    )
+    wf = (
+        wf0.unionByName(noisy)
+        .groupBy("word")
+        .agg(F.sum("freq").cast("long").alias("freq"))
+    )
+    variants = wf.select(
+        "word",
+        "freq",
+        F.explode(
+            F.expr(
+                "array_append(transform(sequence(1, length(word)),"
+                " i -> concat(substr(word, 1, i - 1), substr(word, i + 1))),"
+                " word)"
+            )
+        ).alias("v"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .select(
+            F.col("a.word").alias("w1"),
+            F.col("b.word").alias("w2"),
+            F.col("a.freq").alias("freq1"),
+            F.col("b.freq").alias("freq2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.filter(F.levenshtein("w1", "w2") == 1)
+        .select(
+            "w1",
+            "w2",
+            "freq1",
+            "freq2",
+            (F.col("freq1") + F.col("freq2")).cast("long").alias("pair_freq"),
+        )
+        .orderBy(F.col("pair_freq").desc(), "w1", "w2")
+        .limit(_TYPO_TOP)
+    )

@@ -263,3 +263,60 @@ def test_power_iteration_rayleigh_is_monotone_and_unit_norm(spark, sf_dir):
     a = _Q["embedding_power_iteration"](spark, sf_dir).collect()
     b = _Q["embedding_power_iteration"](spark, sf_dir).collect()
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+# ---------------------------------------------------------------------------
+# Typo mining (inject -> detect roundtrip)
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_edit_pairs_recover_injected_typos(spark, sf_dir):
+    """Every mined pair is true distance-1, and the md5-chosen deletion
+    twin of at least one frequent word is recovered as its partner."""
+    from apache_iceberg_with_clickhouse_olake_spark.functions import tokens
+    from apache_iceberg_with_clickhouse_olake_spark.operators.text import (
+        _TYPO_MIN_FREQ,
+        _TYPO_MIN_LEN,
+    )
+
+    rows = _Q["vocab_edit_distance_pairs"](spark, sf_dir).collect()
+    assert rows
+
+    def lev1(a, b):
+        if len(a) > len(b):
+            a, b = b, a
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if len(b) - len(a) != 1:
+            return False
+        for i in range(len(b)):
+            if b[:i] + b[i + 1:] == a:
+                return True
+        return False
+
+    for r in rows:
+        assert lev1(r["w1"], r["w2"]), r
+
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") >= _TYPO_MIN_LEN)
+        .groupBy("word")
+        .count()
+        .filter(F.col("count") >= _TYPO_MIN_FREQ)
+        .collect()
+    )
+    partners = {
+        frozenset((r["w1"], r["w2"])) for r in rows
+    }
+    recovered = 0
+    for r in wf:
+        w = r["word"]
+        h = int(hashlib.md5(f"typo-{w}".encode()).hexdigest()[:15], 16)
+        p = h % len(w)
+        twin = w[:p] + w[p + 1:]
+        if frozenset((w, twin)) in partners:
+            recovered += 1
+    assert recovered > 0, "no injected typo recovered in the top pairs"
