@@ -41,6 +41,14 @@ QUERIES = (
     # r9: z-order layout write -- reads orders (a replicated fact); the
     # range shuffle + per-partition sort must track the fact volume
     "zorder_layout_roundtrip",
+    # r9 late additions over the fact tables: the Q2 argmin (struct-min
+    # partial agg keyed by partkey), the Q8 fact-fact market share, the
+    # one-Expand ROLLUP, and the real watermarked append stream (events
+    # replicate -> more chunks of state, same bounded-window argument)
+    "min_cost_supplier_per_part",
+    "nation_market_share",
+    "revenue_rollup_levels",
+    "events_watermark_late_drop",
 )
 KEY_COLS = {
     "orders": "o_orderkey",
@@ -91,6 +99,14 @@ CORPUS_QUERIES = (
     "dsir_importance_weights",
     "dsir_resample_counts",
     "hard_negative_mining",
+    # r9 late additions over the corpus: hash-exact power iteration
+    # (per-iteration corpus pass), train/held-out BPE, deletion-blocked
+    # typo mining (vocabulary-bounded pair stage), and the key-skew
+    # profiler itself
+    "embedding_power_iteration",
+    "bpe_heldout_compression",
+    "vocab_edit_distance_pairs",
+    "key_skew_profile",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)
