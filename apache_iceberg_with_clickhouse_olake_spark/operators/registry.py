@@ -89,15 +89,18 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # automatically (greedy tag set-cover + never-checked fill); the op-id
 # coverage constraint caps a rotation at ~15 fresh rows, so the blind
 # spot clears over the next TWO disciplined passes, not one.
-# r9 note: CORRECTNESS_r08 landed green (50/50, every implemented op-id
-# represented), so the window rotates per the r8 VERDICT plan: 16
-# first-driver rows led by the r8 clustering family (k-means profile,
-# SemDeDup stats/apply/cascade), the similarity stragglers (norm
-# profile, int8 quantization, label centroids, embedding cascade),
-# percentiles/pivot/tier/dense-rank, dedup_keep_best_quality,
-# session_length_distribution, and streaming_vector_assign. One
-# representative per SURVEY §2 op-id is retained
-# (tests/test_registry_window.py asserts the invariant).
+# r10 note: CORRECTNESS_r09 landed green (50/50, all op-ids represented),
+# so the window rotates per the r9 VERDICT item 1 — the committed
+# scripts/rotation_r10_proposal.txt verbatim: 15 first-driver rows
+# (nation_market_share, min_cost_supplier_per_part, key_skew_profile,
+# revenue_rollup_levels, orders_above_customer_avg, hard_negative_mining,
+# ann_kmeans_ivf_topk, the language-ID quartet, text_quality_scores,
+# doc_fingerprints, quality_threshold_sweep, vocab_edit_distance_pairs,
+# uniform_hash_sample). Blind spot after these land: 35 -> 20; the
+# remaining 20 (BPE quartet, multimodal trio, DSIR pair, z-order, power
+# iteration, mixture/quota/packing, funnel, session_window_rollup,
+# events_watermark_late_drop, contamination/pareto) queue for r11 in
+# scripts/rotation_r11_proposal.txt.
 _PRIORITY = (
     "scalar_functions",
     "high_value_orders",
@@ -105,25 +108,24 @@ _PRIORITY = (
     "corpus_build_pipeline",
     "datagen_users",
     "schema_evolution_merge",
-    "streaming_vector_assign",  # first driver row
-    "orders_by_status",
-    "monthly_revenue",
+    "nation_market_share",  # first driver row
     "unique_customers",
     "table_counts",
     "cdc_change_log",
     "cdc_upsert_state",
     "ddl_roundtrip",
-    "session_length_distribution",  # first driver row
+    "streaming_vector_assign",
+    "orders_by_status",
+    "monthly_revenue",
     "silver_projection",
     "order_part_lookup",
     "current_date_sanity",
     "parquet_layout_roundtrip",
     "partition_pruning_roundtrip",
-    "order_value_dense_rank",  # first driver row
-    "revenue_by_nation",
+    "session_length_distribution",
+    "min_cost_supplier_per_part",  # first driver row
     "order_date_range",
     "distinct_status",
-    "top_customers",
     "daily_active_users",
     "max_key_bootstrap",
     "datagen_products",
@@ -136,19 +138,20 @@ _PRIORITY = (
     "seed_literal_insert",
     "bucket_index_lookup",
     "streaming_restart_state",
-    "order_value_percentiles",  # first driver row
-    "order_value_percentiles_approx",  # first driver row
-    "monthly_status_pivot",  # first driver row
-    "order_value_tier_stats",  # first driver row
-    "embedding_norm_profile",  # first driver row
-    "embedding_dedup_cascade_stats",  # first driver row
-    "label_centroids",  # first driver row
-    "embedding_int8_quantization",  # first driver row
-    "dedup_keep_best_quality",  # first driver row
-    "embedding_kmeans_profile",  # first driver row
-    "semantic_dedup_stats",  # first driver row
-    "semantic_dedup_apply",  # first driver row
-    "semantic_dedup_cascade_stats",  # first driver row
+    "top_orders_per_customer",
+    "key_skew_profile",  # first driver row
+    "revenue_rollup_levels",  # first driver row
+    "orders_above_customer_avg",  # first driver row
+    "hard_negative_mining",  # first driver row
+    "ann_kmeans_ivf_topk",  # first driver row
+    "text_quality_scores",  # first driver row
+    "lang_distribution",  # first driver row
+    "language_id_heuristic",  # first driver row
+    "language_id_confusion",  # first driver row
+    "doc_fingerprints",  # first driver row
+    "quality_threshold_sweep",  # first driver row
+    "vocab_edit_distance_pairs",  # first driver row
+    "uniform_hash_sample",  # first driver row
 )
 
 
