@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from ..functions import davg, davg_sql, dround, dround_sql
 from ..sources.parquet import load_table
+from ._cache import scoped as _scoped
 from ._cache import finalize as _finalize
 from ._cache import persist_tracked as _persist
 from ._cache import release_caches  # noqa: F401  (re-export: streaming_queries)
@@ -268,6 +269,7 @@ _FINAL = f"s{_ITERS}"
     """,
     tags=("llm-similarity", "llm-clustering"),
 )
+@_scoped
 def embedding_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (k=8, 2 iterations), per-cluster profile
     (size, mean squared distance to the final centroid). The HASH-EXACT
@@ -339,6 +341,7 @@ def _semantic_dropped(assigned: DataFrame) -> DataFrame:
     """,
     tags=("llm-similarity", "llm-dedup", "llm-clustering"),
 )
+@_scoped
 def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: drop a vector when a lower-id member of ITS OWN k-means
     cluster is a cosine near-duplicate. The pair join is keyed on the
@@ -407,6 +410,7 @@ def _semantic_stats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm-similarity", "llm-dedup", "llm-clustering", "S3"),
 )
+@_scoped
 def semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY the semantic dedup end-to-end: materialize the kept vectors
     to a parquet sink and account from the files READ BACK from disk
@@ -513,6 +517,7 @@ _REPS_SOURCE = f"""SELECT vec_id, dv FROM (
     """,
     tags=("llm-similarity", "llm-dedup", "llm-clustering"),
 )
+@_scoped
 def semantic_dedup_cascade_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -608,6 +613,7 @@ _TOP_K = 10
     """,
     tags=("llm-similarity", "llm-clustering"),
 )
+@_scoped
 def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE (unsupervised) IVF: the inverted lists are the k-means
     clusters -- no label supervision, the index is learned from the

@@ -772,14 +772,18 @@ def zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for repartitionByRange."""
     orders = load_table(spark, sf_dir, "orders")
     keyed = orders.select(
-        (F.col("o_custkey").cast("long") % 65536).alias("zx_raw"),
+        F.col("o_custkey").cast("long").bitwiseAND(65535).alias("zx_raw"),
         F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
         .cast("long")
         .alias("zy_days"),
         "o_totalprice",
     ).select(
         F.col("zx_raw").alias("zx"),
-        (F.col("zy_days") % 65536).alias("zy"),
+        # bitwiseAND on BOTH engines (oracle uses & 65535): Spark %
+        # returns negative remainders for negative inputs while & takes
+        # the two's-complement low bits, so a %/& mix would silently
+        # diverge on a negative key or pre-epoch date (r9 ADVICE).
+        F.col("zy_days").bitwiseAND(65535).alias("zy"),
         "o_totalprice",
     )
     z = keyed.select(

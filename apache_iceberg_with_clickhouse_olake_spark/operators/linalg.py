@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..functions import dround, dround_sql, dsum, dsum_sql
 from ..sources.parquet import load_table
+from ._cache import scoped as _scoped
 from ._cache import finalize as _finalize
 from ._cache import persist_tracked as _persist
 from .registry import query
@@ -131,6 +132,7 @@ def _pi_sql() -> str:
     """,
     tags=("llm-similarity", "llm-clustering"),
 )
+@_scoped
 def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The state of the power iteration toward the top principal
     direction of the (uncentered) embedding gram matrix after _PI_ITERS

@@ -26,6 +26,7 @@ from ..functions import (
     tokens_sql,
 )
 from ..sources.parquet import load_table
+from ._cache import scoped as _scoped
 from .registry import query
 
 _TOKS = tokens_sql("text")
@@ -642,6 +643,7 @@ _DSIR_W_SQL = f"""
     """,
     tags=("llm-sampling", "llm-text"),
 )
+@_scoped
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top documents by DSIR importance weight (how target-like a raw
     document's hashed n-gram bag is). Fully tie-broken top-k
@@ -686,6 +688,7 @@ _DSIR_GUMBEL_SQL = (
     """,
     tags=("llm-sampling",),
 )
+@_scoped
 def dsir_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gumbel-top-k importance RESAMPLING over the DSIR weights: the
     selection key is log-weight + Gumbel noise (the standard

@@ -198,16 +198,17 @@ def streaming_vector_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(vec_dir, exist_ok=True)
 
-    # train the index on the batch table and publish the artifact
-    from ..operators.clustering import release_caches
+    # train the index on the batch table and publish the artifact; the
+    # cache_scope drops the Lloyd training caches (persisted vector
+    # frame) as soon as the artifact is on disk -- the serving stream
+    # no longer needs them, and an exception mid-train cannot leak them
+    from ._cache import cache_scope
 
-    _, cent = _kmeans_state_frames(
-        emb.select("vec_id", _dvec(F.col("embedding")).alias("dv"))
-    )
-    cent.write.mode("overwrite").parquet(index_dir)
-    # the artifact is on disk; the Lloyd training caches (persisted
-    # vector frame) are no longer needed by the serving stream
-    release_caches()
+    with cache_scope():
+        _, cent = _kmeans_state_frames(
+            emb.select("vec_id", _dvec(F.col("embedding")).alias("dv"))
+        )
+        cent.write.mode("overwrite").parquet(index_dir)
 
     # stage the "arriving" vectors as ordered chunk files
     for c in range(_N_VEC_CHUNKS):
@@ -251,20 +252,32 @@ def streaming_vector_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # emulates the exact drop/emit semantics relationally.
 # ---------------------------------------------------------------------------
 
-# chunk boundaries (epoch seconds): the events fixture spans
-# 2024-01-01 .. 2024-01-30; chunks 0/1/2 arrive in time order, chunk 3
-# is every 50th event FROM THE FIRST WEEK held back until the end (the
-# late arrivals). The hold-back cutoff sits a full day below even the
-# FIRST nontrivial watermark (max(chunk0) - delay ~ Jan 9), because
-# Spark's late-row filter applies the watermark with a one-batch lag
-# (empirically: batch 3 filters with the watermark recorded at batch 2;
-# the offset log's batchWatermarkMs confirms it) -- every held-back row
-# must be late under the LAGGED watermark too, or the drop set becomes
-# a Spark-internals detail no oracle should chase.
-_WM_T1 = 1704931200     # 2024-01-11
-_WM_T2 = 1705795200     # 2024-01-21
-_WM_T_HOLD = 1704672000  # 2024-01-08: held-back rows are older than this
+# Hold-back rule, derived from the fixture (r9 ADVICE: no pinned epoch
+# constants -- a fixture-range drift must fail loudly, not look like an
+# engine bug): every _WM_HOLD_MOD-th event from the first
+# _WM_HOLD_DAYS days of the stream is held back and arrives LAST, after
+# the watermark moved past it. Spark's late-row filter applies the
+# watermark with a one-batch lag (batch N filters with the watermark
+# computed from data through batch N-2; verified empirically against
+# the offset log's batchWatermarkMs, and re-verified this round: a
+# 2-file staging where the held chunk is batch 1 drops NOTHING because
+# its filter watermark is still 0). So the minimum staging that drops
+# deterministically is THREE files: chunk0 (first _WM_MID_DAYS of
+# on-time data, whose max sets the watermark the held batch is
+# filtered with), chunk1 (the on-time remainder), chunk2 (held). The
+# op asserts max(chunk0) - delay clears the hold cutoff by >=
+# _WM_MARGIN_SECS so every held-back row is unambiguously late under
+# the LAGGED watermark too -- no Spark-internals edge for the oracle
+# to chase. (r9 staged four files; three is the cheap mode of VERDICT
+# item 6 that keeps the drop semantics intact.)
 _WM_HOLD_MOD = 50
+_WM_HOLD_DAYS = 7
+_WM_DELAY_DAYS = 2       # must match streaming.WM_DELAY_SECS
+_WM_MARGIN_SECS = 86400
+# chunk0 span: hold window + delay + 2 margins past the stream start,
+# so max(chunk0) - delay >= hold cutoff + margin on any fixture dense
+# enough to have events near the boundary (asserted at run time)
+_WM_MID_DAYS = _WM_HOLD_DAYS + _WM_DELAY_DAYS + 2
 
 
 @query(
@@ -276,8 +289,13 @@ _WM_HOLD_MOD = 50
     wm AS (
       -- final watermark: max event time over everything that arrived
       -- BEFORE the last (no-data) batch = the whole stream, minus the
-      -- allowed lateness
-      SELECT MAX(us) - CAST({2 * 86400} AS BIGINT) * 1000000 AS wm_us
+      -- allowed lateness; hold cutoff: first _WM_HOLD_DAYS of the
+      -- stream, derived from the fixture's own MIN (both engines
+      -- compute it from the same parquet, so it cannot drift)
+      SELECT MAX(us) - CAST({_WM_DELAY_DAYS * 86400} AS BIGINT) * 1000000
+               AS wm_us,
+             MIN(us) + CAST({_WM_HOLD_DAYS * 86400} AS BIGINT) * 1000000
+               AS hold_us
       FROM e
     )
     SELECT (us // 1000000) // 3600 * 3600 AS window_start_epoch,
@@ -286,10 +304,9 @@ _WM_HOLD_MOD = 50
     FROM e CROSS JOIN wm
     -- held-back rows arrive when the watermark (even the one-batch-
     -- lagged one the filter applies) already passed their event time,
-    -- so the engine drops them; rows in time-ordered chunks are never
-    -- late
-    WHERE NOT (event_id % {_WM_HOLD_MOD} = 0
-               AND us < CAST({_WM_T_HOLD} AS BIGINT) * 1000000)
+    -- so the engine drops them; on-time rows arrive in one chunk and
+    -- are never late
+    WHERE NOT (event_id % {_WM_HOLD_MOD} = 0 AND us < hold_us)
     GROUP BY 1, wm_us
     -- append mode emits a window exactly once, when the watermark
     -- passes its END; windows still open at termination never emit
@@ -300,21 +317,27 @@ _WM_HOLD_MOD = 50
 )
 def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL watermarked append-mode streaming aggregation (not a batch
-    twin): the event stream is staged as three time-ordered chunks plus
-    a held-back chunk that arrives last, drained one file per
-    micro-batch through withWatermark + window + append parquet sink.
-    The engine must (a) drop every held-back row -- by arrival time the
-    watermark (max seen - 2 days) has passed them, (b) emit exactly the
-    windows whose end the final watermark passed, and (c) never emit a
-    window twice. The oracle derives the same set relationally; the
-    value-hash compare then pins Spark's drop/emit behavior
-    value-for-value. Determinism: chunk files carry pinned mtimes (the
-    file source processes oldest-first), on-time chunks are strictly
-    time-ordered so only held-back rows are ever late, and the
-    watermark carries microseconds so it never lands exactly on a
-    window boundary (no <=-vs-< edge)."""
-    from ..streaming import run_watermark_window_stream
+    twin): the event stream is staged as two on-time chunks plus a
+    held-back chunk that arrives last, drained one file per micro-batch
+    through withWatermark + window + append parquet sink. The engine
+    must (a) drop every held-back row -- by arrival time the watermark
+    (max seen - 2 days) has passed them, (b) emit exactly the windows
+    whose end the final watermark passed, and (c) never emit a window
+    twice. The oracle derives the same set relationally; the value-hash
+    compare then pins Spark's drop/emit behavior value-for-value.
+    Three batches (not r9's four) is the MINIMUM that drops
+    deterministically given the filter's one-batch watermark lag (see
+    the module comment above _WM_HOLD_MOD); trimming the extra on-time
+    batch is the cheap mode of r9 VERDICT item 6. Determinism: chunk
+    files carry pinned mtimes (the file source processes oldest-first),
+    on-time chunks are time-split so only held-back rows are ever late,
+    and the watermark carries microseconds so it never lands exactly on
+    a window boundary (no <=-vs-< edge)."""
+    from ..streaming import WM_DELAY_SECS, run_watermark_window_stream
 
+    assert WM_DELAY_SECS == _WM_DELAY_DAYS * 86400, (
+        "oracle delay constant drifted from streaming.WM_DELAY_SECS"
+    )
     events = load_table(spark, sf_dir, "events").select(
         "event_id",
         F.col("ts").cast("timestamp").alias("ts"),
@@ -322,13 +345,30 @@ def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     es = F.unix_timestamp("ts")
-    held = (F.col("event_id") % _WM_HOLD_MOD == 0) & (es < _WM_T_HOLD)
-    chunks = [
-        (~held) & (es < _WM_T1),
-        (es >= _WM_T1) & (es < _WM_T2),
-        (es >= _WM_T2),
-        held,
-    ]
+    span = events.agg(
+        F.min(es).alias("tmin"), F.max(es).alias("tmax")
+    ).first()
+    t_hold = span.tmin + _WM_HOLD_DAYS * 86400
+    t_mid = span.tmin + _WM_MID_DAYS * 86400
+    held = (F.col("event_id") % _WM_HOLD_MOD == 0) & (es < F.lit(t_hold))
+    # the lagged watermark the held batch (batch 2) is filtered with is
+    # max(chunk0) - delay; every held-back row must sit clearly below
+    # it or the drop set chases Spark internals (fixture-drift guard,
+    # r9 ADVICE). max(chunk0) is computed, not assumed, so a sparse or
+    # narrow fixture fails HERE with a clear message.
+    chunk0_max = events.filter((~held) & (es < F.lit(t_mid))).agg(
+        F.max(es)
+    ).first()[0]
+    lagged_wm = (chunk0_max or 0) - _WM_DELAY_DAYS * 86400
+    if span.tmax <= t_mid or lagged_wm < t_hold + _WM_MARGIN_SECS:
+        raise ValueError(
+            "events fixture time span too narrow/sparse for the "
+            f"late-drop construction: need max ts {span.tmax} > mid "
+            f"cutoff {t_mid} and lagged watermark {lagged_wm} >= hold "
+            f"cutoff {t_hold} + {_WM_MARGIN_SECS}s margin; widen the "
+            "fixture or shrink _WM_HOLD_DAYS/_WM_MID_DAYS"
+        )
+    chunks = [(~held) & (es < F.lit(t_mid)), (~held) & (es >= F.lit(t_mid)), held]
     work = tempfile.mkdtemp(prefix="stream_wm_")
     events_dir = os.path.join(work, "events")
     out_dir = os.path.join(work, "out")

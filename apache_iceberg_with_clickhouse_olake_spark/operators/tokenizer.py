@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from ..functions import dround, dround_sql, md5_int60_sql
 from ..sources.parquet import load_table
+from ._cache import scoped as _scoped
 from ._cache import finalize as _finalize
 from ._cache import persist_tracked as _persist
 from .registry import query
@@ -196,6 +197,7 @@ def _learn_sql() -> str:
     """,
     tags=("llm-text", "llm-tokenizer"),
 )
+@_scoped
 def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top adjacent symbol pairs of the initial (character-level) BPE
     state, weighted by word frequency -- the single-shot primitive the
@@ -218,6 +220,7 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_learn_sql(),
     tags=("llm-text", "llm-tokenizer"),
 )
+@_scoped
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first N BPE merges: N iterations of count-pairs ->
     broadcast the tie-broken winner -> literal-replace it into every
@@ -323,6 +326,7 @@ def _applied_sql() -> str:
     """,
     tags=("llm-text", "llm-tokenizer"),
 )
+@_scoped
 def bpe_tokenize_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Close the train->apply loop: tokenize the whole corpus with the
     learned merge table and measure the compression (BPE tokens per
@@ -438,6 +442,7 @@ def _heldout_sql() -> str:
     """,
     tags=("llm-text", "llm-tokenizer", "llm-sampling"),
 )
+@_scoped
 def bpe_heldout_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize HELD-OUT documents with merges learned on the TRAIN
     split only: per-language held-out compression (BPE tokens per word).

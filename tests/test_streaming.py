@@ -816,8 +816,8 @@ def test_watermark_stream_drops_late_and_emits_once(spark, sf_dir):
         REGISTRY,
     )
     from apache_iceberg_with_clickhouse_olake_spark.operators.streaming_queries import (
+        _WM_HOLD_DAYS,
         _WM_HOLD_MOD,
-        _WM_T_HOLD,
     )
     from apache_iceberg_with_clickhouse_olake_spark.streaming import (
         WM_DELAY_SECS,
@@ -831,14 +831,15 @@ def test_watermark_stream_drops_late_and_emits_once(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     es = F.unix_timestamp(F.col("ts").cast("timestamp"))
-    max_es = events.agg(F.max(es)).first()[0]
+    min_es, max_es = events.agg(F.min(es), F.max(es)).first()
     wm = max_es - WM_DELAY_SECS
+    t_hold = min_es + _WM_HOLD_DAYS * 86400
     assert all(s + WM_WINDOW_SECS <= wm for s in starts), (max(starts), wm)
 
     emitted_total = sum(r["n_events"] for r in rows)
     batch_total = events.filter(es + WM_WINDOW_SECS <= wm).count()
     held_dropped = events.filter(
-        (F.col("event_id") % _WM_HOLD_MOD == 0) & (es < _WM_T_HOLD)
+        (F.col("event_id") % _WM_HOLD_MOD == 0) & (es < F.lit(t_hold))
     ).count()
     assert held_dropped > 0
     # emitted = on-time rows in closed windows; strictly fewer than the
