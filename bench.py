@@ -350,6 +350,34 @@ def main() -> None:
     # instead of requiring a cross-file diff.
     here = os.path.dirname(os.path.abspath(__file__))
     ctx = _env_fingerprint()
+    # Same-code envelope (r9 VERDICT item 5): BENCH_ENVELOPE.json holds
+    # the controlled N-run min/max of the headline total measured on
+    # this round's code on an idle machine (written at round close-out,
+    # see BENCH_NOTES.md). A run whose total lands OUTSIDE the envelope
+    # is machine-annotated as ambient-suspect right in the artifact --
+    # three driver rounds (r6/r8/r9) needed companion prose to make
+    # that attribution; now the artifact carries it itself.
+    envelope = None
+    try:
+        with open(os.path.join(here, "BENCH_ENVELOPE.json")) as f:
+            env_file = json.load(f)
+        if env_file.get("sf") == float(
+            os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+        ):
+            envelope = env_file
+    except (OSError, json.JSONDecodeError, ValueError):
+        envelope = None
+    if envelope:
+        lo, hi = envelope["total_min"], envelope["total_max"]
+        slack = 0.03 * hi  # min/max of a few runs; allow 3% beyond
+        ctx["same_code_envelope"] = {
+            "total_min": lo,
+            "total_max": hi,
+            "runs": envelope.get("runs"),
+            "code_rev": envelope.get("code_rev"),
+            "observed_total": total,
+            "within": bool(lo - slack <= total <= hi + slack),
+        }
     prev, prev_name = _load_prev_artifact(here)
     # Prev-round IQRs: newer compact artifacts don't inline them, so
     # pull from the committed detail sidecar (read BEFORE this run
@@ -396,6 +424,18 @@ def main() -> None:
         # both numbers; calibration drift moves only the normalized one
         # and machine drift moves only the raw one -- either alone is
         # "noise".
+        # r9 ADVICE: the dual gate can classify a genuine code
+        # regression as "noise" when a same-direction machine speedup
+        # offsets the raw delta -- so the RAW/NORMALIZED PAIR is
+        # emitted for EVERY row in the sidecar (delta_detail.queries /
+        # .llm_suite below), not just flagged ones, keeping an offset
+        # regression visible to the next round's review.
+        def delta_pair(now_t, prev_t):
+            return {
+                "raw": round(now_t - prev_t, 4),
+                "norm": round(now_t * (ratio if ratio else 1.0) - prev_t, 4),
+            }
+
         def judge(now_t, prev_t, iqr_now, iqr_prev):
             raw = now_t - prev_t
             norm = now_t * (ratio if ratio else 1.0) - prev_t
@@ -453,6 +493,22 @@ def main() -> None:
                 if v.startswith("regression")
             ),
         }
+        # Third gate (r9 VERDICT item 5): if this run's total fell
+        # outside the same-code controlled envelope, the machine -- not
+        # the code -- moved; flagged rows are annotated ambient-suspect
+        # in the artifact itself rather than silently standing.
+        env = ctx.get("same_code_envelope")
+        if env is not None:
+            delta_vs_prev["envelope"] = (
+                "within" if env["within"] else (
+                    "outside_high (ambient-suspect: total "
+                    f"{env['observed_total']} vs same-code max "
+                    f"{env['total_max']})"
+                    if env["observed_total"] > env["total_max"]
+                    else "outside_low (faster than same-code min "
+                    f"{env['total_min']})"
+                )
+            )
         if ratio:
             delta_vs_prev["calib_ratio_prev_over_now"] = round(ratio, 4)
             delta_vs_prev["total_machine_normalized"] = round(
@@ -462,10 +518,11 @@ def main() -> None:
             delta_vs_prev,
             shared_total_now=shared_now,
             shared_total_prev=shared_prev,
-            queries={n: round(timings[n] - prev_q[n], 4) for n in shared},
+            queries={n: delta_pair(timings[n], prev_q[n]) for n in shared},
             verdicts=verdicts,
             llm_suite={
-                n: round(llm_timings[n] - prev_llm[n], 4) for n in llm_shared
+                n: delta_pair(llm_timings[n], prev_llm[n])
+                for n in llm_shared
             },
             llm_suite_verdicts=llm_verdicts,
             verdict_basis=(

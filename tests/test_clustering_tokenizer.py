@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from apache_iceberg_with_clickhouse_olake_spark.operators import registry
-from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import _K
+from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import _k_for
 from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import load_table
 
 registry._load_all()
@@ -17,9 +17,10 @@ _Q = {name: spec.fn for name, spec in registry.REGISTRY.items()}
 def test_kmeans_partitions_every_vector(spark, sf_dir):
     rows = _Q["embedding_kmeans_profile"](spark, sf_dir).collect()
     n_total = load_table(spark, sf_dir, "embeddings").count()
+    k = _k_for(n_total)
     assert sum(r["n_vectors"] for r in rows) == n_total
-    assert len(rows) <= _K
-    assert all(0 <= r["cluster"] < _K for r in rows)
+    assert len(rows) <= k
+    assert all(0 <= r["cluster"] < k for r in rows)
     assert all(r["avg_dist2"] >= 0 for r in rows)
 
 
@@ -185,3 +186,22 @@ def test_streaming_vector_assign_matches_batch(spark, sf_dir):
         for r in _Q["embedding_kmeans_profile"](spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_kmeans_k_grows_with_corpus_size():
+    """The SemDeDup blocking discipline: k ~ n / target cluster size,
+    floored at _K_MIN, so the within-cluster pair join stays bounded at
+    any corpus size (r9 VERDICT item 2)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _K_MIN,
+        _TARGET_CLUSTER_SIZE,
+    )
+
+    assert _k_for(0) == _K_MIN
+    assert _k_for(_K_MIN * _TARGET_CLUSTER_SIZE) == _K_MIN
+    # strictly growing past the floor, one cluster per target-size slab
+    assert _k_for(100 * _TARGET_CLUSTER_SIZE) == 100
+    assert _k_for(100 * _TARGET_CLUSTER_SIZE + 1) == 101
+    # bounded largest-cluster work under a uniform assignment
+    n = 10**9
+    assert n / _k_for(n) <= _TARGET_CLUSTER_SIZE
