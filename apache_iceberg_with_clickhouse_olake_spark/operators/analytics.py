@@ -1948,3 +1948,150 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conditional-ratio aggregation over a part join (the TPC-H Q14 shape):
+# promo parts' share of one month's revenue.
+# ---------------------------------------------------------------------------
+
+_PROMO_TYPE = "PROMO"
+_PROMO_MONTH = ("1995-09-01", "1995-10-01")
+
+
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+    WITH j AS (
+      SELECT p.p_type,
+             l.l_extendedprice * (1 - l.l_discount) AS rev
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '{_PROMO_MONTH[0]}'
+        AND l.l_shipdate < TIMESTAMP '{_PROMO_MONTH[1]}'
+    )
+    SELECT COUNT(*) AS n_lines,
+           {dsum_sql(
+               f"CASE WHEN p_type = '{_PROMO_TYPE}' THEN rev ELSE 0 END"
+           )} AS promo_revenue,
+           {dsum_sql('rev')} AS total_revenue,
+           {dround_sql(
+               '100.0 * ('
+               + dsum_sql(
+                   f"CASE WHEN p_type = '{_PROMO_TYPE}' THEN rev ELSE 0 END"
+               )
+               + ') / (' + dsum_sql('rev') + ')', 4
+           )} AS promo_share
+    FROM j
+    """,
+    tags=("J1", "A1", "P5"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo parts' share of one shipping month's revenue (TPC-H Q14
+    shape): the month predicate pushes into the lineitem scan
+    (PushedFilters; the scan reads ~1.2% of the fact), the part join
+    shuffles on partkey with AQE sizing (part scales with SF -- no
+    forced broadcast), and the share is a CONDITIONAL aggregate over
+    ONE joined pass, never two scans differenced. Both sums are
+    decimal-exact; the percentage divides the two snapped doubles and
+    snaps once more (the dsum/dround cross-engine discipline)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_PROMO_MONTH[0]).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_PROMO_MONTH[1]).cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(
+        F.col("p_type") == _PROMO_TYPE, rev
+    ).otherwise(F.lit(0.0))
+    agg = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(promo_rev, "promo_revenue"),
+            dsum(rev, "total_revenue"),
+        )
+    )
+    return agg.select(
+        "n_lines",
+        "promo_revenue",
+        "total_revenue",
+        dround(
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive multi-range predicate across a join (the TPC-H Q19 shape):
+# OR-of-ANDs over (brand, size, quantity) triples.
+# ---------------------------------------------------------------------------
+
+# (brand, size lo/hi, quantity lo/hi) alternatives; the per-column HULLS
+# (brand IN set, size 1..40, qty 1..35) are what the scans can push.
+_DISJ_ARMS = (
+    ("Brand#11", 1, 15, 1, 20),
+    ("Brand#22", 10, 30, 10, 30),
+    ("Brand#6", 20, 40, 25, 35),
+)
+
+
+def _disj_sql() -> str:
+    arms = [
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+        f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in _DISJ_ARMS
+    ]
+    return " OR ".join(arms)
+
+
+@query(
+    "disjunctive_pred_revenue",
+    oracle=f"""
+    SELECT COUNT(*) AS n_lines,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')}
+             AS disc_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {_disj_sql()}
+    """,
+    tags=("P6", "P4", "J1"),
+)
+def disjunctive_pred_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate spanning both join sides (TPC-H Q19 shape).
+    The disjunction itself can only evaluate after the join, so each
+    scan gets the per-column HULL pushed explicitly -- brand IN-list +
+    size envelope on part, quantity envelope on lineitem (the classic
+    manual Q19 rewrite; Catalyst does not derive cross-arm hulls) --
+    and the residual OR filters the joined rows. tests/test_plans.py
+    asserts the hulls reach PushedFilters on BOTH scans."""
+    brands = [a[0] for a in _DISJ_ARMS]
+    smin = min(a[1] for a in _DISJ_ARMS)
+    smax = max(a[2] for a in _DISJ_ARMS)
+    qmin = min(a[3] for a in _DISJ_ARMS)
+    qmax = max(a[4] for a in _DISJ_ARMS)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(qmin, qmax)
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(brands) & F.col("p_size").between(smin, smax)
+    )
+    arm_pred = None
+    for b, slo, shi, qlo, qhi in _DISJ_ARMS:
+        arm = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        arm_pred = arm if arm_pred is None else (arm_pred | arm)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(arm_pred)
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "disc_revenue",
+            ),
+        )
+    )

@@ -795,3 +795,28 @@ def test_bpe_iteration_frames_are_vocabulary_sized(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     # one 1-row winner attach per iteration, all broadcast nested-loop
     assert plan.count("BroadcastNestedLoopJoin") >= _N_MERGES, plan
+
+
+def test_disjunctive_hulls_push_to_both_scans(spark, sf_dir):
+    """Q19 shape: the OR-of-ANDs is post-join, but its per-column hulls
+    must reach the parquet scans -- brand IN-list + size envelope on
+    part, quantity envelope on lineitem (the manual rewrite Catalyst
+    won't derive)."""
+    df = _Q["disjunctive_pred_revenue"](spark, sf_dir)
+    assert_pushed_filter(df, "l_quantity")
+    assert_pushed_filter(df, "p_brand")
+    assert_pushed_filter(df, "p_size")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_promo_share_pushes_month_and_prunes(spark, sf_dir):
+    """Q14 shape: the shipping-month range lands in the lineitem scan's
+    PushedFilters and only the needed columns are read."""
+    df = _Q["promo_revenue_share"](spark, sf_dir)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_scan_columns_at_most(
+        df,
+        "lineitem",
+        {"l_partkey", "l_extendedprice", "l_discount", "l_shipdate"},
+    )
