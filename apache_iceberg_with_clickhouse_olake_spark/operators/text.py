@@ -1084,3 +1084,264 @@ def vocab_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_freq").desc(), "w1", "w2")
         .limit(_TYPO_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality score (the conditional-probability upgrade of
+# unigram_logprob_quality; Laplace-smoothed so unseen continuations
+# stay finite)
+# ---------------------------------------------------------------------------
+
+@query(
+    "bigram_logprob_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    v AS (
+      SELECT COUNT(DISTINCT x) AS vsz
+      FROM (SELECT UNNEST(toks) AS x FROM t)
+    )
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           {davg_sql(
+               'ln(CAST(c12.c12 + 1 AS DOUBLE)'
+               ' / CAST(c1.c1 + v.vsz AS DOUBLE))'
+           )} AS avg_logprob
+    FROM bg
+    JOIN c12 USING (w1, w2)
+    JOIN c1 USING (w1)
+    CROSS JOIN v
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+    tags=("llm-text",),
+)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score: average Laplace-smoothed conditional
+    log probability ln((c(w1,w2)+1)/(c(w1)+|V|)) per document -- the
+    next-cheapest LM-quality filter after the unigram one, and the one
+    that actually catches shuffled/garbled word ORDER (a bag-of-words
+    score cannot).
+
+    Shape at scale: ONE tokenize pass explodes to the bigram frame;
+    the two count tables are (observed-bigram)- and vocabulary-sized
+    keyed aggregates with map-side combine; scoring joins the bigram
+    frame back on its own keys (AQE broadcasts the count tables while
+    they fit, shuffles otherwise -- no forced hint, the vocabulary
+    grows with the corpus); |V| rides a 1-row broadcast. Every count is
+    an exact integer, the smoothed ratio divides two exactly-converted
+    doubles, and ln is bit-identical cross-engine (the
+    unigram_logprob_quality determinism argument), with davg snapping
+    each term before the partition-order-free sum."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    bg = (
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (x, i) -> struct(x AS w1,"
+                    " element_at(toks, i + 2) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = docs.select(F.explode("toks").alias("x")).agg(
+        F.countDistinct("x").alias("vsz")
+    )
+    score = F.log(
+        (F.col("c12") + 1).cast("double")
+        / (F.col("c1") + F.col("vsz")).cast("double")
+    )
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            davg(score, "avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics laws: Zipf rank-frequency slope, Heaps vocabulary
+# growth -- the two classic sanity fits run over a training corpus
+# before trusting its token statistics
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 100
+
+
+@query(
+    "zipf_slope_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT UNNEST({_TOKS}) AS term FROM documents),
+    tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    ranked AS (
+      SELECT term, cnt,
+             row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+      FROM tf
+      QUALIFY rnk <= {_ZIPF_TOP}
+    ),
+    pts AS (
+      SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             {dsum_sql('x')} AS sx, {dsum_sql('y')} AS sy,
+             {dsum_sql('x * y')} AS sxy, {dsum_sql('x * x')} AS sxx
+      FROM pts
+    )
+    SELECT n AS n_terms,
+           {dround_sql('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 4)}
+             AS zipf_slope
+    FROM s
+    """,
+    tags=("llm-text",),
+)
+def zipf_slope_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: least-squares slope of ln(freq) against ln(rank)
+    over the top-{100} terms (a healthy natural-language corpus sits
+    near -1; a template-spam or codebook corpus does not). The rank
+    selection is TakeOrderedAndProject (per-partition heap, never a
+    global sort of the vocabulary); the regression then runs over 100
+    rows. Determinism: ranks/counts are exact integers, ln is
+    bit-identical cross-engine, the four sums are decimal-snapped
+    (dsum), and the closed-form slope divides identically-computed
+    doubles before one final snap."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(_ZIPF_TOP)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "term")
+    pts = tf.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        dsum(F.col("x"), "sx"),
+        dsum(F.col("y"), "sy"),
+        dsum(F.col("x") * F.col("y"), "sxy"),
+        dsum(F.col("x") * F.col("x"), "sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        dround(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("zipf_slope"),
+    )
+
+
+_HEAPS_BUCKETS = 10
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH span AS (
+      SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+    ),
+    d AS (
+      SELECT doc_id,
+             LEAST({_HEAPS_BUCKETS},
+                   CAST(({_HEAPS_BUCKETS} * (doc_id - lo))
+                        // (hi - lo + 1) AS BIGINT) + 1) AS bucket,
+             {_TOKS} AS toks
+      FROM documents CROSS JOIN span
+    ),
+    first_seen AS (
+      SELECT term, MIN(bucket) AS fb
+      FROM (SELECT bucket, UNNEST(toks) AS term FROM d)
+      GROUP BY term
+    ),
+    newterms AS (
+      SELECT fb AS bucket, COUNT(*) AS new_terms
+      FROM first_seen GROUP BY fb
+    ),
+    docs_per AS (
+      SELECT bucket, COUNT(*) AS n_docs FROM d GROUP BY bucket
+    )
+    SELECT p.bucket, p.n_docs,
+           COALESCE(n.new_terms, 0) AS new_terms,
+           CAST(SUM(COALESCE(n.new_terms, 0)) OVER (
+             ORDER BY p.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS vocab_cum
+    FROM docs_per p LEFT JOIN newterms n USING (bucket)
+    ORDER BY p.bucket
+    """,
+    tags=("llm-text",),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct-term count accumulated
+    across {10} equal doc-id slabs of the corpus (sublinear growth is
+    the natural-language signature; a flat curve means duplicated
+    templates, a linear one means noise/UUID spam). Scale shape: the
+    slab id is pure arithmetic on broadcast MIN/MAX scalars -- NOT an
+    ntile over a global sort; each term's first-seen slab is one
+    vocabulary-sized min-aggregate; the cumulative sum runs over
+    {10} rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    span = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    d = docs.crossJoin(F.broadcast(span)).select(
+        F.least(
+            F.lit(_HEAPS_BUCKETS),
+            F.floor(
+                (_HEAPS_BUCKETS * (F.col("doc_id") - F.col("lo")))
+                / (F.col("hi") - F.col("lo") + 1)
+            ) + 1,
+        ).alias("bucket"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    first_seen = (
+        d.select("bucket", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_terms"))
+    )
+    docs_per = d.groupBy("bucket").agg(F.count("*").alias("n_docs"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        docs_per.join(first_seen, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+        )
+        .withColumn(
+            "vocab_cum", F.sum("new_terms").over(w).cast("long")
+        )
+        .orderBy("bucket")
+    )
