@@ -402,3 +402,103 @@ def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once ingestion twin: a REPLAYED chunk (at-least-once
+# delivery) must contribute nothing through the watermarked
+# dropDuplicates state
+# ---------------------------------------------------------------------------
+
+_SDD_MARGIN_SECS = 86400
+
+
+@query(
+    "streaming_dedup_exactly_once",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("C2", "C6", "A2"),
+)
+def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stateful streaming dedup: the event stream arrives as three
+    time-ordered chunks plus a byte-identical REPLAY of the last chunk
+    (the at-least-once transport case: a source retry re-delivers a
+    whole file). The watermarked ``dropDuplicates`` state
+    (streaming.run_stream_dedup) must swallow every replayed row, so
+    the sink equals the PLAIN batch rollup of the events table -- which
+    is exactly what the oracle computes; any replayed row leaking
+    through doubles a count and fails the value-hash compare.
+    Determinism: chunks are time-split (no on-time row is ever late
+    under the lagged watermark -- chunk spans are asserted to dwarf the
+    delay), the replay is the newest chunk so its keys are still inside
+    the state-retention horizon, and emission in append mode is
+    immediate on first arrival."""
+    from ..streaming import WM_DELAY_SECS, run_stream_dedup
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    es = F.unix_timestamp("ts")
+    tmin, tmax = events.agg(F.min(es), F.max(es)).first()
+    third = (tmax - tmin) // 3
+    if third < WM_DELAY_SECS + _SDD_MARGIN_SECS:
+        raise ValueError(
+            f"events fixture span too narrow: chunk span {third}s must "
+            f"exceed the dedup watermark {WM_DELAY_SECS}s by >= "
+            f"{_SDD_MARGIN_SECS}s or time-ordered chunks could drop "
+            "on-time rows as late"
+        )
+    t1, t2 = tmin + third, tmin + 2 * third
+    chunks = [es < t1, (es >= t1) & (es < t2), es >= t2]
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    events_dir = os.path.join(work, "events")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(events_dir, exist_ok=True)
+    try:
+        for c, pred in enumerate(chunks):
+            stage = os.path.join(work, f"_stage_{c}")
+            (
+                events.filter(pred)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            parts = glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(events_dir, f"chunk{c}.parquet")
+            shutil.move(parts[0], dst)
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(dst, (1_700_000_000 + c, 1_700_000_000 + c))
+        # the at-least-once replay: the LAST chunk re-delivered verbatim
+        replay = os.path.join(events_dir, "chunk3_replay.parquet")
+        shutil.copyfile(
+            os.path.join(events_dir, "chunk2.parquet"), replay
+        )
+        os.utime(replay, (1_700_000_003, 1_700_000_003))
+
+        run_stream_dedup(spark, events_dir, out_dir, ckpt)
+        out = (
+            spark.read.parquet(out_dir)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                dsum(F.col("value"), "total_value"),
+            )
+            .orderBy("event_type")
+        )
+        # snapshot before the temp stream dirs are deleted
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

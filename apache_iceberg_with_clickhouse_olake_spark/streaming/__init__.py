@@ -692,3 +692,53 @@ def run_watermark_window_stream(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming dedup: exactly-once ingestion under at-least-once
+# delivery (a replayed chunk must contribute nothing)
+# ---------------------------------------------------------------------------
+
+DEDUP_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def run_stream_dedup(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """File-sourced event stream -> watermarked ``dropDuplicates`` on
+    (event_id, ts) -> append parquet sink: the exactly-once ingestion
+    idiom for an at-least-once transport (a replayed file's rows match
+    live dedup state and emit nothing). Including the event-time column
+    in the dedup key is what BOUNDS the state: keys older than the
+    watermark are evicted, so state holds only the last
+    WM_DELAY_SECS of keys -- not the whole history -- at any corpus
+    rate. Emission is immediate on first arrival (dropDuplicates in
+    append mode does not wait for the watermark), so the sink holds
+    exactly the distinct events."""
+    deduped = (
+        spark.readStream.schema(DEDUP_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+        .withWatermark("ts", f"{WM_DELAY_SECS} seconds")
+        .dropDuplicates(["event_id", "ts"])
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
