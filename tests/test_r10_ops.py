@@ -1,0 +1,106 @@
+"""Semantic invariants of the round-10 operators (value-level
+correctness is oracle-checked by the driver/driver_sim; these pin the
+algebraic properties that survive fixture regeneration)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_iceberg_with_clickhouse_olake_spark.functions import tokens
+from apache_iceberg_with_clickhouse_olake_spark.operators import registry
+from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import load_table
+
+registry._load_all()
+_Q = {name: spec.fn for name, spec in registry.REGISTRY.items()}
+
+
+def test_promo_share_is_a_percentage_of_one_pass(spark, sf_dir):
+    row = _Q["promo_revenue_share"](spark, sf_dir).first()
+    assert row["n_lines"] > 0
+    assert 0.0 <= row["promo_share"] <= 100.0
+    assert 0.0 <= row["promo_revenue"] <= row["total_revenue"]
+
+
+def test_disjunctive_arms_partition_the_result(spark, sf_dir):
+    """Each arm alone must be a subset of the disjunction; the arms are
+    brand-disjoint, so their counts sum exactly to the union's."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.analytics import (
+        _DISJ_ARMS,
+    )
+
+    total = _Q["disjunctive_pred_revenue"](spark, sf_dir).first()
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    arm_counts = []
+    for b, slo, shi, qlo, qhi in _DISJ_ARMS:
+        arm_counts.append(
+            j.filter(
+                (F.col("p_brand") == b)
+                & F.col("p_size").between(slo, shi)
+                & F.col("l_quantity").between(qlo, qhi)
+            ).count()
+        )
+    assert all(c > 0 for c in arm_counts), arm_counts
+    assert sum(arm_counts) == total["n_lines"]
+
+
+def test_bigram_logprob_bounds_and_counts(spark, sf_dir):
+    rows = _Q["bigram_logprob_quality"](spark, sf_dir).collect()
+    assert rows
+    # Laplace-smoothed conditional probs are < 1 => logs strictly < 0
+    assert all(r["avg_logprob"] < 0 for r in rows)
+    expected = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.size(tokens(F.col("text"))).alias("n"))
+        .filter(F.col("n") >= 2)
+        .agg(F.sum(F.col("n") - 1))
+        .first()[0]
+    )
+    assert sum(r["n_bigrams"] for r in rows) == expected
+
+
+def test_zipf_slope_is_negative(spark, sf_dir):
+    row = _Q["zipf_slope_top_terms"](spark, sf_dir).first()
+    # rank-frequency is always non-increasing => fitted slope < 0; the
+    # 31-word synthetic codebook sits far above natural language's ~-1,
+    # which is exactly the template-spam diagnosis the op exists for
+    assert row["n_terms"] >= 2
+    assert -3.0 < row["zipf_slope"] < 0.0
+
+
+def test_vocab_growth_is_monotone_and_closes(spark, sf_dir):
+    rows = _Q["vocab_growth_curve"](spark, sf_dir).collect()
+    assert [r["bucket"] for r in rows] == list(range(1, len(rows) + 1))
+    cums = [r["vocab_cum"] for r in rows]
+    assert all(a <= b for a, b in zip(cums, cums[1:]))
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .agg(F.countDistinct("t"))
+        .first()[0]
+    )
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert cums[-1] == n_vocab
+    assert sum(r["new_terms"] for r in rows) == n_vocab
+
+
+def test_streaming_dedup_swallows_the_replay(spark, sf_dir):
+    """The sink rollup must equal the batch rollup of the UNIQUE events
+    even though a whole chunk was delivered twice."""
+    got = {
+        r["event_type"]: (r["n_events"], r["n_users"])
+        for r in _Q["streaming_dedup_exactly_once"](spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        r["event_type"]: (r["n"], r["u"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("u"),
+        )
+        .collect()
+    }
+    assert got == want
