@@ -104,3 +104,18 @@ def test_streaming_dedup_swallows_the_replay(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_pca_top2_components_are_near_orthogonal(spark, sf_dir):
+    """Projection deflation must leave the second direction ~orthogonal
+    to the first; the 4-decimal component snapping bounds the residual
+    dot product far below any meaningful correlation."""
+    rows = _Q["embedding_pca_top2"](spark, sf_dir).collect()
+    v1 = {r["dim"]: r["component"] for r in rows if r["comp"] == 1}
+    v2 = {r["dim"]: r["component"] for r in rows if r["comp"] == 2}
+    assert len(v1) == len(v2) == 64
+    dot = sum(v1[d] * v2[d] for d in v1)
+    n1 = sum(x * x for x in v1.values()) ** 0.5
+    n2 = sum(x * x for x in v2.values()) ** 0.5
+    assert abs(n1 - 1) < 1e-2 and abs(n2 - 1) < 1e-2
+    assert abs(dot) / (n1 * n2) < 0.05, dot
