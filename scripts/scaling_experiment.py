@@ -49,6 +49,13 @@ QUERIES = (
     "nation_market_share",
     "revenue_rollup_levels",
     "events_watermark_late_drop",
+    # r10 additions over the facts: the Q14 conditional-ratio join, the
+    # Q19 hull-pushdown disjunction, and the watermarked dropDuplicates
+    # exactly-once ingestion (events replicate -> more chunk rows
+    # through the same bounded dedup state)
+    "promo_revenue_share",
+    "disjunctive_pred_revenue",
+    "streaming_dedup_exactly_once",
 )
 KEY_COLS = {
     "orders": "o_orderkey",
@@ -107,6 +114,14 @@ CORPUS_QUERIES = (
     "bpe_heldout_compression",
     "vocab_edit_distance_pairs",
     "key_skew_profile",
+    # r10 additions over the corpus: bigram LM scoring (one tokenize
+    # pass + observed-bigram-keyed joins), the Zipf/Heaps corpus-law
+    # fits, and the deflated two-component power iteration (2x the
+    # per-iteration corpus pass)
+    "bigram_logprob_quality",
+    "zipf_slope_top_terms",
+    "vocab_growth_curve",
+    "embedding_pca_top2",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)
