@@ -190,6 +190,7 @@ _MODULES = (
     "linalg",
     "medallion",
     "multimodal",
+    "relational",
     "sampling",
     "sessions",
     "similarity",
