@@ -56,6 +56,18 @@ QUERIES = (
     "promo_revenue_share",
     "disjunctive_pred_revenue",
     "streaming_dedup_exactly_once",
+    # r10 semi/anti-join suite: every correlated predicate is a
+    # pre-join reduction of the replicated fact (Q4's EXISTS -> per-
+    # orderkey max, Q21's EXISTS+NOT EXISTS -> one per-orderkey
+    # distinct-count pass, Q22's NOT EXISTS -> anti join on the pruned
+    # key set), so wall time must track the single fact pass
+    "shipping_priority_topk",
+    "late_exists_order_priority",
+    "returned_items_ranking",
+    "top_supplier_revenue",
+    "large_quantity_orders",
+    "lonely_late_supplier",
+    "idle_rich_customers",
 )
 KEY_COLS = {
     "orders": "o_orderkey",
