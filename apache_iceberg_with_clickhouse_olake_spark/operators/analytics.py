@@ -2095,3 +2095,61 @@ def disjunctive_pred_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: the full grouping-set lattice (ROLLUP's sibling; ClickHouse
+# exposes it as WITH CUBE). Detail, per-year, per-status, and grand
+# total in ONE Expand + aggregate pass.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_cube_levels",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           o_orderstatus AS status,
+           CAST(GROUPING(year(o_orderdate)) AS INT) AS g_year,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           COUNT(*) AS orders,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY CUBE(year(o_orderdate), o_orderstatus)
+    ORDER BY g_year, g_status, order_year NULLS FIRST, status NULLS FIRST
+    """,
+    tags=("A8", "A4", "U1"),
+)
+def revenue_cube_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (year, status): all FOUR grouping sets -- detail,
+    per-year, per-status, grand total -- in one Expand + hash aggregate
+    (each input row fans out to its 4 set replicas map-side, partials
+    combine per set before the single exchange). The per-status subtotal
+    is what ROLLUP can't produce; a UNION-of-aggregations port would
+    scan orders four times for the same answer. GROUPING flags
+    disambiguate subtotal rows from genuine NULL keys in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    from ..functions import dsum as _dsum
+
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.col("o_orderstatus").alias("status"),
+            "o_totalprice",
+        )
+        .cube("order_year", "status")
+        .agg(
+            F.grouping("order_year").cast("int").alias("g_year"),
+            F.grouping("status").cast("int").alias("g_status"),
+            F.count("*").alias("orders"),
+            _dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .select(
+            "order_year", "status", "g_year", "g_status", "orders", "revenue"
+        )
+        .orderBy(
+            "g_year",
+            "g_status",
+            F.col("order_year").asc_nulls_first(),
+            F.col("status").asc_nulls_first(),
+        )
+    )

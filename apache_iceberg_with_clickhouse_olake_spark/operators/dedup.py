@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import (
+    davg,
+    davg_sql,
     dround,
     dround_sql,
     md5_int60,
@@ -1405,4 +1407,156 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_best_chars"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch calibration: estimated (signature) vs exact (shingle) Jaccard
+# ---------------------------------------------------------------------------
+
+_CALIB_ORACLE = f"""
+    WITH {_SIG_CTE},
+    bands AS (
+      {' UNION ALL '.join(
+          f"SELECT doc_id, {b} AS band_id, b{b} AS band_hash FROM bands_wide"
+          for b in range(_N_BANDS)
+      )}
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+    scored AS (
+      SELECT CAST({' + '.join(
+          f'(CASE WHEN ha.h{i} = hb.h{i} THEN 1 ELSE 0 END)'
+          for i in range(_N_HASHES)
+      )} AS INT) AS est_matches,
+             {dround_sql(
+                 'CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)'
+                 ' / len(list_distinct(list_concat(sa.shingles, sb.shingles)))',
+                 4,
+             )} AS jac
+      FROM pairs p
+      JOIN sigs ha ON p.doc_a = ha.doc_id
+      JOIN sigs hb ON p.doc_b = hb.doc_id
+      JOIN sh sa ON p.doc_a = sa.doc_id
+      JOIN sh sb ON p.doc_b = sb.doc_id
+    )
+    SELECT est_matches,
+           est_matches / {float(_N_HASHES)} AS est_jaccard,
+           COUNT(*) AS n_pairs,
+           {davg_sql('jac')} AS avg_true_jaccard,
+           {davg_sql(f'abs(est_matches / {float(_N_HASHES)} - jac)')}
+             AS avg_abs_err
+    FROM scored
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "minhash_estimate_calibration",
+    oracle=_CALIB_ORACLE,
+    tags=("llm-dedup",),
+)
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve of the MinHash sketch: for every LSH candidate
+    pair, the signature-agreement estimate (matching components / 16)
+    against the EXACT shingle Jaccard, grouped by estimate level --
+    "measure the sketch, don't trust it". The pair stream is the same
+    band-bucketed join as minhash_lsh_candidates (first-matching-band
+    exactly-once emission, no pair-stream distinct); signatures and
+    shingles attach to the BOUNDED pair set by keyed join afterwards, so
+    the 16 extra int64s never ride the quadratic-in-bucket-size join
+    itself. Per-pair doubles snap to 4 decimals before the exact decimal
+    mean (davg), keeping the curve hash-identical cross-engine."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    hvals = F.transform(F.col("shingles"), lambda s: md5_int60(s) % _P)
+    attach = (
+        with_shingles(docs)
+        .select("doc_id", "shingles", hvals.alias("hvals"))
+        .select(
+            "doc_id",
+            "shingles",
+            F.array(
+                *[_minhash_sig(F.col("hvals"), i) for i in range(_N_HASHES)]
+            ).alias("sig"),
+        )
+    )
+    sig_cols = [F.col("sig")[i] for i in range(_N_HASHES)]
+    bands_wide = attach.select(
+        "doc_id",
+        *[_band_hash(sig_cols, b).alias(f"b{b}") for b in range(_N_BANDS)],
+    )
+    bands = bands_wide.select(
+        "doc_id",
+        *[f"b{b}" for b in range(_N_BANDS)],
+        F.posexplode(
+            F.array(*[F.col(f"b{b}") for b in range(_N_BANDS)])
+        ).alias("band_id", "band_hash"),
+    ).repartition(par, "band_id", "band_hash")
+    x, y = bands.alias("x"), bands.alias("y")
+    joined = x.join(
+        y,
+        (F.col("x.band_id") == F.col("y.band_id"))
+        & (F.col("x.band_hash") == F.col("y.band_hash"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    )
+    earlier_match = F.lit(False)
+    for b in range(_N_BANDS - 1):
+        earlier_match = earlier_match | (
+            (F.col("x.band_id") > b) & (F.col(f"x.b{b}") == F.col(f"y.b{b}"))
+        )
+    pairs = joined.filter(~earlier_match).select(
+        F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+    )
+    sa, sb = attach.alias("sa"), attach.alias("sb")
+    jac_raw = (
+        F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+        .cast("double")
+        / F.size(F.array_union(F.col("sa.shingles"), F.col("sb.shingles")))
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("sa.sig"), F.col("sb.sig"), lambda a, b: a == b
+            ),
+            lambda v: v,
+        )
+    ).cast("int")
+    scored = (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            matches.alias("est_matches"),
+            dround(jac_raw, 4).alias("jac"),
+        )
+        .withColumn(
+            "abs_err",
+            F.abs(
+                F.col("est_matches") / F.lit(float(_N_HASHES))
+                - F.col("jac")
+            ),
+        )
+    )
+    return (
+        scored.groupBy("est_matches")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            davg("jac", "avg_true_jaccard"),
+            davg("abs_err", "avg_abs_err"),
+        )
+        .select(
+            "est_matches",
+            (F.col("est_matches") / F.lit(float(_N_HASHES))).alias(
+                "est_jaccard"
+            ),
+            "n_pairs",
+            "avg_true_jaccard",
+            "avg_abs_err",
+        )
+        .orderBy("est_matches")
     )

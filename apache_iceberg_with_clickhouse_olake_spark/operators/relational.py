@@ -472,3 +472,208 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q5: local-supplier volume (region-gated same-nation trade)
+# ---------------------------------------------------------------------------
+
+_Q5_REGION = "ASIA"
+_Q5_LO, _Q5_HI = "1997-01-01", "1999-01-01"
+
+
+@query(
+    "intra_region_revenue",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = '{_Q5_REGION}'
+      AND o.o_orderdate >= TIMESTAMP '{_Q5_LO} 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '{_Q5_HI} 00:00:00'
+    GROUP BY 1
+    ORDER BY revenue DESC, nation
+    """,
+    tags=("J1", "A4", "O1"),
+)
+def intra_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped by a supplier in the CUSTOMER's own nation,
+    per nation of one region (TPC-H Q5). The same-nation correlation
+    (s_nationkey = c_nationkey) rides the broadcast supplier join as an
+    extra equi-condition, so mismatched rows die at the probe instead
+    of surviving to a filter; nation+region fold into one 25-row
+    broadcast whose region predicate prunes BEFORE broadcasting. Fact
+    shuffles: lineitem-orders on orderkey, then +customer on custkey --
+    the two AQE-sized joins any fact-fact-dim plan needs; everything
+    else is map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q5_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q5_HI).cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    local_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == _Q5_REGION)),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(
+            F.broadcast(local_nations),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7: bilateral trade volume by ship-year
+# ---------------------------------------------------------------------------
+
+_Q7_NATION_A = "NATION_1"
+_Q7_NATION_B = "NATION_2"
+
+
+@query(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS volume
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    WHERE (ns.n_name = '{_Q7_NATION_A}' AND nc.n_name = '{_Q7_NATION_B}')
+       OR (ns.n_name = '{_Q7_NATION_B}' AND nc.n_name = '{_Q7_NATION_A}')
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    tags=("J1", "A4", "A8"),
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral shipping volume between two nations per ship-year
+    (TPC-H Q7). The supplier-side nation filter applies BEFORE the fact
+    joins -- supplier broadcasts pre-filtered to the two nations, so
+    only their lineitems survive the first probe and the orderkey/
+    custkey shuffles carry a two-nation slice, not the whole fact
+    table. The customer side can't pre-filter its join input the same
+    way (any customer may buy from both), so its two-nation gate rides
+    the broadcast-nation attach; the OR-pair predicate then reduces to
+    excluding the two same-nation flows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = nation.filter(
+        F.col("n_name").isin(_Q7_NATION_A, _Q7_NATION_B)
+    ).select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(pair.withColumnRenamed("n_name", "supp_nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    custn = (
+        cust.join(
+            F.broadcast(pair.withColumnRenamed("n_name", "cust_nation")),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(custn, orders.o_custkey == custn.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(dsum(rev, "volume"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16: supplier diversity per (brand, size) with a NOT-IN exclusion
+# ---------------------------------------------------------------------------
+
+_Q16_BRANDS = ("Brand#12", "Brand#23", "Brand#34", "Brand#45")
+_Q16_SIZES = (1, 4, 7, 10, 23, 36)
+_Q16_EXCLUDED_NATION = 0
+
+
+@query(
+    "brand_size_supplier_counts",
+    oracle=f"""
+    SELECT p.p_brand AS brand,
+           p.p_size AS size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN ({', '.join(f"'{b}'" for b in _Q16_BRANDS)})
+      AND p.p_size IN ({', '.join(str(s) for s in _Q16_SIZES)})
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier
+        WHERE s_nationkey = {_Q16_EXCLUDED_NATION}
+      )
+    GROUP BY 1, 2
+    ORDER BY supplier_cnt DESC, brand, size
+    """,
+    tags=("P4", "A6", "J1", "O1"),
+)
+def brand_size_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier diversity per (brand, size), excluding one
+    nation's suppliers (TPC-H Q16's NOT IN). The NOT IN compiles to a
+    broadcast LEFT ANTI join against the pre-filtered supplier keys
+    (safe here: s_suppkey is non-null, so anti-join and NOT IN agree);
+    brand/size IN-lists push into the part scan, and part -- a linear
+    dim -- carries no broadcast hint (AQE promotes the filtered slice).
+    The distinct count shuffles only lines that survived both the
+    exclusion and the part filter."""
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == _Q16_EXCLUDED_NATION)
+        .select("s_suppkey")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(*_Q16_BRANDS)
+        & F.col("p_size").isin(*_Q16_SIZES)
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(excluded),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "brand", "size")
+    )

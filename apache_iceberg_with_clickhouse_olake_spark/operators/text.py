@@ -1345,3 +1345,172 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (Okapi BM25+ IDF) for a fixed query
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = ("fast", "vector", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 15
+
+_BM25_IDF_SQL = (
+    "ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)"
+)
+_BM25_CONTRIB_SQL = (
+    f"{_BM25_IDF_SQL} * tf.tf * ({_BM25_K1} + 1.0) / "
+    f"(tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / a.avgdl))"
+)
+
+
+@query(
+    "bm25_topk_search",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM base),
+    a AS (SELECT {davg_sql('len(toks)')} AS avgdl FROM base),
+    tf AS (
+      SELECT doc_id, len(toks) AS dl, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, toks, unnest(toks) AS term FROM base)
+      WHERE term IN ({', '.join(f"'{t}'" for t in _BM25_QUERY)})
+      GROUP BY 1, 2, 3
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    )
+    SELECT tf.doc_id,
+           CAST(COUNT(*) AS INT) AS n_terms_matched,
+           {dround_sql(f'{dsum_sql(_BM25_CONTRIB_SQL)}', 4)} AS score
+    FROM tf JOIN df USING (term), n, a
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id
+    LIMIT {_BM25_TOP}
+    """,
+    tags=("llm-text",),
+)
+def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed query (the lexical half of
+    a hybrid search stack; BM25+ IDF ``ln((N-df+.5)/(df+.5)+1)`` stays
+    positive for corpus-saturated terms). Scale shape: the query-term
+    IN-filter lands directly on the exploded token stream, so only
+    query-term postings ever aggregate or shuffle -- the corpus pass is
+    one tokenize + filter; df/idf live on a query-terms-sized frame that
+    joins back by BROADCAST; N and avgdl are one-row scalars. Per-term
+    contributions snap to 6 decimals inside the exact decimal sum
+    (dsum), so the summed score is order-independent and cross-engine
+    stable; the top-k is TakeOrderedAndProject over doc-grain rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    n_docs = docs.count()  # scalar; bounded one-row materialization
+    avgdl = float(
+        docs.select(F.size("toks").alias("dl"))
+        .agg(davg("dl", "avgdl"))
+        .first()["avgdl"]
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select("doc_id", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_terms_matched"),
+            dround(dsum("contrib"), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (tokens per character / per word)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len({_TOKS}) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '{_BPE_WORD}'))
+               + len(regexp_extract_all(lower(text), '{_BPE_SYM}'))
+               AS BIGINT) AS n_bpe
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+           {dround_sql('CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_chars)', 6)}
+             AS tokens_per_char,
+           {dround_sql('CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_words)', 6)}
+             AS fertility
+    FROM per_doc
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm-text",),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE-ish tokens per whitespace word) and
+    compression (tokens per character) by language -- the standard
+    multilingual tokenizer-budget diagnostic: a language with fertility
+    far above the corpus norm pays proportionally more context budget
+    per sentence. One per-row projection pass + a 5-group aggregate;
+    the ratio runs over the corpus-level sums (ratio-of-sums, not
+    mean-of-ratios -- short docs must not dominate), computed on exact
+    integer totals then snapped."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    n_bpe = (
+        F.regexp_count(low, F.lit(_BPE_WORD))
+        + F.regexp_count(low, F.lit(_BPE_SYM))
+    ).cast("long")
+    per_doc = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_words"),
+        n_bpe.alias("n_bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            dround(
+                F.sum("n_bpe").cast("double") / F.sum("n_chars"), 6
+            ).alias("tokens_per_char"),
+            dround(
+                F.sum("n_bpe").cast("double") / F.sum("n_words"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

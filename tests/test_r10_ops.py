@@ -119,3 +119,69 @@ def test_pca_top2_components_are_near_orthogonal(spark, sf_dir):
     n2 = sum(x * x for x in v2.values()) ** 0.5
     assert abs(n1 - 1) < 1e-2 and abs(n2 - 1) < 1e-2
     assert abs(dot) / (n1 * n2) < 0.05, dot
+
+
+# -- late-r10 additions: sketch calibration, CUBE, BM25 --------------------
+
+
+def test_minhash_calibration_covers_all_candidates(spark, sf_dir):
+    """The calibration curve partitions EXACTLY the LSH candidate set:
+    total pairs across estimate levels equals the verified-candidate
+    count, every level's estimate is consistent with >=1 shared band
+    (>=4 matching components), and the mean absolute error is a real
+    probability gap (inside [0, 1])."""
+    rows = _Q["minhash_estimate_calibration"](spark, sf_dir).collect()
+    assert rows
+    n_candidates = _Q["minhash_lsh_candidates"](spark, sf_dir).count()
+    assert sum(r["n_pairs"] for r in rows) == n_candidates
+    for r in rows:
+        assert 4 <= r["est_matches"] <= 16
+        assert abs(r["est_jaccard"] - r["est_matches"] / 16.0) < 1e-12
+        assert 0.0 <= r["avg_abs_err"] <= 1.0
+        assert 0.0 <= r["avg_true_jaccard"] <= 1.0
+
+
+def test_cube_contains_rollup_and_the_status_margin(spark, sf_dir):
+    """CUBE = ROLLUP's sets plus the per-status margin: every rollup row
+    appears in the cube verbatim, the extra rows are exactly the
+    (status, g_year=1, g_status=0) subtotals, and the grand total in
+    both equals the orders rowcount."""
+    from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import (
+        load_table,
+    )
+
+    cube = _Q["revenue_cube_levels"](spark, sf_dir).collect()
+    rollup = _Q["revenue_rollup_levels"](spark, sf_dir).collect()
+    key = lambda r: (  # noqa: E731
+        r["order_year"], r["status"], r["g_year"], r["g_status"],
+        r["orders"], r["revenue"],
+    )
+    cube_keys = {key(r) for r in cube}
+    assert {key(r) for r in rollup} <= cube_keys
+    extras = [r for r in cube if key(r) not in {key(x) for x in rollup}]
+    assert extras and all(
+        r["g_year"] == 1 and r["g_status"] == 0 for r in extras
+    )
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    grand = [r for r in cube if r["g_year"] == 1 and r["g_status"] == 1]
+    assert len(grand) == 1 and grand[0]["orders"] == n_orders
+
+
+def test_bm25_scores_rank_and_match(spark, sf_dir):
+    from apache_iceberg_with_clickhouse_olake_spark.operators.text import (
+        _BM25_QUERY,
+        _BM25_TOP,
+    )
+
+    rows = _Q["bm25_topk_search"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= _BM25_TOP
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["score"] > 0 for r in rows)
+    assert all(1 <= r["n_terms_matched"] <= len(_BM25_QUERY) for r in rows)
+    # the top hit must actually contain a query term
+    docs = load_table(spark, sf_dir, "documents")
+    top_text = (
+        docs.filter(F.col("doc_id") == rows[0]["doc_id"]).first()["text"].lower()
+    )
+    assert any(t in top_text for t in _BM25_QUERY)
