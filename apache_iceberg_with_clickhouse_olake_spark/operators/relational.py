@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from ..functions import (
     davg,
     davg_sql,
+    dround,
+    dround_sql,
     dsum,
     dsum_sql,
 )
@@ -676,4 +678,329 @@ def brand_size_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "brand", "size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6: forecasting revenue change (pure scan-filter aggregate)
+# ---------------------------------------------------------------------------
+
+_Q6_LO, _Q6_HI = "1998-01-01", "1999-01-01"
+_Q6_DISC_LO, _Q6_DISC_HI = 0.05, 0.07
+_Q6_MAX_QTY = 24
+
+
+@query(
+    "forecast_revenue_change",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q6_LO} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{_Q6_HI} 00:00:00'
+      AND l_discount BETWEEN {_Q6_DISC_LO} AND {_Q6_DISC_HI}
+      AND l_quantity < {_Q6_MAX_QTY}
+    """,
+    tags=("P3", "P5", "P6", "A1", "A4"),
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue that would be reclaimed by eliminating small discounts on
+    low-quantity lines for one ship-year (TPC-H Q6). The whole query is
+    a single scan-filter-aggregate: all three predicates are plain
+    Column comparisons that push into the parquet reader (shipdate
+    range prunes row groups via min/max stats; discount/quantity filter
+    at the scan), and the global sum is a partial-agg pipeline with a
+    one-row exchange. The plan every engine should produce -- no joins,
+    no wide shuffle, scan-bound at any scale. Discount bounds compare
+    the stored double against the same parsed literal in both engines,
+    so the band edges agree bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(_Q6_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q6_HI).cast("timestamp"))
+            & (F.col("l_discount") >= _Q6_DISC_LO)
+            & (F.col("l_discount") <= _Q6_DISC_HI)
+            & (F.col("l_quantity") < _Q6_MAX_QTY)
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * F.col("l_discount"),
+                "revenue_delta",
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9: product-line profit by supplier nation and order year
+# ---------------------------------------------------------------------------
+
+_Q9_NAME_FRAGMENT = "gear"
+# The fixture schema has no partsupp table (TESTDATA.md), so Q9's
+# ps_supplycost is re-keyed to a 10% unit cost of the part's retail
+# price -- the shape (profit = revenue - cost, cost via the part dim)
+# is unchanged.
+_Q9_COST_RATE = 0.1
+
+
+@query(
+    "product_profit_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           {dsum_sql(
+               'l.l_extendedprice * (1 - l.l_discount)'
+               f' - p.p_retailprice * l.l_quantity * {_Q9_COST_RATE}'
+           )} AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+               AND p.p_name LIKE '%{_Q9_NAME_FRAGMENT}%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    ORDER BY nation, order_year DESC
+    """,
+    tags=("J1", "A4", "A8", "O2"),
+)
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on one product line per supplier nation and order year
+    (TPC-H Q9). The LIKE-filtered part slice joins lineitem FIRST --
+    it's the most selective reduction (~1/4 of parts), so the orderkey
+    shuffle that attaches the order date carries only surviving lines;
+    supplier->nation folds into one broadcast attach. profit =
+    revenue - unit_cost*qty is computed per row BEFORE aggregation so
+    the decimal snap sees one column and the sum stays a single
+    partial-agg pipeline. Part carries no broadcast hint (linear dim;
+    AQE promotes the filtered slice when it is actually small)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(f"%{_Q9_NAME_FRAGMENT}%")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(_Q9_COST_RATE)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(dsum(profit, "profit"))
+        .orderBy("nation", F.col("order_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12: shipping-lag buckets vs order priority (conditional CASE counts)
+# ---------------------------------------------------------------------------
+
+# The fixture lineitem has no l_shipmode/l_receiptdate (FIXTURES.md), so
+# Q12's two-mode grouping is re-keyed to shipping-lag buckets derived
+# from columns the fixture carries; the CASE-count shape is unchanged.
+_Q12_LO, _Q12_HI = "1998-01-01", "1999-01-01"
+_Q12_SLOW_DAYS = 30
+_Q12_LATE_DAYS = 90
+_Q12_URGENT = ("1-URGENT", "2-HIGH")
+
+
+@query(
+    "ship_lag_priority_counts",
+    oracle=f"""
+    SELECT CASE
+             WHEN l.l_shipdate >= o.o_orderdate
+                  + INTERVAL {_Q12_LATE_DAYS} DAY THEN 'LATE'
+             WHEN l.l_shipdate >= o.o_orderdate
+                  + INTERVAL {_Q12_SLOW_DAYS} DAY THEN 'SLOW'
+             ELSE 'FAST'
+           END AS ship_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN
+             ({', '.join(f"'{p}'" for p in _Q12_URGENT)})
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN
+             ({', '.join(f"'{p}'" for p in _Q12_URGENT)})
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '{_Q12_LO} 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '{_Q12_HI} 00:00:00'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("A2", "A8", "F6", "P5"),
+)
+def ship_lag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-vs-other line counts per shipping-lag bucket for one
+    ship-year (TPC-H Q12's CASE-count shape over the lag buckets the
+    fixture supports). One orderkey shuffle joins the shipdate-pruned
+    lineitem slice to orders; both conditional counts ride the same
+    3-group hash aggregate (map-side partials, a 3-row exchange). The
+    bucket CASE uses timestamp+INTERVAL comparisons -- not day-diff
+    arithmetic -- because the two engines agree on interval addition
+    exactly while day-difference semantics differ on sub-day offsets."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q12_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q12_HI).cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    bucket = (
+        F.when(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr(f"INTERVAL {_Q12_LATE_DAYS} DAY"),
+            "LATE",
+        )
+        .when(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr(f"INTERVAL {_Q12_SLOW_DAYS} DAY"),
+            "SLOW",
+        )
+        .otherwise("FAST")
+    )
+    is_urgent = F.col("o_orderpriority").isin(*_Q12_URGENT)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(is_urgent, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(is_urgent, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13: distribution of customers by order count (count-of-counts)
+# ---------------------------------------------------------------------------
+
+_Q13_EXCLUDED_PRIORITY = "4-NOT SPECIFIED"
+
+
+@query(
+    "custdist_histogram",
+    oracle=f"""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        AND o.o_orderpriority <> '{_Q13_EXCLUDED_PRIORITY}'
+      GROUP BY 1
+    )
+    GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("J1", "A2", "A9", "O1"),
+)
+def custdist_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed exactly N qualifying orders, including
+    the zero-order tail (TPC-H Q13; the comment NOT LIKE is re-keyed to
+    a priority-class exclusion the fixture carries). Orders pre-
+    aggregate to per-customer counts BEFORE touching customer -- the
+    pre-join reduction turns the outer join's right side from fact rows
+    into one row per active customer -- then customer LEFT-joins the
+    counts (zero tail = NULL -> 0) and the count-of-counts is a second,
+    histogram-sized aggregate. Never joins customer rows to raw orders,
+    so the shuffled bytes are two key columns, not order payloads."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != _Q13_EXCLUDED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            F.coalesce(F.col("n_orders"), F.lit(0))
+            .cast("long")
+            .alias("c_count")
+        )
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17: small-quantity-order revenue (per-part correlated average)
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#3"
+_Q17_TYPE = "SMALL"
+
+
+@query(
+    "small_qty_part_revenue",
+    oracle=f"""
+    WITH pl AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = '{_Q17_BRAND}' AND p.p_type = '{_Q17_TYPE}'
+    ),
+    th AS (
+      SELECT l_partkey, {davg_sql('l_quantity')} AS avg_qty
+      FROM pl GROUP BY 1
+    )
+    SELECT {dround_sql(f"{dsum_sql('pl.l_extendedprice')} / 7.0", 4)}
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM pl JOIN th USING (l_partkey)
+    WHERE 5.0 * pl.l_quantity < th.avg_qty
+    """,
+    tags=("J1", "A2", "A4", "P3"),
+)
+def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost by refusing small orders of one
+    brand/type (TPC-H Q17). The correlated per-part AVG(quantity) is a
+    pre-join reduction: the brand/type part slice filters lineitem
+    first (that join is the big reduction -- ~1/150 of lines survive),
+    the per-part average aggregates THAT slice, and the threshold joins
+    back to the same slice keyed by partkey, so the quadratic-looking
+    correlation costs one extra pass over an already-tiny frame. The
+    0.2*avg threshold is compared as ``5*qty < avg`` -- integer-valued
+    doubles times 5 are exact, and avg is the 4-decimal snapped davg,
+    so the boundary is bit-identical cross-engine (0.2 itself is not
+    representable)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == _Q17_BRAND) & (F.col("p_type") == _Q17_TYPE)
+    )
+    pl = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    th = pl.groupBy("l_partkey").agg(davg("l_quantity", "avg_qty"))
+    return (
+        pl.join(F.broadcast(th.withColumnRenamed("l_partkey", "pk")),
+                F.col("l_partkey") == F.col("pk"))
+        .filter(5.0 * F.col("l_quantity") < F.col("avg_qty"))
+        .agg(
+            dround(dsum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
     )

@@ -1364,11 +1364,10 @@ _BM25_CONTRIB_SQL = (
     f"(tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / a.avgdl))"
 )
 
-
-@query(
-    "bm25_topk_search",
-    oracle=f"""
-    WITH base AS (
+# DuckDB CTE block producing the per-doc BM25 scores (shared between the
+# standalone top-k oracle and the RRF fusion oracle).
+_BM25_SCORED_CTES = f"""
+    base AS (
       SELECT doc_id, {_TOKS} AS toks FROM documents
     ),
     n AS (SELECT COUNT(*) AS n_docs FROM base),
@@ -1381,28 +1380,22 @@ _BM25_CONTRIB_SQL = (
     ),
     df AS (
       SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ),
+    bm25_scored AS (
+      SELECT tf.doc_id,
+             CAST(COUNT(*) AS INT) AS n_terms_matched,
+             {dround_sql(f'{dsum_sql(_BM25_CONTRIB_SQL)}', 4)} AS score
+      FROM tf JOIN df USING (term), n, a
+      GROUP BY tf.doc_id
     )
-    SELECT tf.doc_id,
-           CAST(COUNT(*) AS INT) AS n_terms_matched,
-           {dround_sql(f'{dsum_sql(_BM25_CONTRIB_SQL)}', 4)} AS score
-    FROM tf JOIN df USING (term), n, a
-    GROUP BY tf.doc_id
-    ORDER BY score DESC, tf.doc_id
-    LIMIT {_BM25_TOP}
-    """,
-    tags=("llm-text",),
-)
-def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-k retrieval for a fixed query (the lexical half of
-    a hybrid search stack; BM25+ IDF ``ln((N-df+.5)/(df+.5)+1)`` stays
-    positive for corpus-saturated terms). Scale shape: the query-term
-    IN-filter lands directly on the exploded token stream, so only
-    query-term postings ever aggregate or shuffle -- the corpus pass is
-    one tokenize + filter; df/idf live on a query-terms-sized frame that
-    joins back by BROADCAST; N and avgdl are one-row scalars. Per-term
-    contributions snap to 6 decimals inside the exact decimal sum
-    (dsum), so the summed score is order-independent and cross-engine
-    stable; the top-k is TakeOrderedAndProject over doc-grain rows."""
+"""
+
+
+def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 frame (doc_id, n_terms_matched, score) for the
+    fixed query terms; the scored core shared by the standalone top-k
+    and the RRF fusion. See :func:`bm25_topk_search` for the scale
+    shape and determinism notes."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens(F.col("text")).alias("toks")
     )
@@ -1445,6 +1438,33 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("int").alias("n_terms_matched"),
             dround(dsum("contrib"), 4).alias("score"),
         )
+    )
+
+
+@query(
+    "bm25_topk_search",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES}
+    SELECT doc_id, n_terms_matched, score
+    FROM bm25_scored
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOP}
+    """,
+    tags=("llm-text",),
+)
+def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed query (the lexical half of
+    a hybrid search stack; BM25+ IDF ``ln((N-df+.5)/(df+.5)+1)`` stays
+    positive for corpus-saturated terms). Scale shape: the query-term
+    IN-filter lands directly on the exploded token stream, so only
+    query-term postings ever aggregate or shuffle -- the corpus pass is
+    one tokenize + filter; df/idf live on a query-terms-sized frame that
+    joins back by BROADCAST; N and avgdl are one-row scalars. Per-term
+    contributions snap to 6 decimals inside the exact decimal sum
+    (dsum), so the summed score is order-independent and cross-engine
+    stable; the top-k is TakeOrderedAndProject over doc-grain rows."""
+    return (
+        _bm25_doc_scores(spark, sf_dir)
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_BM25_TOP)
     )
@@ -1513,4 +1533,132 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and dense cosine
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60        # the standard RRF damping constant (Cormack et al.)
+_RRF_N = 50        # per-retriever candidate depth
+_RRF_TOP = 10
+
+# DuckDB twin of operators.similarity._COS_SQL (NULL-guarded cosine);
+# imported lazily below to keep module import order acyclic.
+from .similarity import _COS_SQL as _RRF_COS_SQL  # noqa: E402
+
+_RRF_SUM_SQL = (
+    f"COALESCE(1.0 / ({_RRF_K} + b.bm25_rank), 0.0)"
+    f" + COALESCE(1.0 / ({_RRF_K} + c.cos_rank), 0.0)"
+)
+
+
+@query(
+    "rrf_hybrid_search",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES},
+    bm_ranked AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+               AS INT) AS bm25_rank
+      FROM bm25_scored
+      QUALIFY bm25_rank <= {_RRF_N}
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv
+          FROM embeddings ORDER BY vec_id LIMIT 1),
+    cos_scored AS (
+      SELECT e.vec_id AS doc_id,
+             {dround_sql(_RRF_COS_SQL.format(a='e.embedding', b='q.qv'), 6)}
+               AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.qid
+    ),
+    cos_ranked AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY cos_sim DESC NULLS LAST, doc_id) AS INT)
+               AS cos_rank
+      FROM cos_scored
+      QUALIFY cos_rank <= {_RRF_N}
+    )
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           b.bm25_rank, c.cos_rank,
+           {dround_sql(_RRF_SUM_SQL, 6)} AS rrf_score
+    FROM bm_ranked b FULL OUTER JOIN cos_ranked c USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {_RRF_TOP}
+    """,
+    tags=("llm-text", "llm-similarity"),
+)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 (lexical) and exact-cosine (dense) candidate
+    lists fused by reciprocal-rank fusion, ``rrf = sum 1/(60+rank)`` --
+    the standard zero-tuning hybrid-retrieval combiner (works on RANKS,
+    so the incomparable score scales never meet). Scale shape: each
+    retriever independently reduces the corpus to its top-{_RRF_N}
+    (BM25 postings are query-term-filtered at the scan; cosine is a
+    broadcast-query scan with a TakeOrdered head), so the fusion's
+    full-outer join runs on two candidate lists of at most {_RRF_N}
+    rows each -- driver-scale frames, AQE-broadcast, regardless of
+    corpus size. Ranks are row_number over the SNAPPED scores with
+    doc_id tie-break, so rank assignment is bit-identical cross-engine;
+    the fused score is a fixed-order sum of two exact dyadic-adjacent
+    doubles, snapped to 6 decimals for output."""
+    from .similarity import _cos, _dvec
+    from pyspark.sql.window import Window
+
+    bm = (
+        _bm25_doc_scores(spark, sf_dir)
+        .withColumn(
+            "bm25_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+            .cast("int"),
+        )
+        .filter(F.col("bm25_rank") <= _RRF_N)
+        .select("doc_id", "bm25_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("v")
+    )
+    q = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    )
+    cos = (
+        emb.join(F.broadcast(q), emb.vec_id != F.col("qid"))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            dround(_cos(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .withColumn(
+            "cos_rank",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("cos_sim").desc_nulls_last(), F.col("doc_id")
+                )
+            )
+            .cast("int"),
+        )
+        .filter(F.col("cos_rank") <= _RRF_N)
+        .select("doc_id", "cos_rank")
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("bm25_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("cos_rank")), F.lit(0.0)
+    )
+    return (
+        bm.join(cos, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "cos_rank",
+            dround(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(_RRF_TOP)
     )

@@ -185,3 +185,101 @@ def test_bm25_scores_rank_and_match(spark, sf_dir):
         docs.filter(F.col("doc_id") == rows[0]["doc_id"]).first()["text"].lower()
     )
     assert any(t in top_text for t in _BM25_QUERY)
+
+
+# -- TPC-H Q6/Q9/Q12/Q13/Q17 shapes + RRF hybrid fusion --------------------
+
+
+def test_q6_is_a_subset_sum_of_lineitem(spark, sf_dir):
+    from apache_iceberg_with_clickhouse_olake_spark.operators.relational import (
+        _Q6_DISC_HI,
+        _Q6_DISC_LO,
+        _Q6_HI,
+        _Q6_LO,
+        _Q6_MAX_QTY,
+    )
+
+    row = _Q["forecast_revenue_change"](spark, sf_dir).first()
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.filter(
+        (F.col("l_shipdate") >= F.lit(_Q6_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q6_HI).cast("timestamp"))
+        & (F.col("l_discount") >= _Q6_DISC_LO)
+        & (F.col("l_discount") <= _Q6_DISC_HI)
+        & (F.col("l_quantity") < _Q6_MAX_QTY)
+    ).count()
+    assert row["n_lines"] == n > 0
+    assert row["revenue_delta"] > 0
+
+
+def test_q9_profit_is_below_revenue(spark, sf_dir):
+    rows = _Q["product_profit_by_nation"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["nation"].startswith("NATION_") for r in rows)
+    assert all(1995 <= r["order_year"] <= 2001 for r in rows)
+    # years sort descending within each nation
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r["nation"], []).append(r["order_year"])
+    for years in by_nation.values():
+        assert years == sorted(years, reverse=True)
+
+
+def test_q12_buckets_partition_the_ship_year(spark, sf_dir):
+    from apache_iceberg_with_clickhouse_olake_spark.operators.relational import (
+        _Q12_HI,
+        _Q12_LO,
+    )
+
+    rows = _Q["ship_lag_priority_counts"](spark, sf_dir).collect()
+    assert {r["ship_bucket"] for r in rows} <= {"FAST", "SLOW", "LATE"}
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.filter(
+        (F.col("l_shipdate") >= F.lit(_Q12_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q12_HI).cast("timestamp"))
+    ).count()
+    assert sum(r["high_line_count"] + r["low_line_count"] for r in rows) == n
+
+
+def test_q13_histogram_accounts_for_every_customer(spark, sf_dir):
+    rows = _Q["custdist_histogram"](spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["custdist"] for r in rows) == n_cust
+    assert all(r["c_count"] >= 0 for r in rows)
+    dists = [r["custdist"] for r in rows]
+    assert dists == sorted(dists, reverse=True)
+
+
+def test_q17_small_qty_revenue_bounds(spark, sf_dir):
+    row = _Q["small_qty_part_revenue"](spark, sf_dir).first()
+    assert row["n_lines"] >= 0
+    if row["n_lines"]:
+        assert row["avg_yearly"] > 0
+
+
+def test_rrf_fusion_is_consistent_with_both_retrievers(spark, sf_dir):
+    from apache_iceberg_with_clickhouse_olake_spark.operators.text import (
+        _RRF_K,
+        _RRF_N,
+        _RRF_TOP,
+    )
+
+    rows = _Q["rrf_hybrid_search"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= _RRF_TOP
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        br, cr = r["bm25_rank"], r["cos_rank"]
+        assert br is not None or cr is not None
+        expected = (1.0 / (_RRF_K + br) if br else 0.0) + (
+            1.0 / (_RRF_K + cr) if cr else 0.0
+        )
+        assert abs(r["rrf_score"] - expected) < 1e-6
+        for rank in (br, cr):
+            if rank is not None:
+                assert 1 <= rank <= _RRF_N
+    # a doc present in BOTH lists at rank 1 must dominate any single-list doc
+    both = [r for r in rows if r["bm25_rank"] and r["cos_rank"]]
+    single = [r for r in rows if not (r["bm25_rank"] and r["cos_rank"])]
+    if both and single:
+        assert rows[0]["rrf_score"] >= single[0]["rrf_score"]
