@@ -1560,3 +1560,230 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("est_matches")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing: local fingerprinting (Schleimer, Wilkerson, Aiken 2003)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3    # words per gram (same grain as the minhash shingles)
+_WIN_W = 4    # winnowing window: one fingerprint per w consecutive grams
+_WIN_CAP = 50           # drop fingerprints shared by more docs (stop-grams)
+_WIN_MIN_SHARED = 2     # pair gate: fingerprints in common
+_WIN_MIN_OVERLAP = 0.5  # pair gate: shared / min(doc fingerprints)
+
+# Ordered gram hashes + winnowed fingerprint set, as engine-native SQL.
+# Both engines: element_at/[] are 1-based; the gram stream keeps document
+# ORDER (list_distinct would break the sliding window), and each window
+# contributes its MINIMUM gram hash -- the guarantee is that any match of
+# at least w+k-1 consecutive tokens shares >= 1 fingerprint, at an
+# expected density of 2/(w+1) fingerprints per gram.
+_WIN_MD5 = "CAST(concat('0x', substr(md5({g}), 1, 15)) AS BIGINT)"
+_WIN_GRAMS_SQL = f"""
+    CASE WHEN len({_TOKS}) >= {_WIN_K} THEN
+      list_transform(range(1, len({_TOKS}) - {_WIN_K - 2}),
+        j -> {_WIN_MD5.format(
+            g=f"concat_ws(' ', {_TOKS}[j], {_TOKS}[j+1], {_TOKS}[j+2])"
+        )})
+    ELSE [{_WIN_MD5.format(g=_NORM)}] END
+"""
+_WIN_FPS_SQL = f"""
+    CASE WHEN len(grams) >= {_WIN_W} THEN
+      list_distinct(list_transform(range(1, len(grams) - {_WIN_W - 2}),
+        i -> list_min(grams[i:i+{_WIN_W - 1}])))
+    ELSE [list_min(grams)] END
+"""
+_WIN_BASE_CTES = f"""
+    g AS (SELECT doc_id, {_WIN_GRAMS_SQL} AS grams FROM documents),
+    w AS (SELECT doc_id, len(grams) AS n_grams, {_WIN_FPS_SQL} AS fps
+          FROM g)
+"""
+
+
+def _winnowed(docs: DataFrame) -> DataFrame:
+    """doc_id, n_grams, fps(array<long>) -- the winnowed fingerprint set.
+
+    Three projection stages so every higher-order lambda binds a
+    MATERIALIZED attribute (toks -> grams -> fps); a lambda over a raw
+    expression subtree re-evaluates it per element (the O(n^2) trap
+    documented on :func:`shingles`)."""
+    md5i = lambda g: md5_int60(g)  # noqa: E731
+    staged = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+        norm_text(F.col("text")).alias("norm"),
+    )
+    grams = F.when(
+        F.size("toks") >= _WIN_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (_WIN_K - 1)),
+            lambda j: md5i(
+                F.concat_ws(
+                    " ",
+                    F.element_at("toks", j),
+                    F.element_at("toks", j + 1),
+                    F.element_at("toks", j + 2),
+                )
+            ),
+        ),
+    ).otherwise(F.array(md5i(F.col("norm"))))
+    fps = F.when(
+        F.size("grams") >= _WIN_W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("grams") - (_WIN_W - 1)),
+                lambda i: F.array_min(F.slice(F.col("grams"), i, _WIN_W)),
+            )
+        ),
+    ).otherwise(F.array(F.array_min(F.col("grams"))))
+    return staged.select("doc_id", grams.alias("grams")).select(
+        "doc_id", F.size("grams").alias("n_grams"), fps.alias("fps")
+    )
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH {_WIN_BASE_CTES}
+    SELECT doc_id,
+           CAST(n_grams AS INT) AS n_grams,
+           CAST(len(fps) AS INT) AS n_fingerprints,
+           {dround_sql('CAST(len(fps) AS DOUBLE) / n_grams', 4)}
+             AS fp_density
+    FROM w ORDER BY doc_id
+    """,
+    tags=("llm-dedup", "llm-text"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint profile per document: ordered word-3-gram
+    hashes, a sliding window of {w} grams, the window MINIMUM selected
+    as a fingerprint (MOSS-style local fingerprinting). Guarantees any
+    shared run of >= {run} tokens is caught by >= 1 common fingerprint
+    while storing only ~2/(w+1) of the grams -- the sketch that makes
+    EXACT-substring dedup affordable at corpus scale where whole-doc
+    hashes miss partial plagiarism and full suffix structures don't
+    distribute. Pure per-row projection (three chained lambda stages
+    over materialized attributes, no shuffle, no sort -- the driver
+    compares order-insensitively)."""
+    return _winnowed(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_grams").cast("int").alias("n_grams"),
+        F.size("fps").cast("int").alias("n_fingerprints"),
+        dround(
+            F.size("fps").cast("double") / F.col("n_grams"), 4
+        ).alias("fp_density"),
+    )
+
+
+winnowing_fingerprints.__doc__ = winnowing_fingerprints.__doc__.format(
+    w=_WIN_W, run=_WIN_W + _WIN_K - 1
+)
+
+
+@query(
+    "winnowing_neardup_pairs",
+    oracle=f"""
+    WITH {_WIN_BASE_CTES},
+    posting AS (
+      SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w
+    ),
+    kept AS (
+      SELECT fp FROM posting GROUP BY fp
+      HAVING COUNT(*) BETWEEN 2 AND {_WIN_CAP}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS shared_fps
+      FROM posting a
+      JOIN kept USING (fp)
+      JOIN posting b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.shared_fps AS INT) AS shared_fps,
+           {dround_sql(
+               'CAST(p.shared_fps AS DOUBLE)'
+               ' / least(len(wa.fps), len(wb.fps))', 4
+           )} AS overlap
+    FROM pairs p
+    JOIN w wa ON wa.doc_id = p.doc_a
+    JOIN w wb ON wb.doc_id = p.doc_b
+    WHERE p.shared_fps >= {_WIN_MIN_SHARED}
+      AND CAST(p.shared_fps AS DOUBLE)
+          / least(len(wa.fps), len(wb.fps)) >= {_WIN_MIN_OVERLAP}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm-dedup",),
+)
+def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-duplicate pairs from shared winnowed fingerprints:
+    docs sharing >= {n} kept fingerprints AND covering >= {v:.0%} of the
+    smaller doc's fingerprint set. The inverted-index self-join is keyed
+    by fingerprint, so cost is bounded by posting-list sizes, not the
+    corpus square -- and the stop-gram gate (fingerprints in more than
+    {cap} docs are dropped BEFORE the join, like df-capped stopwords)
+    bounds the worst posting list by construction: a boilerplate phrase
+    shared by a million docs never enumerates its million^2 pairs. The
+    per-doc fingerprint counts attach AFTER pair aggregation, keyed on
+    the bounded pair set."""
+    par = spark.sparkContext.defaultParallelism
+    # Materialize the winnowed frame once (superstep, same discipline as
+    # dedup_cascade_stats): FOUR consumers follow (posting x2, kept, the
+    # per-doc counts), and -- measured -- the explode generator otherwise
+    # collapses the staged gram/fps lambdas back into one projection,
+    # re-evaluating the whole O(m*w) pipeline per consumer per generated
+    # row (65 s vs 1.1 s on the sf0.01 corpus).
+    w = (
+        _winnowed(
+            load_table(spark, sf_dir, "documents").repartition(
+                par, "doc_id"
+            )
+        )
+        .select("doc_id", F.size("fps").alias("n_fps"), "fps")
+        .localCheckpoint(eager=True)
+    )
+    posting = w.select(
+        "doc_id", F.explode("fps").alias("fp")
+    ).distinct()
+    kept = (
+        posting.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= _WIN_CAP))
+        .select("fp")
+    )
+    a = posting.join(kept, "fp").alias("a")
+    b = posting.join(kept, "fp").alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("int").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _WIN_MIN_SHARED)
+    )
+    wa = w.select(F.col("doc_id").alias("ka"), F.col("n_fps").alias("na"))
+    wb = w.select(F.col("doc_id").alias("kb"), F.col("n_fps").alias("nb"))
+    overlap = F.col("shared_fps").cast("double") / F.least("na", "nb")
+    return (
+        pairs.join(wa, pairs.doc_a == F.col("ka"))
+        .join(wb, pairs.doc_b == F.col("kb"))
+        .filter(overlap >= _WIN_MIN_OVERLAP)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            dround(overlap, 4).alias("overlap"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+winnowing_neardup_pairs.__doc__ = winnowing_neardup_pairs.__doc__.format(
+    n=_WIN_MIN_SHARED, v=_WIN_MIN_OVERLAP, cap=_WIN_CAP
+)

@@ -1818,3 +1818,144 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.nlabel").alias("neg_label"),
         F.col("b.cos_sim").alias("cos_sim"),
     ).orderBy("qid")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): subspace codebooks + assignment statistics
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4                      # subspaces
+_PQ_SUBDIM = _DIM // _PQ_M     # dims per subspace
+_PQ_K = 8                      # codewords per subspace
+
+_PQ_MD5 = "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "pq_codebook_stats",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS cv,
+             ROW_NUMBER() OVER (ORDER BY {_PQ_MD5}, vec_id) AS rn
+      FROM embeddings
+      QUALIFY rn <= {_PQ_K}
+    ),
+    cb AS (SELECT CAST(rn - 1 AS INT) AS code, cv FROM ranked),
+    sub AS (SELECT CAST(s AS INT) AS subspace FROM range({_PQ_M}) t(s)),
+    dist AS (
+      SELECT e.vec_id, sub.subspace, cb.code,
+             list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}), i ->
+               (e.ev[subspace * {_PQ_SUBDIM} + i]
+                  - cb.cv[subspace * {_PQ_SUBDIM} + i])
+               * (e.ev[subspace * {_PQ_SUBDIM} + i]
+                  - cb.cv[subspace * {_PQ_SUBDIM} + i])
+             )) AS sqdist
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+            FROM embeddings) e, sub, cb
+    ),
+    best AS (
+      SELECT subspace, code, sqdist
+      FROM dist
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY sqdist, code) = 1
+    )
+    SELECT subspace, code,
+           COUNT(*) AS n_vectors,
+           {davg_sql('sqdist')} AS avg_sqdist
+    FROM best
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("llm-similarity",),
+)
+def pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al.): split each vector into
+    {m} x {d}-dim subspaces, quantize each subvector to its nearest of
+    {k} codewords, report codeword occupancy and mean squared
+    reconstruction error per (subspace, code) -- the compression/recall
+    profile an IVF-PQ index is tuned on. Codewords are the {k}
+    md5-rank-selected corpus vectors (deterministic sampling: both
+    engines derive the IDENTICAL codebook from the data, keeping the
+    oracle hash-exact; a production build would Lloyd-refine per
+    subspace, same assignment plan).
+
+    Scale shape: the codebook is a bounded {k}-row TakeOrdered +
+    collect (never grows with the corpus), inlined as LITERALS into the
+    assignment expression -- so assignment is one embarrassingly-
+    parallel scan projecting {m} argmin structs per row with NO join
+    and NO shuffle of vector data; the only exchange aggregates
+    ({m} x {k})-group partials. Distances fold dimension-by-dimension
+    left-to-right in both engines, so argmin ties (exact-equal doubles)
+    resolve identically by code id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    # bounded K-row materialization: md5-ranked codeword sample
+    cb_rows = (
+        e.select(
+            "vec_id",
+            "v",
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    codebook = [list(r["v"]) for r in cb_rows]  # K x DIM doubles
+
+    def sqdist(s: int, c: int) -> Column:
+        base = s * _PQ_SUBDIM
+        total = None
+        for i in range(_PQ_SUBDIM):
+            diff = F.col("v")[base + i] - F.lit(codebook[c][base + i])
+            term = diff * diff
+            total = term if total is None else total + term
+        return total
+
+    def argmin(s: int) -> Column:
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        sqdist(s, c).alias("d"),
+                        F.lit(c).cast("int").alias("c"),
+                    )
+                    for c in range(_PQ_K)
+                ]
+            )
+        )
+
+    asg = e.select(
+        *[argmin(s).alias(f"s{s}") for s in range(_PQ_M)]
+    )
+    stacked = asg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("subspace"),
+                        F.col(f"s{s}.c").alias("code"),
+                        F.col(f"s{s}.d").alias("sqdist"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("x")
+    ).select("x.*")
+    return (
+        stacked.groupBy("subspace", "code")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            davg("sqdist", "avg_sqdist"),
+        )
+        .orderBy("subspace", "code")
+    )
+
+
+pq_codebook_stats.__doc__ = pq_codebook_stats.__doc__.format(
+    m=_PQ_M, d=_PQ_SUBDIM, k=_PQ_K
+)

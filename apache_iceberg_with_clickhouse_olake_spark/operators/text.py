@@ -1482,9 +1482,8 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang,
              CAST(length(text) AS BIGINT) AS n_chars,
              CAST(len({_TOKS}) AS BIGINT) AS n_words,
-             CAST(len(regexp_extract_all(lower(text), '{_BPE_WORD}'))
-               + len(regexp_extract_all(lower(text), '{_BPE_SYM}'))
-               AS BIGINT) AS n_bpe
+             CAST(len(regexp_extract_all(lower(text),
+               '{_BPE_WORD}|{_BPE_SYM}')) AS BIGINT) AS n_bpe
       FROM documents
     )
     SELECT lang,
@@ -1507,12 +1506,17 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     per sentence. One per-row projection pass + a 5-group aggregate;
     the ratio runs over the corpus-level sums (ratio-of-sums, not
     mean-of-ratios -- short docs must not dominate), computed on exact
-    integer totals then snapped."""
+    integer totals then snapped.
+
+    The BPE count is ONE alternation regex pass (word-run | symbol):
+    the two classes are disjoint, so the combined count equals the sum
+    of separate counts while scanning each byte once instead of twice
+    -- this op is compute-bound (per-row regex over raw text), so the
+    constant factor IS the scaling story on a saturated executor."""
     docs = load_table(spark, sf_dir, "documents")
     low = F.lower(F.col("text"))
-    n_bpe = (
-        F.regexp_count(low, F.lit(_BPE_WORD))
-        + F.regexp_count(low, F.lit(_BPE_SYM))
+    n_bpe = F.regexp_count(
+        low, F.lit(f"{_BPE_WORD}|{_BPE_SYM}")
     ).cast("long")
     per_doc = docs.select(
         "lang",
@@ -1608,15 +1612,20 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _cos, _dvec
     from pyspark.sql.window import Window
 
+    # top-N FIRST via TakeOrdered (distributed per-partition heaps),
+    # THEN row_number over the N-row result -- ranking the corpus
+    # through one global-window partition is the 100 TB anti-pattern
+    # this avoids; ordering keys are identical, so ranks are unchanged.
     bm = (
         _bm25_doc_scores(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(_RRF_N)
         .withColumn(
             "bm25_rank",
             F.row_number()
             .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
             .cast("int"),
         )
-        .filter(F.col("bm25_rank") <= _RRF_N)
         .select("doc_id", "bm25_rank")
     )
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1633,6 +1642,8 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"),
             dround(_cos(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
         )
+        .orderBy(F.col("cos_sim").desc_nulls_last(), F.col("doc_id"))
+        .limit(_RRF_N)
         .withColumn(
             "cos_rank",
             F.row_number()
@@ -1643,7 +1654,6 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("int"),
         )
-        .filter(F.col("cos_rank") <= _RRF_N)
         .select("doc_id", "cos_rank")
     )
     rrf = F.coalesce(

@@ -68,6 +68,20 @@ QUERIES = (
     "large_quantity_orders",
     "lonely_late_supplier",
     "idle_rich_customers",
+    # r10 late additions: the multi-join TPC-H shapes (Q5/Q7/Q9 carry
+    # the same-nation / two-nation / part-slice reductions before the
+    # fact shuffles; Q12/Q13/Q16/Q17 are pre-join-reduced conditional
+    # aggregates), the CUBE lattice (one Expand, 4 grouping sets), and
+    # the Q6 pure scan-filter aggregate as the scan-bound yardstick
+    "forecast_revenue_change",
+    "product_profit_by_nation",
+    "ship_lag_priority_counts",
+    "custdist_histogram",
+    "small_qty_part_revenue",
+    "intra_region_revenue",
+    "nation_trade_volume",
+    "brand_size_supplier_counts",
+    "revenue_cube_levels",
 )
 KEY_COLS = {
     "orders": "o_orderkey",
@@ -134,6 +148,16 @@ CORPUS_QUERIES = (
     "zipf_slope_top_terms",
     "vocab_growth_curve",
     "embedding_pca_top2",
+    # r10 late additions: sketch calibration (the LSH pair join PLUS
+    # exact re-scoring of every candidate -- its cost must track the
+    # candidate count, not the corpus square), BM25 (postings filtered
+    # at the scan; replication multiplies postings linearly), RRF
+    # (two candidate lists fused -- near-flat by construction), and the
+    # per-language fertility projection pass
+    "minhash_estimate_calibration",
+    "bm25_topk_search",
+    "rrf_hybrid_search",
+    "tokenizer_fertility_by_lang",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)

@@ -820,3 +820,81 @@ def test_promo_share_pushes_month_and_prunes(spark, sf_dir):
         "lineitem",
         {"l_partkey", "l_extendedprice", "l_discount", "l_shipdate"},
     )
+
+
+# -- r10 late additions: Q6 scan shape, PQ, winnowing, BM25/RRF -------------
+
+
+def test_q6_is_pure_scan_aggregate(spark, sf_dir):
+    """TPC-H Q6 must compile to scan -> filter -> partial/final agg:
+    no join of any kind, all three predicates pushed to the reader,
+    and the lineitem scan reading only the four referenced columns."""
+    df = _Q["forecast_revenue_change"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "l_discount")
+    assert_scan_columns_at_most(
+        df,
+        "lineitem",
+        {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"},
+    )
+
+
+def test_pq_assignment_is_joinless_single_exchange(spark, sf_dir):
+    """PQ assignment must inline the collected codebook as literals:
+    the full-corpus scan projects argmin structs with NO join and NO
+    vector shuffle -- the only exchange aggregates (M x K)-group
+    partials."""
+    plan = physical_plan(_Q["pq_codebook_stats"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_winnowing_pair_join_is_fingerprint_keyed(spark, sf_dir):
+    """The winnowing inverted-index self-join must be an equi-join on
+    the fingerprint (posting lists bound the cost), never a cartesian
+    or nested-loop over documents."""
+    plan = physical_plan(_Q["winnowing_neardup_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "fp#" in plan, plan
+
+
+def test_winnowing_fingerprints_are_projection_only(spark, sf_dir):
+    assert_no_global_sort(_Q["winnowing_fingerprints"](spark, sf_dir))
+
+
+def test_bm25_prunes_documents_and_takeorders_topk(spark, sf_dir):
+    """BM25's corpus pass must read only (doc_id, text) and the top-k
+    must compile to TakeOrderedAndProject (per-partition heaps), never
+    a global sort of the postings."""
+    df = _Q["bm25_topk_search"](spark, sf_dir)
+    assert_scan_columns_at_most(df, "documents", {"doc_id", "text"})
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("SortAggregate", ""), plan
+
+
+def test_rrf_ranks_bounded_lists_not_the_corpus(spark, sf_dir):
+    """RRF's row_number windows must run AFTER the per-retriever top-N
+    (TakeOrderedAndProject), so the single-partition window sees at
+    most N rows -- a global-window rank over the corpus is the scale
+    anti-pattern this pins against."""
+    plan = physical_plan(_Q["rrf_hybrid_search"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # both retriever branches collapse to TakeOrdered before any Window
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_q13_reduces_orders_before_the_outer_join(spark, sf_dir):
+    """Q13 must aggregate orders per custkey BEFORE the customer outer
+    join (shuffled bytes are key columns, not order payloads), and the
+    scans must prune to the two referenced columns each."""
+    df = _Q["custdist_histogram"](spark, sf_dir)
+    assert_scan_columns_at_most(
+        df, "orders", {"o_custkey", "o_orderpriority"}
+    )
+    assert_scan_columns_at_most(df, "customer", {"c_custkey"})

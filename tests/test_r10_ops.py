@@ -283,3 +283,98 @@ def test_rrf_fusion_is_consistent_with_both_retrievers(spark, sf_dir):
     single = [r for r in rows if not (r["bm25_rank"] and r["cos_rank"])]
     if both and single:
         assert rows[0]["rrf_score"] >= single[0]["rrf_score"]
+
+
+# -- winnowing fingerprints + product quantization --------------------------
+
+
+def test_winnowing_density_matches_theory(spark, sf_dir):
+    """Winnowing selects ~2/(w+1) of grams as fingerprints on random
+    text; every doc must satisfy the hard bounds 1 <= fps <= grams and
+    fps <= grams - w + 1 for docs with at least one full window."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.dedup import (
+        _WIN_W,
+    )
+
+    rows = _Q["winnowing_fingerprints"](spark, sf_dir).collect()
+    assert rows
+    dens = []
+    for r in rows:
+        assert 1 <= r["n_fingerprints"] <= r["n_grams"]
+        if r["n_grams"] >= _WIN_W:
+            assert r["n_fingerprints"] <= r["n_grams"] - _WIN_W + 1
+            dens.append(r["fp_density"])
+    avg = sum(dens) / len(dens)
+    theory = 2.0 / (_WIN_W + 1)
+    assert 0.5 * theory < avg < 2.0 * theory, avg
+
+
+def test_winnowing_pairs_are_exactly_recomputable(spark, sf_dir):
+    """Every reported pair satisfies the two gates, and the shared-
+    fingerprint count / overlap are EXACTLY what a direct recomputation
+    of the two docs' capped fingerprint sets gives (the fixture corpus
+    has no exact normalized duplicates, so these 20+ pairs are genuine
+    partial-overlap near-dups -- the case winnowing exists for)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.dedup import (
+        _WIN_CAP,
+        _WIN_MIN_OVERLAP,
+        _WIN_MIN_SHARED,
+        _winnowed,
+    )
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in _Q["winnowing_neardup_pairs"](spark, sf_dir).collect()
+    }
+    assert pairs
+    for (a, b), r in pairs.items():
+        assert a < b
+        assert r["shared_fps"] >= _WIN_MIN_SHARED
+        assert _WIN_MIN_OVERLAP - 1e-9 <= r["overlap"] <= 1.0 + 1e-9
+    w = {
+        r["doc_id"]: set(r["fps"])
+        for r in _winnowed(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    fp_df = {}
+    for fps in w.values():
+        for fp in fps:
+            fp_df[fp] = fp_df.get(fp, 0) + 1
+    kept = {fp for fp, n in fp_df.items() if 2 <= n <= _WIN_CAP}
+    for (a, b), r in pairs.items():
+        shared = len(w[a] & w[b] & kept)
+        assert shared == r["shared_fps"], (a, b)
+        expect = shared / min(len(w[a]), len(w[b]))
+        assert abs(r["overlap"] - expect) < 1e-4, (a, b)
+
+
+def test_pq_assignment_covers_every_vector(spark, sf_dir):
+    from apache_iceberg_with_clickhouse_olake_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+    )
+
+    rows = _Q["pq_codebook_stats"](spark, sf_dir).collect()
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    by_sub = {}
+    for r in rows:
+        assert 0 <= r["subspace"] < _PQ_M and 0 <= r["code"] < _PQ_K
+        assert r["avg_sqdist"] >= 0
+        by_sub[r["subspace"]] = by_sub.get(r["subspace"], 0) + r["n_vectors"]
+    assert set(by_sub) == set(range(_PQ_M))
+    assert all(v == n_vec for v in by_sub.values())
+
+
+def test_pq_codewords_have_zero_self_distance(spark, sf_dir):
+    """The 8 codebook vectors quantize to themselves: for every
+    subspace there are >= _PQ_K vectors with sqdist 0 contribution --
+    verified indirectly: min avg_sqdist per subspace is below the
+    subspace mean (occupied codes exist), and each subspace's smallest
+    avg is small because the codeword itself contributes 0."""
+    rows = _Q["pq_codebook_stats"](spark, sf_dir).collect()
+    by_sub = {}
+    for r in rows:
+        by_sub.setdefault(r["subspace"], []).append(r["avg_sqdist"])
+    for s, dists in by_sub.items():
+        assert min(dists) < sum(dists) / len(dists), s
