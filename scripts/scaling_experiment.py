@@ -158,6 +158,15 @@ CORPUS_QUERIES = (
     "bm25_topk_search",
     "rrf_hybrid_search",
     "tokenizer_fertility_by_lang",
+    # winnowing: the replicated corpus is its adversarial case (every
+    # fingerprint's posting list multiplies by k, pair enumeration by
+    # k^2, bounded only by the stop-gram df cap) -- measured, not
+    # asserted; the production path collapses exact replicas first
+    # (dedup cascade) exactly as for minhash. PQ assignment is a
+    # joinless per-row argmin over broadcast-literal codebooks.
+    "winnowing_fingerprints",
+    "winnowing_neardup_pairs",
+    "pq_codebook_stats",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)
