@@ -2153,3 +2153,48 @@ def revenue_cube_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("status").asc_nulls_first(),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue growth (LAG over the month-grain aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_mom_growth",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT)
+               AS order_month,
+             {dsum_sql('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT order_month, revenue,
+           {dround_sql(
+               '(revenue - lag(revenue) OVER (ORDER BY order_month))'
+               ' / lag(revenue) OVER (ORDER BY order_month)', 6
+           )} AS mom_growth
+    FROM m
+    ORDER BY order_month
+    """,
+    tags=("A4", "A8", "F13", "O2"),
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: LAG over the month-grain
+    aggregate (first month NULL). The window runs AFTER aggregation on
+    a months-sized frame -- bounded by the calendar, not the corpus --
+    so the single-partition window sort is ~10^2 rows at any data
+    scale; the fact pass stays one partial-agg pipeline. Growth divides
+    two dsum-exact doubles, so the ratio is bit-identical cross-engine
+    before the 6-decimal snap."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        to_yyyymm("o_orderdate").alias("order_month")
+    ).agg(dsum("o_totalprice", "revenue"))
+    w = Window.orderBy("order_month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "order_month",
+        "revenue",
+        dround((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+    ).orderBy("order_month")

@@ -1787,3 +1787,131 @@ def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 winnowing_neardup_pairs.__doc__ = winnowing_neardup_pairs.__doc__.format(
     n=_WIN_MIN_SHARED, v=_WIN_MIN_OVERLAP, cap=_WIN_CAP
 )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment over the LSH candidate stream
+# ---------------------------------------------------------------------------
+
+_CONT_ASYM_GAP = 0.1  # |cont_a - cont_b| above this marks sub-document copy
+
+
+@query(
+    "shingle_containment_pairs",
+    oracle=f"""
+    WITH {_SIG_CTE},
+    bands AS (
+      {' UNION ALL '.join(
+          f"SELECT doc_id, {b} AS band_id, b{b} AS band_hash FROM bands_wide"
+          for b in range(_N_BANDS)
+      )}
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      FROM pairs p
+      JOIN sh sa ON p.doc_a = sa.doc_id
+      JOIN sh sb ON p.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           {dround_sql('CAST(inter AS DOUBLE) / na', 4)} AS containment_a,
+           {dround_sql('CAST(inter AS DOUBLE) / nb', 4)} AS containment_b,
+           {dround_sql(
+               'CAST(inter AS DOUBLE) / (na + nb - inter)', 4
+           )} AS jaccard,
+           abs(CAST(inter AS DOUBLE) / na - CAST(inter AS DOUBLE) / nb)
+             >= {_CONT_ASYM_GAP} AS asymmetric
+    FROM scored
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm-dedup",),
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment (|A∩B|/|A| and /|B|) for every LSH
+    candidate pair, alongside symmetric Jaccard. Containment is the
+    measure that catches SUB-DOCUMENT copies -- a paragraph quoted
+    inside a 100x longer page has containment ~1.0 from the short side
+    while its Jaccard stays near zero, so a Jaccard-thresholded dedup
+    never sees it (Lee et al. use both for exactly this reason); the
+    `asymmetric` flag marks pairs whose two containments split by >=
+    {gap}. Same scale shape as the calibration op: the band-bucketed
+    join emits the bounded candidate stream first, then shingle sets
+    attach by key to score only those pairs."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    hvals = F.transform(F.col("shingles"), lambda s: md5_int60(s) % _P)
+    attach = (
+        with_shingles(docs)
+        .select("doc_id", "shingles", hvals.alias("hvals"))
+        .select(
+            "doc_id",
+            "shingles",
+            F.array(
+                *[_minhash_sig(F.col("hvals"), i) for i in range(_N_HASHES)]
+            ).alias("sig"),
+        )
+    )
+    sig_cols = [F.col("sig")[i] for i in range(_N_HASHES)]
+    bands_wide = attach.select(
+        "doc_id",
+        *[_band_hash(sig_cols, b).alias(f"b{b}") for b in range(_N_BANDS)],
+    )
+    bands = bands_wide.select(
+        "doc_id",
+        *[f"b{b}" for b in range(_N_BANDS)],
+        F.posexplode(
+            F.array(*[F.col(f"b{b}") for b in range(_N_BANDS)])
+        ).alias("band_id", "band_hash"),
+    ).repartition(par, "band_id", "band_hash")
+    x, y = bands.alias("x"), bands.alias("y")
+    joined = x.join(
+        y,
+        (F.col("x.band_id") == F.col("y.band_id"))
+        & (F.col("x.band_hash") == F.col("y.band_hash"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    )
+    earlier_match = F.lit(False)
+    for b in range(_N_BANDS - 1):
+        earlier_match = earlier_match | (
+            (F.col("x.band_id") > b) & (F.col(f"x.b{b}") == F.col(f"y.b{b}"))
+        )
+    pairs = joined.filter(~earlier_match).select(
+        F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+    )
+    sa = attach.select(
+        F.col("doc_id").alias("ka"), F.col("shingles").alias("sha")
+    )
+    sb = attach.select(
+        F.col("doc_id").alias("kb"), F.col("shingles").alias("shb")
+    )
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    na = F.size("sha").cast("double")
+    nb = F.size("shb").cast("double")
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("ka"))
+        .join(sb, pairs.doc_b == F.col("kb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            dround(inter / na, 4).alias("containment_a"),
+            dround(inter / nb, 4).alias("containment_b"),
+            dround(inter / (na + nb - inter), 4).alias("jaccard"),
+            (F.abs(inter / na - inter / nb) >= _CONT_ASYM_GAP).alias(
+                "asymmetric"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+shingle_containment_pairs.__doc__ = shingle_containment_pairs.__doc__.format(
+    gap=_CONT_ASYM_GAP
+)

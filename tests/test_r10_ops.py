@@ -378,3 +378,35 @@ def test_pq_codewords_have_zero_self_distance(spark, sf_dir):
         by_sub.setdefault(r["subspace"], []).append(r["avg_sqdist"])
     for s, dists in by_sub.items():
         assert min(dists) < sum(dists) / len(dists), s
+
+
+# -- containment pairs + MoM growth -----------------------------------------
+
+
+def test_containment_bounds_and_jaccard_relation(spark, sf_dir):
+    """Jaccard <= min(containment_a, containment_b) <= max <= 1 for
+    every candidate pair; the pair stream is exactly the LSH candidate
+    set; asymmetric flag mirrors the containment gap."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.dedup import (
+        _CONT_ASYM_GAP,
+    )
+
+    rows = _Q["shingle_containment_pairs"](spark, sf_dir).collect()
+    assert rows
+    assert len(rows) == _Q["minhash_lsh_candidates"](spark, sf_dir).count()
+    for r in rows:
+        ca, cb, j = r["containment_a"], r["containment_b"], r["jaccard"]
+        assert 0.0 <= j <= min(ca, cb) + 1e-9
+        assert max(ca, cb) <= 1.0 + 1e-9
+        assert r["asymmetric"] == (abs(ca - cb) >= _CONT_ASYM_GAP - 1e-9)
+
+
+def test_mom_growth_is_the_lagged_ratio(spark, sf_dir):
+    rows = _Q["revenue_mom_growth"](spark, sf_dir).collect()
+    assert len(rows) > 12
+    months = [r["order_month"] for r in rows]
+    assert months == sorted(months)
+    assert rows[0]["mom_growth"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        expect = (cur["revenue"] - prev["revenue"]) / prev["revenue"]
+        assert abs(cur["mom_growth"] - expect) < 1e-5
