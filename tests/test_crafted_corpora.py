@@ -149,6 +149,16 @@ _DOC_QUERIES = (
     "sequence_packing_stats",
     "corpus_mixture_weights",
     "quality_length_pareto",
+    # r10 additions: winnowing (empty text -> 1 whole-doc fingerprint;
+    # no-word docs -> symbol grams), BM25 (query terms absent -> empty
+    # result on both engines), containment over an empty candidate
+    # stream, calibration, and the per-lang fertility ratios
+    "winnowing_fingerprints",
+    "winnowing_neardup_pairs",
+    "shingle_containment_pairs",
+    "minhash_estimate_calibration",
+    "bm25_topk_search",
+    "tokenizer_fertility_by_lang",
 )
 
 
@@ -244,3 +254,35 @@ def test_percentiles_hash_exact_on_degenerate_groups(
         spec.oracle,
         name,
     )
+
+
+def test_winnowing_guarantee_on_a_shared_run(spark):
+    """The winnowing GUARANTEE (Schleimer et al. thm 1): two documents
+    sharing a run of >= w + k - 1 consecutive tokens must share at
+    least one fingerprint -- regardless of where the run sits in
+    either document. Crafted: an 8-token run embedded at different
+    offsets inside otherwise-disjoint documents (w=4, k=3 => any
+    shared 6-token run is already caught)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.dedup import (
+        _WIN_K,
+        _WIN_W,
+        _winnowed,
+    )
+
+    run = [f"shared{i}" for i in range(_WIN_W + _WIN_K + 1)]  # 8 tokens
+    doc_a = " ".join([f"alpha{i}" for i in range(7)] + run)
+    doc_b = " ".join(
+        [f"beta{i}" for i in range(3)]
+        + run
+        + [f"gamma{i}" for i in range(9)]
+    )
+    doc_c = " ".join(f"omega{i}" for i in range(15))  # disjoint control
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+    fps = {
+        r["doc_id"]: set(r["fps"]) for r in _winnowed(docs).collect()
+    }
+    assert fps[1] & fps[2], "shared run must yield a common fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
