@@ -1004,3 +1004,151 @@ def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q11: important parts by value share (global scalar-subquery threshold)
+# ---------------------------------------------------------------------------
+
+# The fixture schema has no partsupp (TESTDATA.md), so Q11's stock value
+# is re-keyed to shipped lineitem value for one nation's suppliers; the
+# shape -- per-key aggregate gated on a FRACTION of the same aggregate's
+# grand total -- is unchanged.
+_Q11_NATION = 3  # has suppliers at every fixture scale (sf0.001 holds 10 total)
+_Q11_FRACTION = 0.001
+
+
+@query(
+    "important_part_share",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l.l_partkey AS partkey,
+             {dsum_sql('l.l_extendedprice')} AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey = {_Q11_NATION}
+      GROUP BY 1
+    ),
+    tot AS (SELECT {dsum_sql('value')} AS total FROM pv)
+    SELECT pv.partkey, pv.value,
+           {dround_sql('pv.value / tot.total', 6)} AS share
+    FROM pv, tot
+    WHERE pv.value > {_Q11_FRACTION} * tot.total
+    ORDER BY pv.value DESC, pv.partkey
+    """,
+    tags=("J1", "A4", "A9", "O1"),
+)
+def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose shipped value for one nation's suppliers exceeds a
+    fraction of that nation's grand total (TPC-H Q11's scalar-subquery
+    threshold). The per-part aggregate is computed ONCE and consumed
+    twice -- the grand total is a re-aggregation of the per-part frame
+    (A9 discipline), never a second fact scan -- and the threshold
+    attaches as a one-row broadcast (BNLJ-Cross over a scalar, the
+    legitimate crossJoin class). The nation gate rides the broadcast
+    supplier attach, so only that nation's lineitems reach the partkey
+    exchange. Both engines re-sum the ALREADY-SNAPPED per-part doubles,
+    so total and threshold are bit-identical."""
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == _Q11_NATION)
+        .select("s_suppkey")
+    )
+    pv = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum("l_extendedprice", "value"))
+    )
+    tot = pv.agg(dsum("value", "total"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > _Q11_FRACTION * F.col("total"))
+        .select(
+            "partkey",
+            "value",
+            dround(F.col("value") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20: suppliers gated on an aggregate-thresholded semi-join
+# ---------------------------------------------------------------------------
+
+# No partsupp availqty in the fixture, so Q20's "excess stock" gate is
+# re-keyed to shipped quantity of the name-filtered parts in the window;
+# the shape -- supplier semi-joined to an aggregate-HAVING subquery over
+# a name-LIKE part slice -- is unchanged.
+_Q20_NAME_FRAGMENT = "red"
+_Q20_LO, _Q20_HI = "1998-01-01", "1999-01-01"
+_Q20_MIN_QTY = 50
+_Q20_NATION = 3
+
+
+@query(
+    "heavy_red_part_suppliers",
+    oracle=f"""
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name
+    FROM supplier s
+    WHERE s.s_nationkey = {_Q20_NATION}
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%{_Q20_NAME_FRAGMENT}%'
+          AND l.l_shipdate >= TIMESTAMP '{_Q20_LO} 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '{_Q20_HI} 00:00:00'
+        GROUP BY 1
+        HAVING SUM(l.l_quantity) > {_Q20_MIN_QTY}
+      )
+    ORDER BY suppkey
+    """,
+    tags=("J1", "A4", "P5", "O1"),
+)
+def heavy_red_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's suppliers who moved more than {qty} units of
+    name-filtered parts in the window (TPC-H Q20's aggregate-gated IN
+    subquery). The IN compiles to a LEFT SEMI join against the
+    pre-aggregated qualifying-supplier keys: the inner side reduces the
+    fact table to per-supplier quantity sums BEFORE any contact with
+    the supplier dim (part LIKE-slice joins first, date pushdown at the
+    scan), so the semi-join probes a keys-only frame. SUM(quantity)
+    compares against an integer literal -- integral doubles sum exactly
+    far beyond any corpus size, so no snap is needed for the gate."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(f"%{_Q20_NAME_FRAGMENT}%")
+    )
+    qualifying = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_Q20_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q20_HI).cast("timestamp"))
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > _Q20_MIN_QTY)
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == _Q20_NATION
+    )
+    return (
+        supp.join(
+            qualifying,
+            supp.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+heavy_red_part_suppliers.__doc__ = heavy_red_part_suppliers.__doc__.format(
+    qty=_Q20_MIN_QTY
+)

@@ -410,3 +410,60 @@ def test_mom_growth_is_the_lagged_ratio(spark, sf_dir):
     for prev, cur in zip(rows, rows[1:]):
         expect = (cur["revenue"] - prev["revenue"]) / prev["revenue"]
         assert abs(cur["mom_growth"] - expect) < 1e-5
+
+
+# -- Q11 scalar-threshold share + Q20 aggregate-gated semi-join -------------
+
+
+def test_important_parts_share_sums_below_one(spark, sf_dir):
+    from apache_iceberg_with_clickhouse_olake_spark.operators.relational import (
+        _Q11_FRACTION,
+    )
+
+    rows = _Q["important_part_share"](spark, sf_dir).collect()
+    assert rows
+    vals = [r["value"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    total_share = sum(r["share"] for r in rows)
+    assert 0.0 < total_share <= 1.0 + 1e-6
+    assert all(r["share"] > _Q11_FRACTION - 1e-9 for r in rows)
+
+
+def test_heavy_suppliers_actually_cleared_the_gate(spark, sf_dir):
+    from apache_iceberg_with_clickhouse_olake_spark.operators.relational import (
+        _Q20_HI,
+        _Q20_LO,
+        _Q20_MIN_QTY,
+        _Q20_NAME_FRAGMENT,
+        _Q20_NATION,
+    )
+
+    rows = _Q["heavy_red_part_suppliers"](spark, sf_dir).collect()
+    assert rows
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(f"%{_Q20_NAME_FRAGMENT}%")
+    )
+    qty = {
+        r["l_suppkey"]: r["q"]
+        for r in li.filter(
+            (F.col("l_shipdate") >= F.lit(_Q20_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q20_HI).cast("timestamp"))
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .collect()
+    }
+    nation_keys = {
+        r["s_suppkey"]
+        for r in load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == _Q20_NATION)
+        .collect()
+    }
+    for r in rows:
+        assert r["suppkey"] in nation_keys
+        assert qty[r["suppkey"]] > _Q20_MIN_QTY
+    # completeness: every nation supplier over the gate is reported
+    expect = {k for k in nation_keys if qty.get(k, 0) > _Q20_MIN_QTY}
+    assert {r["suppkey"] for r in rows} == expect
