@@ -1915,3 +1915,70 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 shingle_containment_pairs.__doc__ = shingle_containment_pairs.__doc__.format(
     gap=_CONT_ASYM_GAP
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-source shingle novelty (exclusive n-gram share)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT d.source, s.shingle
+      FROM (SELECT source, {_SHINGLES_SQL} AS shingles FROM documents) d,
+           unnest(d.shingles) AS s(shingle)
+    ),
+    df AS (
+      SELECT shingle, COUNT(*) AS n_sources FROM sh GROUP BY 1
+    )
+    SELECT sh.source,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN df.n_sources = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_exclusive,
+           {dround_sql(
+               'CAST(SUM(CASE WHEN df.n_sources = 1 THEN 1 ELSE 0 END)'
+               ' AS DOUBLE) / COUNT(*)', 4
+           )} AS novelty
+    FROM sh JOIN df USING (shingle)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm-dedup", "llm-text"),
+)
+def source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of each source's distinct word-3-grams appears in
+    NO other source -- the content-overlap diagnostic that decides
+    whether adding a crawl actually adds new text or re-buys what the
+    mixture already holds (high pairwise overlap here predicts heavy
+    cross-source dedup losses downstream). Two keyed aggregates: the
+    (source, shingle) stream dedups map-side into a shingle-keyed
+    source-count, then a source-keyed rollup -- the wide exchange
+    carries distinct (source, shingle) pairs only, bounded by
+    vocabulary x sources, never raw token positions."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("source", tokens(F.col("text")).alias("toks"),
+                    norm_text(F.col("text")).alias("norm"))
+        .select("source", shingles(F.col("toks"), F.col("norm")).alias("sha"))
+        .select("source", F.explode("sha").alias("shingle"))
+        .distinct()
+    )
+    df = sh.groupBy("shingle").agg(
+        F.count("*").alias("n_sources")
+    )
+    exclusive = F.sum(
+        F.when(F.col("n_sources") == 1, 1).otherwise(0)
+    ).cast("long")
+    return (
+        sh.join(df, "shingle")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            exclusive.alias("n_exclusive"),
+            dround(
+                exclusive.cast("double") / F.count("*"), 4
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )

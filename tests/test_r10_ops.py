@@ -467,3 +467,31 @@ def test_heavy_suppliers_actually_cleared_the_gate(spark, sf_dir):
     # completeness: every nation supplier over the gate is reported
     expect = {k for k in nation_keys if qty.get(k, 0) > _Q20_MIN_QTY}
     assert {r["suppkey"] for r in rows} == expect
+
+
+def test_source_novelty_is_a_partition_share(spark, sf_dir):
+    """novelty = exclusive/total per source, in [0,1]; global exclusive
+    count equals the number of single-source shingles computed
+    directly."""
+    rows = _Q["source_ngram_novelty"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_exclusive"] <= r["n_shingles"]
+        assert abs(r["novelty"] - r["n_exclusive"] / r["n_shingles"]) < 1e-4
+    from apache_iceberg_with_clickhouse_olake_spark.operators.dedup import (
+        with_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = {}
+    pairs = (
+        docs.select("doc_id", "source")
+        .join(with_shingles(docs), "doc_id")
+        .select("source", F.explode("shingles").alias("s"))
+        .distinct()
+        .collect()
+    )
+    for r in pairs:
+        per_src.setdefault(r["s"], set()).add(r["source"])
+    exclusive = sum(1 for v in per_src.values() if len(v) == 1)
+    assert sum(r["n_exclusive"] for r in rows) == exclusive
