@@ -82,6 +82,12 @@ QUERIES = (
     "nation_trade_volume",
     "brand_size_supplier_counts",
     "revenue_cube_levels",
+    # close-out additions: the LAG window over the bounded month grain,
+    # the Q11 scalar-threshold share (per-part agg consumed twice, one
+    # fact pass), and the Q20 aggregate-gated semi-join
+    "revenue_mom_growth",
+    "important_part_share",
+    "heavy_red_part_suppliers",
 )
 KEY_COLS = {
     "orders": "o_orderkey",
@@ -167,6 +173,11 @@ CORPUS_QUERIES = (
     "winnowing_fingerprints",
     "winnowing_neardup_pairs",
     "pq_codebook_stats",
+    # close-out additions: containment scoring of the bounded LSH
+    # candidate stream, and the two-aggregate source-novelty rollup
+    # (exchange carries distinct (source, shingle) pairs only)
+    "shingle_containment_pairs",
+    "source_ngram_novelty",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)
