@@ -89,41 +89,43 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # automatically (greedy tag set-cover + never-checked fill); the op-id
 # coverage constraint caps a rotation at ~15 fresh rows, so the blind
 # spot clears over the next TWO disciplined passes, not one.
-# r10 note: CORRECTNESS_r09 landed green (50/50, all op-ids represented),
-# so the window rotates per the r9 VERDICT item 1 — the committed
-# scripts/rotation_r10_proposal.txt verbatim: 15 first-driver rows
-# (nation_market_share, min_cost_supplier_per_part, key_skew_profile,
-# revenue_rollup_levels, orders_above_customer_avg, hard_negative_mining,
-# ann_kmeans_ivf_topk, the language-ID quartet, text_quality_scores,
-# doc_fingerprints, quality_threshold_sweep, vocab_edit_distance_pairs,
-# uniform_hash_sample). Blind spot after these land: 35 -> 20; the
-# remaining 20 (BPE quartet, multimodal trio, DSIR pair, z-order, power
-# iteration, mixture/quota/packing, funnel, session_window_rollup,
-# events_watermark_late_drop, contamination/pareto) queue for r11 in
-# scripts/rotation_r11_proposal.txt.
+# r11 note: CORRECTNESS_r10 landed green (50/50, all op-ids represented),
+# so the window rotates per the r10 VERDICT item 1 — the committed
+# scripts/rotation_r11_proposal.txt verbatim: 18 first-driver rows
+# (lonely_late_supplier, revenue_mom_growth, streaming_dedup_exactly_once,
+# promo_revenue_share, disjunctive_pred_revenue, revenue_cube_levels,
+# minhash_estimate_calibration, winnowing_fingerprints,
+# winnowing_neardup_pairs, shingle_containment_pairs, source_ngram_novelty,
+# pq_codebook_stats, bigram_logprob_quality, zipf_slope_top_terms,
+# vocab_growth_curve, bm25_topk_search, tokenizer_fertility_by_lang,
+# rrf_hybrid_search). These cover the riskiest r10 constructions
+# (winnowing shared-run guarantee, containment pair stream, joinless PQ
+# assignment). Blind spot after these land: 55 -> ~37; the remaining
+# set (BPE quartet, multimodal trio, DSIR pair, PCA/power-iteration,
+# mixture/quota/packing, funnel, events_watermark_late_drop, Q-suite
+# stragglers) queues for r12 in scripts/rotation_r12_proposal.txt.
 _PRIORITY = (
     "scalar_functions",
     "high_value_orders",
+    "lonely_late_supplier",  # first driver row
     "medallion_readback",
+    "revenue_mom_growth",  # first driver row
     "corpus_build_pipeline",
     "datagen_users",
     "schema_evolution_merge",
-    "nation_market_share",  # first driver row
-    "unique_customers",
     "table_counts",
     "cdc_change_log",
     "cdc_upsert_state",
     "ddl_roundtrip",
     "streaming_vector_assign",
-    "orders_by_status",
-    "monthly_revenue",
+    "unique_customers",
     "silver_projection",
     "order_part_lookup",
     "current_date_sanity",
     "parquet_layout_roundtrip",
     "partition_pruning_roundtrip",
     "session_length_distribution",
-    "min_cost_supplier_per_part",  # first driver row
+    "streaming_dedup_exactly_once",  # first driver row
     "order_date_range",
     "distinct_status",
     "daily_active_users",
@@ -137,21 +139,22 @@ _PRIORITY = (
     "lake_compaction_stats",
     "seed_literal_insert",
     "bucket_index_lookup",
-    "streaming_restart_state",
     "top_orders_per_customer",
-    "key_skew_profile",  # first driver row
-    "revenue_rollup_levels",  # first driver row
-    "orders_above_customer_avg",  # first driver row
-    "hard_negative_mining",  # first driver row
-    "ann_kmeans_ivf_topk",  # first driver row
-    "text_quality_scores",  # first driver row
-    "lang_distribution",  # first driver row
-    "language_id_heuristic",  # first driver row
-    "language_id_confusion",  # first driver row
-    "doc_fingerprints",  # first driver row
-    "quality_threshold_sweep",  # first driver row
-    "vocab_edit_distance_pairs",  # first driver row
-    "uniform_hash_sample",  # first driver row
+    "promo_revenue_share",  # first driver row
+    "disjunctive_pred_revenue",  # first driver row
+    "revenue_cube_levels",  # first driver row
+    "minhash_estimate_calibration",  # first driver row
+    "winnowing_fingerprints",  # first driver row
+    "winnowing_neardup_pairs",  # first driver row
+    "shingle_containment_pairs",  # first driver row
+    "source_ngram_novelty",  # first driver row
+    "pq_codebook_stats",  # first driver row
+    "bigram_logprob_quality",  # first driver row
+    "zipf_slope_top_terms",  # first driver row
+    "vocab_growth_curve",  # first driver row
+    "bm25_topk_search",  # first driver row
+    "tokenizer_fertility_by_lang",  # first driver row
+    "rrf_hybrid_search",  # first driver row
 )
 
 
