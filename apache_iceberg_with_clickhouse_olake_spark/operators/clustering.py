@@ -306,7 +306,8 @@ _FINAL = f"s{_ITERS}"
 )
 @_scoped
 def embedding_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd k-means (k = max(8, ceil(n/1000)), 2
+    """Distributed Lloyd k-means (k = max(8, ceil(n/_TARGET_CLUSTER_SIZE)),
+    i.e. ~250 vectors per cluster — see _k_for; 2
     iterations), per-cluster profile
     (size, mean squared distance to the final centroid). The HASH-EXACT
     oracle unrolls both iterations in SQL -- every intermediate (seed

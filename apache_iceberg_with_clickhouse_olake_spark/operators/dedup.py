@@ -181,6 +181,88 @@ def _sig_cte_sql(src: str) -> str:
 
 _SIG_CTE = _sig_cte_sql("documents")
 
+# bands CTE: one (doc_id, band_id, band_hash) row per band -- the SQL
+# twin of the Spark-side posexplode in _lsh_candidate_pairs.  Shared by
+# every LSH-pairing oracle so the band-explode shape cannot diverge
+# between operators.
+_BANDS_CTE = f"""bands AS (
+      {' UNION ALL '.join(
+          f"SELECT doc_id, {b} AS band_id, b{b} AS band_hash FROM bands_wide"
+          for b in range(_N_BANDS)
+      )}
+    )"""
+
+
+def _with_sig(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles, sig) frame: the shingle set plus the
+    16-component MinHash signature ARRAY (kept as one array column so it
+    can ride keyed joins; _with_band_hashes is the variant that drops
+    both and keeps only band hashes). Stacked projections as in
+    _with_band_hashes so md5 runs once per shingle."""
+    hvals = F.transform(F.col("shingles"), lambda s: md5_int60(s) % _P)
+    return (
+        with_shingles(docs)
+        .select("doc_id", "shingles", hvals.alias("hvals"))
+        .select(
+            "doc_id",
+            "shingles",
+            F.array(
+                *[_minhash_sig(F.col("hvals"), i) for i in range(_N_HASHES)]
+            ).alias("sig"),
+        )
+    )
+
+
+def _bands_from_sig(attach: DataFrame) -> DataFrame:
+    """doc_id + b0..b{n-1} band-hash columns from a _with_sig frame
+    (extra columns are dropped; they re-attach by key after pairing)."""
+    sig_cols = [F.col("sig")[i] for i in range(_N_HASHES)]
+    return attach.select(
+        "doc_id",
+        *[_band_hash(sig_cols, b).alias(f"b{b}") for b in range(_N_BANDS)],
+    )
+
+
+def _lsh_candidate_pairs(bands_wide: DataFrame, par: int) -> DataFrame:
+    """Exactly-once LSH candidate pair stream (doc_a < doc_b) from a
+    (doc_id, b0..b{N_BANDS-1}) band-hash frame. The single source of
+    truth for the band-bucketed self-join, shared by
+    _minhash_verified_pairs, minhash_estimate_calibration and
+    shingle_containment_pairs (three near-verbatim copies before r11).
+
+    One posexplode pass instead of an N_BANDS-way union: the signature
+    pipeline runs once per doc, not once per band. All band hashes ride
+    along on every exploded row (4 extra int64s) so pair-dedup can be a
+    map-side expression instead of a shuffle: a pair colliding on k
+    bands leaves the join k times, and a distinct() would
+    hash-aggregate + reshuffle the entire quadratic-in-duplicate-group-
+    size candidate stream. Both rows carry all band hashes, so "is this
+    the FIRST band on which the docs agree" is a cheap executor-side
+    filter -- exactly-once per pair with zero pair-stream shuffle
+    (measured ~30% faster at an 8x-replicated corpus)."""
+    bands = bands_wide.select(
+        "doc_id",
+        *[f"b{b}" for b in range(_N_BANDS)],
+        F.posexplode(
+            F.array(*[F.col(f"b{b}") for b in range(_N_BANDS)])
+        ).alias("band_id", "band_hash"),
+    ).repartition(par, "band_id", "band_hash")
+    x, y = bands.alias("x"), bands.alias("y")
+    joined = x.join(
+        y,
+        (F.col("x.band_id") == F.col("y.band_id"))
+        & (F.col("x.band_hash") == F.col("y.band_hash"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    )
+    earlier_match = F.lit(False)
+    for b in range(_N_BANDS - 1):
+        earlier_match = earlier_match | (
+            (F.col("x.band_id") > b) & (F.col(f"x.b{b}") == F.col(f"y.b{b}"))
+        )
+    return joined.filter(~earlier_match).select(
+        F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+    )
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -264,12 +346,7 @@ def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CANDIDATES_SQL = f"""
     WITH {_SIG_CTE},
-    bands AS (
-      {' UNION ALL '.join(
-          f"SELECT doc_id, {b} AS band_id, b{b} AS band_hash FROM bands_wide"
-          for b in range(_N_BANDS)
-      )}
-    ),
+    {_BANDS_CTE},
     pairs AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
@@ -297,41 +374,7 @@ def _minhash_verified_pairs(docs: DataFrame, par: int) -> DataFrame:
     arbitrary (doc_id, text) frame (pre-repartitioned by doc_id). Body
     shared by minhash_lsh_candidates and dedup_cascade_stats; see
     minhash_lsh_candidates for the plan rationale."""
-    bands_wide = _with_band_hashes(docs)
-    # One posexplode pass instead of an N_BANDS-way union: the signature
-    # pipeline runs once per doc, not once per band.  All band hashes ride
-    # along on every exploded row (4 extra int64s) so pair-dedup below can
-    # be a map-side expression instead of a shuffle.
-    bands = bands_wide.select(
-        "doc_id",
-        *[f"b{b}" for b in range(_N_BANDS)],
-        F.posexplode(
-            F.array(*[F.col(f"b{b}") for b in range(_N_BANDS)])
-        ).alias("band_id", "band_hash"),
-    ).repartition(par, "band_id", "band_hash")
-    x, y = bands.alias("x"), bands.alias("y")
-    joined = x.join(
-        y,
-        (F.col("x.band_id") == F.col("y.band_id"))
-        & (F.col("x.band_hash") == F.col("y.band_hash"))
-        & (F.col("x.doc_id") < F.col("y.doc_id")),
-    )
-    # First-matching-band emission instead of distinct() (same trick as
-    # simhash_neardup_pairs): a pair colliding on k bands leaves the join
-    # k times, and a distinct() would hash-aggregate + reshuffle the
-    # entire quadratic-in-duplicate-group-size candidate stream.  Both
-    # rows carry all band hashes, so "is this the FIRST band on which the
-    # docs agree" is a cheap executor-side filter -- exactly-once per
-    # pair with zero pair-stream shuffle (measured ~30% faster at an
-    # 8x-replicated corpus).
-    earlier_match = F.lit(False)
-    for b in range(_N_BANDS - 1):
-        earlier_match = earlier_match | (
-            (F.col("x.band_id") > b) & (F.col(f"x.b{b}") == F.col(f"y.b{b}"))
-        )
-    pairs = joined.filter(~earlier_match).select(
-        F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-    )
+    pairs = _lsh_candidate_pairs(_with_band_hashes(docs), par)
     sh = with_shingles(docs)
     sa, sb = sh.alias("sa"), sh.alias("sb")
     jac_raw = (
@@ -380,12 +423,7 @@ _CASCADE_ORACLE = f"""
         PARTITION BY md5({_NORM}) ORDER BY doc_id) = 1
     ),
     {_sig_cte_sql('reps')},
-    bands AS (
-      {' UNION ALL '.join(
-          f"SELECT doc_id, {b} AS band_id, b{b} AS band_hash FROM bands_wide"
-          for b in range(_N_BANDS)
-      )}
-    ),
+    {_BANDS_CTE},
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
@@ -824,12 +862,7 @@ def _cc_rounds_sql() -> str:
       SELECT doc_id, text, grp_size FROM g WHERE rn = 1
     ),
     {_sig_cte_sql('reps')},
-    bands AS (
-      {' UNION ALL '.join(
-          f"SELECT doc_id, {b} AS band_id, b{b} AS band_hash FROM bands_wide"
-          for b in range(_N_BANDS)
-      )}
-    ),
+    {_BANDS_CTE},
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
@@ -1071,12 +1104,7 @@ def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, text FROM g WHERE rn = 1
     ),
     {_sig_cte_sql('reps')},
-    bands AS (
-      {' UNION ALL '.join(
-          f"SELECT doc_id, {b} AS band_id, b{b} AS band_hash FROM bands_wide"
-          for b in range(_N_BANDS)
-      )}
-    ),
+    {_BANDS_CTE},
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
@@ -1199,12 +1227,7 @@ def dedup_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, text FROM g WHERE rn = 1
     ),
     {_sig_cte_sql('reps')},
-    bands AS (
-      {' UNION ALL '.join(
-          f"SELECT doc_id, {b} AS band_id, b{b} AS band_hash FROM bands_wide"
-          for b in range(_N_BANDS)
-      )}
-    ),
+    {_BANDS_CTE},
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
@@ -1416,12 +1439,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CALIB_ORACLE = f"""
     WITH {_SIG_CTE},
-    bands AS (
-      {' UNION ALL '.join(
-          f"SELECT doc_id, {b} AS band_id, b{b} AS band_hash FROM bands_wide"
-          for b in range(_N_BANDS)
-      )}
-    ),
+    {_BANDS_CTE},
     pairs AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
@@ -1474,45 +1492,8 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean (davg), keeping the curve hash-identical cross-engine."""
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
-    hvals = F.transform(F.col("shingles"), lambda s: md5_int60(s) % _P)
-    attach = (
-        with_shingles(docs)
-        .select("doc_id", "shingles", hvals.alias("hvals"))
-        .select(
-            "doc_id",
-            "shingles",
-            F.array(
-                *[_minhash_sig(F.col("hvals"), i) for i in range(_N_HASHES)]
-            ).alias("sig"),
-        )
-    )
-    sig_cols = [F.col("sig")[i] for i in range(_N_HASHES)]
-    bands_wide = attach.select(
-        "doc_id",
-        *[_band_hash(sig_cols, b).alias(f"b{b}") for b in range(_N_BANDS)],
-    )
-    bands = bands_wide.select(
-        "doc_id",
-        *[f"b{b}" for b in range(_N_BANDS)],
-        F.posexplode(
-            F.array(*[F.col(f"b{b}") for b in range(_N_BANDS)])
-        ).alias("band_id", "band_hash"),
-    ).repartition(par, "band_id", "band_hash")
-    x, y = bands.alias("x"), bands.alias("y")
-    joined = x.join(
-        y,
-        (F.col("x.band_id") == F.col("y.band_id"))
-        & (F.col("x.band_hash") == F.col("y.band_hash"))
-        & (F.col("x.doc_id") < F.col("y.doc_id")),
-    )
-    earlier_match = F.lit(False)
-    for b in range(_N_BANDS - 1):
-        earlier_match = earlier_match | (
-            (F.col("x.band_id") > b) & (F.col(f"x.b{b}") == F.col(f"y.b{b}"))
-        )
-    pairs = joined.filter(~earlier_match).select(
-        F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-    )
+    attach = _with_sig(docs)
+    pairs = _lsh_candidate_pairs(_bands_from_sig(attach), par)
     sa, sb = attach.alias("sa"), attach.alias("sb")
     jac_raw = (
         F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
@@ -1800,12 +1781,7 @@ _CONT_ASYM_GAP = 0.1  # |cont_a - cont_b| above this marks sub-document copy
     "shingle_containment_pairs",
     oracle=f"""
     WITH {_SIG_CTE},
-    bands AS (
-      {' UNION ALL '.join(
-          f"SELECT doc_id, {b} AS band_id, b{b} AS band_hash FROM bands_wide"
-          for b in range(_N_BANDS)
-      )}
-    ),
+    {_BANDS_CTE},
     pairs AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
@@ -1847,45 +1823,8 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     attach by key to score only those pairs."""
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
-    hvals = F.transform(F.col("shingles"), lambda s: md5_int60(s) % _P)
-    attach = (
-        with_shingles(docs)
-        .select("doc_id", "shingles", hvals.alias("hvals"))
-        .select(
-            "doc_id",
-            "shingles",
-            F.array(
-                *[_minhash_sig(F.col("hvals"), i) for i in range(_N_HASHES)]
-            ).alias("sig"),
-        )
-    )
-    sig_cols = [F.col("sig")[i] for i in range(_N_HASHES)]
-    bands_wide = attach.select(
-        "doc_id",
-        *[_band_hash(sig_cols, b).alias(f"b{b}") for b in range(_N_BANDS)],
-    )
-    bands = bands_wide.select(
-        "doc_id",
-        *[f"b{b}" for b in range(_N_BANDS)],
-        F.posexplode(
-            F.array(*[F.col(f"b{b}") for b in range(_N_BANDS)])
-        ).alias("band_id", "band_hash"),
-    ).repartition(par, "band_id", "band_hash")
-    x, y = bands.alias("x"), bands.alias("y")
-    joined = x.join(
-        y,
-        (F.col("x.band_id") == F.col("y.band_id"))
-        & (F.col("x.band_hash") == F.col("y.band_hash"))
-        & (F.col("x.doc_id") < F.col("y.doc_id")),
-    )
-    earlier_match = F.lit(False)
-    for b in range(_N_BANDS - 1):
-        earlier_match = earlier_match | (
-            (F.col("x.band_id") > b) & (F.col(f"x.b{b}") == F.col(f"y.b{b}"))
-        )
-    pairs = joined.filter(~earlier_match).select(
-        F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-    )
+    attach = _with_sig(docs)
+    pairs = _lsh_candidate_pairs(_bands_from_sig(attach), par)
     sa = attach.select(
         F.col("doc_id").alias("ka"), F.col("shingles").alias("sha")
     )

@@ -155,6 +155,11 @@ def late_exists_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+late_exists_order_priority.__doc__ = late_exists_order_priority.__doc__.format(
+    lag=_Q4_LAG_DAYS
+)
+
+
 # ---------------------------------------------------------------------------
 # Q10: returned-item revenue ranking
 # ---------------------------------------------------------------------------

@@ -1399,11 +1399,14 @@ def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens(F.col("text")).alias("toks")
     )
-    n_docs = docs.count()  # scalar; bounded one-row materialization
-    avgdl = float(
-        docs.select(F.size("toks").alias("dl"))
-        .agg(davg("dl", "avgdl"))
-        .first()["avgdl"]
+    # Corpus scalars (N, avgdl) stay IN-PLAN as a one-row aggregate
+    # attached via crossJoin(broadcast(...)) -- the same scalar-broadcast
+    # pattern as Q11/Q15/vocab_growth_curve -- so the frame is fully
+    # lazy: no corpus pass runs at construction time (plan inspection,
+    # bench warm-up, and the RRF reuse each cost zero extra actions).
+    stats = docs.select(F.size("toks").alias("dl")).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        davg("dl", "avgdl"),
     )
     tf = (
         docs.select(
@@ -1417,7 +1420,7 @@ def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
         + 1.0
     )
     contrib = (
@@ -1427,11 +1430,12 @@ def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (
             F.col("tf")
             + _BM25_K1
-            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
         )
     )
     return (
         tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
         .select("doc_id", contrib.alias("contrib"))
         .groupBy("doc_id")
         .agg(
@@ -1672,3 +1676,8 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(_RRF_TOP)
     )
+
+
+rrf_hybrid_search.__doc__ = rrf_hybrid_search.__doc__.replace(
+    "{_RRF_N}", str(_RRF_N)
+)
