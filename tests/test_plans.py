@@ -920,3 +920,43 @@ def test_source_novelty_explodes_the_materialized_frame(spark, sf_dir):
     plan = physical_plan(_Q["source_ngram_novelty"](spark, sf_dir))
     assert "ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# -- r11: Q11/Q20 shape pins (r10 VERDICT item 6) ---------------------------
+
+
+def test_q11_total_reuses_the_per_part_exchange(spark, sf_dir):
+    """Q11's grand total must be a re-aggregation of the per-part
+    frame, not a second fact scan: at runtime AQE's exchange reuse
+    collapses the total branch onto the per-part shuffle, so the FINAL
+    plan holds exactly ONE lineitem FileScan plus a ReusedExchange /
+    table-cache hit, and the threshold attaches as a one-row broadcast
+    (the legitimate BNLJ-Cross-over-a-scalar class)."""
+    df = _Q["important_part_share"](spark, sf_dir)
+    df.collect()  # finalize AQE so reuse is visible
+    plan = physical_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final
+    assert final.count("lineitem.parquet") == 1, final
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in final, final
+
+
+def test_q20_semi_join_probes_preaggregated_keys(spark, sf_dir):
+    """Q20's IN-subquery must compile to a LEFT SEMI join whose build
+    side is already reduced to qualifying supplier KEYS: the
+    per-supplier SUM + HAVING filter sits strictly below the semi-join
+    (shuffled bytes are keys, not lineitem payloads), the date window
+    is pushed to the lineitem reader, and the scan reads only the four
+    referenced columns."""
+    df = _Q["heavy_red_part_suppliers"](spark, sf_dir)
+    plan = physical_plan(df)
+    semi = plan.index("LeftSemi")
+    agg = plan.index("HashAggregate(keys=[l_suppkey")
+    assert agg > semi, plan  # build side (printed below the join) aggregates
+    assert "Filter (isnotnull(qty" in plan, plan
+    assert_pushed_filter(df, "l_shipdate")
+    assert_scan_columns_at_most(
+        df,
+        "lineitem",
+        {"l_partkey", "l_suppkey", "l_quantity", "l_shipdate"},
+    )
