@@ -2198,3 +2198,68 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         dround((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
     ).orderBy("order_month")
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON extraction over event properties
+# ---------------------------------------------------------------------------
+
+@query(
+    "event_props_json_stats",
+    oracle=f"""
+    WITH k AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             epoch_us(ts) // 1000000 AS es
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           {davg_sql('k')} AS avg_k,
+           CAST(MIN(es) AS BIGINT) AS first_seen_epoch,
+           CAST(MAX(es) AS BIGINT) AS last_seen_epoch
+    FROM k
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("A2", "A3"),
+)
+def event_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    event-properties column and profile it per event type -- the
+    ClickHouse-family JSONExtract* idiom (public ClickHouse SQL surface;
+    the fixture's ``events.props`` column exists for exactly this,
+    TESTDATA.md) re-expressed as Spark's ``get_json_object`` + cast.
+    A missing or malformed key yields NULL in BOTH engines, so
+    n_with_k vs n_events is the parse-health metric a pipeline alerts
+    on; first/last_seen are the per-type freshness window (MIN/MAX
+    event timestamps, exported as epoch seconds -- the ns-vs-us rule,
+    sessions.py module note).
+
+    Shape at scale: a pure per-row projection inside the scan (JSON
+    path evaluation is a JVM-side Catalyst expression -- no UDF, stays
+    in whole-stage codegen) followed by one low-cardinality groupBy
+    with map-side partials. At 100 TB the only knob that matters is
+    NOT re-parsing the JSON per extracted field: for multi-field
+    extraction switch to ``from_json`` with an explicit schema (one
+    parse, N fields), same plan shape."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    es = (F.unix_micros(F.col("ts")) / 1_000_000).cast("long")
+    return (
+        events.select("event_type", k.alias("k"), es.alias("es"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            davg("k", "avg_k"),
+            F.min("es").alias("first_seen_epoch"),
+            F.max("es").alias("last_seen_epoch"),
+        )
+        .orderBy("event_type")
+    )

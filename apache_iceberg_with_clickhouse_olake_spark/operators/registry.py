@@ -104,6 +104,25 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # set (BPE quartet, multimodal trio, DSIR pair, PCA/power-iteration,
 # mixture/quota/packing, funnel, events_watermark_late_drop, Q-suite
 # stragglers) queues for r12 in scripts/rotation_r12_proposal.txt.
+# r11 new-op discipline (r10 VERDICT item 4: new queries displace
+# already-driver-checked names in the SAME commit that registers them):
+# of the 7 r11-authored ops, 3 enter the window now --
+#   in  event_props_json_stats      (JSON extraction + per-type MIN/MAX
+#                                    timestamps; takes A3 from
+#                                    order_date_range, which holds a
+#                                    driver row and rotates out)
+#   in  events_interval_bucket_join (bucketized range join; takes C3
+#                                    from streaming_vector_assign, whose
+#                                    C2 stays via streaming_dedup)
+#   in  source_unigram_kl           (riskiest new construction: dsum of
+#                                    ln-ratio terms over a localCheckpoint
+#                                    superstep; order_part_lookup rotates
+#                                    out, P9->bucket_index_lookup,
+#                                    J3->datagen_orders_by_status)
+# Only 3 slots are freeable: every other driver-checked window name is
+# the sole carrier of some op-id tag (computed, not assumed). The other
+# 4 r11 ops (ann_dim_truncation_recall, embedding_sign_hamming_topk,
+# knn_label_purity, label_centroid_outliers) lead the r12 proposal.
 _PRIORITY = (
     "scalar_functions",
     "high_value_orders",
@@ -117,16 +136,16 @@ _PRIORITY = (
     "cdc_change_log",
     "cdc_upsert_state",
     "ddl_roundtrip",
-    "streaming_vector_assign",
+    "events_interval_bucket_join",  # first driver row (r11-authored)
     "unique_customers",
     "silver_projection",
-    "order_part_lookup",
+    "source_unigram_kl",  # first driver row (r11-authored)
     "current_date_sanity",
     "parquet_layout_roundtrip",
     "partition_pruning_roundtrip",
     "session_length_distribution",
     "streaming_dedup_exactly_once",  # first driver row
-    "order_date_range",
+    "event_props_json_stats",  # first driver row (r11-authored)
     "distinct_status",
     "daily_active_users",
     "max_key_bootstrap",

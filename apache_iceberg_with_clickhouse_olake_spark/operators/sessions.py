@@ -381,3 +381,114 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("purchased_after_click"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval x point range join via bucket decomposition
+# ---------------------------------------------------------------------------
+
+_RJ_N_WINDOWS = 16
+_RJ_STEP_DIV = 20    # a window starts every span/20
+_RJ_WIDTH_DIV = 8    # each window spans span/8 (~2.5x overlap)
+_RJ_N_BUCKETS = 64   # bucket grid the intervals decompose onto
+
+
+@query(
+    "events_interval_bucket_join",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, value, {_D_EPOCH} AS es FROM events
+    ),
+    sp AS (
+      SELECT MIN(es) AS tmin, MAX(es) - MIN(es) + 1 AS span FROM e
+    ),
+    w AS (
+      SELECT g.j AS window_id,
+             sp.tmin + g.j * (sp.span // {_RJ_STEP_DIV}) AS ws,
+             sp.tmin + g.j * (sp.span // {_RJ_STEP_DIV})
+               + sp.span // {_RJ_WIDTH_DIV} AS we
+      FROM sp, generate_series(0, {_RJ_N_WINDOWS - 1}) AS g(j)
+    )
+    SELECT w.window_id,
+           CAST(w.ws AS BIGINT) AS window_start_epoch,
+           CAST(w.we AS BIGINT) AS window_end_epoch,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           {dsum_sql('e.value')} AS window_value
+    FROM e JOIN w ON e.es >= w.ws AND e.es < w.we
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
+    tags=("llm-sessions", "C3"),
+)
+def events_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x point RANGE JOIN by bucket decomposition: {nw}
+    overlapping analysis windows (derived deterministically from the
+    stream's own span -- no pinned epochs) each rolled up over the
+    events whose time falls inside them. The naive plan is a
+    nested-loop theta join (every event tested against every interval);
+    the scale plan decomposes each interval onto a fixed bucket grid,
+    maps every event to its single covering bucket, EQUI-joins on the
+    bucket id, and re-checks the exact bounds only for the events that
+    share a bucket -- the bin/range-join optimization every warehouse
+    applies to interval joins (public Databricks/Spark range-join-hint
+    semantics re-expressed with plain DataFrame ops). Buckets are
+    disjoint, so (event, window) pairs emerge exactly once -- no
+    post-join dedup.
+
+    Shape at scale: the exploded (window, bucket) table is
+    windows x coverage rows -- tiny -- and broadcasts; events shuffle
+    NOWHERE (the bucket id is a scan-side projection, the join is
+    broadcast-hash, the rollup has map-side partials over at most
+    n_windows x overlap groups). At 1e6 windows the same plan holds
+    with the window side becoming a shuffled equi-join keyed by
+    bucket -- still never a cartesian -- and the grid density is the
+    knob trading join fan-out ({cov} buckets/window here) against
+    false-positive bound checks per bucket."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", _spark_epoch().alias("es")
+    )
+    tmin, tmax = events.agg(F.min("es"), F.max("es")).first()
+    span = tmax - tmin + 1
+    step = span // _RJ_STEP_DIV
+    width = span // _RJ_WIDTH_DIV
+    bw = max(span // _RJ_N_BUCKETS, 1)
+    # (window, covering-bucket) rows, all literal arithmetic (exact ints)
+    wb_rows = [
+        (j, tmin + j * step, tmin + j * step + width, b)
+        for j in range(_RJ_N_WINDOWS)
+        for b in range(
+            (j * step) // bw, (j * step + width - 1) // bw + 1
+        )
+    ]
+    wb = spark.createDataFrame(
+        wb_rows, "window_id long, ws long, we long, bucket long"
+    )
+    tagged = events.withColumn(
+        "bucket", F.expr(f"(es - {tmin}) DIV {bw}")
+    )
+    return (
+        tagged.join(F.broadcast(wb), "bucket")
+        .filter((F.col("es") >= F.col("ws")) & (F.col("es") < F.col("we")))
+        .groupBy("window_id", "ws", "we")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(F.col("value"), "window_value"),
+        )
+        .select(
+            "window_id",
+            F.col("ws").alias("window_start_epoch"),
+            F.col("we").alias("window_end_epoch"),
+            "n_events",
+            "n_users",
+            "window_value",
+        )
+        .orderBy("window_id")
+    )
+
+
+events_interval_bucket_join.__doc__ = events_interval_bucket_join.__doc__.format(
+    nw=_RJ_N_WINDOWS,
+    cov=_RJ_N_BUCKETS // _RJ_WIDTH_DIV + 1,
+)

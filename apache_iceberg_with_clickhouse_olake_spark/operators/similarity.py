@@ -1959,3 +1959,402 @@ def pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 pq_codebook_stats.__doc__ = pq_codebook_stats.__doc__.format(
     m=_PQ_M, d=_PQ_SUBDIM, k=_PQ_K
 )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall: top-k fidelity after halving stored dims
+# ---------------------------------------------------------------------------
+
+_TRUNC_DIM = _DIM // 2
+
+
+@query(
+    "ann_dim_truncation_recall",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM b WHERE vec_id < {_N_EVAL_Q}),
+    scored AS MATERIALIZED (
+      SELECT q.qid, e.vec_id,
+             {dround_sql('list_cosine_similarity(e.v, q.qv)', 6)}
+               AS cos_full,
+             {dround_sql(
+                 f'list_cosine_similarity(e.v[1:{_TRUNC_DIM}],'
+                 f' q.qv[1:{_TRUNC_DIM}])', 6)}
+               AS cos_trunc
+      FROM b e, q WHERE e.vec_id <> q.qid
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM scored
+      QUALIFY row_number() OVER (PARTITION BY qid
+                ORDER BY cos_full DESC NULLS LAST, vec_id) <= {_TOP_K}
+    ),
+    approx AS (
+      SELECT qid, vec_id, 1 AS hit FROM scored
+      QUALIFY row_number() OVER (PARTITION BY qid
+                ORDER BY cos_trunc DESC NULLS LAST, vec_id) <= {_TOP_K}
+    )
+    SELECT x.qid,
+           COUNT(*) AS exact_k,
+           CAST(COUNT(a.hit) AS BIGINT) AS trunc_hits,
+           {dround_sql(f'COUNT(a.hit) / {_TOP_K}.0', 4)} AS recall_at_k
+    FROM exact x
+    LEFT JOIN approx a ON x.qid = a.qid AND x.vec_id = a.vec_id
+    GROUP BY x.qid
+    ORDER BY x.qid
+    """,
+    tags=("llm-similarity",),
+)
+def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation eval (Kusupati et al.,
+    public MRL paper): recall@k of cosine top-k computed on the FIRST
+    {half} of {dim} dimensions against the full-dimension exact top-k,
+    per evaluation query. This is the decision table for storing
+    truncated vectors (2x less IO/memory per scan) with full-dim
+    rescoring only on the short list.
+
+    Shape at scale: identical to ann_recall_eval -- the {nq}-query
+    sample is a tiny broadcast, scoring is corpus x sample in one pass
+    (both cosines ride the SAME row visit, so truncation adds no second
+    scan), ranking is a per-qid window over the sample's score lists."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    q = e.filter(F.col("vec_id") < _N_EVAL_Q).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = e.join(F.broadcast(q), e.vec_id != q.qid).select(
+        "qid",
+        "vec_id",
+        dround(_cos(F.col("v"), F.col("qv")), 6).alias("cos_full"),
+        dround(
+            _cos(
+                F.slice(F.col("v"), 1, _TRUNC_DIM),
+                F.slice(F.col("qv"), 1, _TRUNC_DIM),
+            ),
+            6,
+        ).alias("cos_trunc"),
+    )
+    w_full = Window.partitionBy("qid").orderBy(
+        F.col("cos_full").desc(), F.col("vec_id")
+    )
+    w_trunc = Window.partitionBy("qid").orderBy(
+        F.col("cos_trunc").desc(), F.col("vec_id")
+    )
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w_full))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("qid", "vec_id")
+    )
+    approx = (
+        scored.withColumn("rnk", F.row_number().over(w_trunc))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("qid", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(approx, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("exact_k"),
+            F.count("hit").alias("trunc_hits"),
+            dround(F.count("hit") / F.lit(float(_TOP_K)), 4).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
+ann_dim_truncation_recall.__doc__ = ann_dim_truncation_recall.__doc__.format(
+    half=_TRUNC_DIM, dim=_DIM, nq=_N_EVAL_Q
+)
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization + Hamming top-k
+# ---------------------------------------------------------------------------
+
+_HAM_WORD_BITS = 32
+_HAM_N_WORDS = _DIM // _HAM_WORD_BITS
+
+
+def _sign_word(v: Column, w: int) -> Column:
+    """Bits w*32 .. w*32+31 of the sign signature packed into a long
+    (32 bits per word keeps every term far from 2^63 overflow)."""
+    out = None
+    for i in range(_HAM_WORD_BITS):
+        d = w * _HAM_WORD_BITS + i
+        bit = (
+            F.when(v[d] > 0, F.lit(1 << i))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        out = bit if out is None else out + bit
+    return out
+
+
+def _sign_word_sql(vec: str, w: int) -> str:
+    terms = [
+        f"(CASE WHEN {vec}[{w * _HAM_WORD_BITS + i + 1}] > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(_HAM_WORD_BITS)
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def _hamming_sql() -> str:
+    return " + ".join(
+        f"bit_count(xor(e.w{w}, q.qw{w}))" for w in range(_HAM_N_WORDS)
+    )
+
+
+@query(
+    "embedding_sign_hamming_topk",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             {_sign_word_sql('CAST(embedding AS DOUBLE[])', 0)} AS w0,
+             {_sign_word_sql('CAST(embedding AS DOUBLE[])', 1)} AS w1
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, w0 AS qw0, w1 AS qw1
+          FROM b ORDER BY vec_id LIMIT 1)
+    SELECT e.vec_id, e.label,
+           CAST({_hamming_sql()} AS BIGINT) AS hamming,
+           {dround_sql('list_cosine_similarity(e.v, q.qv)', 6)} AS cos_exact
+    FROM b e, q WHERE e.vec_id <> q.qid
+    ORDER BY hamming, e.vec_id
+    LIMIT {_TOP_K}
+    """,
+    tags=("llm-similarity",),
+)
+def embedding_sign_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization ANN: each vector compresses to its {dim}-bit
+    sign signature (1 bit/dim = 64x smaller than float32; the standard
+    binary-embedding trick) and candidates rank by Hamming distance --
+    bit_count(xor) over two 32-bit words -- with the exact cosine
+    attached for rescoring. Sign(0) maps to 0 in BOTH engines (strict
+    > 0), so the signature is engine-exact; Hamming is integer, so the
+    top-k (ties broken by vec_id) is hash-exact too.
+
+    Shape at scale: signatures are computed in the scan projection (no
+    shuffle of float payloads -- a production table would PERSIST the
+    two words and skip the vectors entirely on the candidate pass);
+    the query is a 1-row broadcast and top-k compiles to
+    TakeOrderedAndProject. This is the candidate-generation half of a
+    binary-quantized index; embedding_int8_quantization is the
+    storage-compression cousin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        _dvec(F.col("embedding")).alias("v"),
+    ).select(
+        "vec_id",
+        "label",
+        "v",
+        *[_sign_word(F.col("v"), w).alias(f"w{w}") for w in range(_HAM_N_WORDS)],
+    )
+    q = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            *[F.col(f"w{w}").alias(f"qw{w}") for w in range(_HAM_N_WORDS)],
+        )
+    )
+    ham = None
+    for w in range(_HAM_N_WORDS):
+        term = F.bit_count(F.col(f"w{w}").bitwiseXOR(F.col(f"qw{w}")))
+        ham = term if ham is None else ham + term
+    return (
+        e.join(F.broadcast(q), e.vec_id != q.qid)
+        .select(
+            "vec_id",
+            "label",
+            ham.cast("long").alias("hamming"),
+            dround(_cos(F.col("v"), F.col("qv")), 6).alias("cos_exact"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(_TOP_K)
+    )
+
+
+embedding_sign_hamming_topk.__doc__ = embedding_sign_hamming_topk.__doc__.format(
+    dim=_DIM
+)
+
+
+# ---------------------------------------------------------------------------
+# k-NN neighborhood label purity (dataset-quality / mislabel signal)
+# ---------------------------------------------------------------------------
+
+@query(
+    "knn_label_purity",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+          FROM b WHERE vec_id < {_N_EVAL_Q}),
+    scored AS (
+      SELECT q.qid, q.qlabel, e.label,
+             {dround_sql('list_cosine_similarity(e.v, q.qv)', 6)} AS cos_sim,
+             e.vec_id
+      FROM b e, q WHERE e.vec_id <> q.qid
+    ),
+    knn AS (
+      SELECT qid, qlabel, label FROM scored
+      QUALIFY row_number() OVER (PARTITION BY qid
+                ORDER BY cos_sim DESC NULLS LAST, vec_id) <= {_TOP_K}
+    )
+    SELECT qid, ANY_VALUE(qlabel) AS qlabel,
+           CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS knn_hits,
+           {dround_sql(
+               f'SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END)'
+               f' / {_TOP_K}.0', 4)} AS purity
+    FROM knn
+    GROUP BY qid
+    ORDER BY qid
+    """,
+    tags=("llm-similarity",),
+)
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN neighborhood label agreement: for each evaluation query, the
+    fraction of its {k} exact-cosine nearest neighbors sharing the
+    query's label -- the standard embedding-space sanity metric for a
+    labeled corpus (low purity flags mislabeled rows or a collapsed
+    embedding space; the per-example form of a kNN-classifier eval).
+
+    Shape at scale: the {nq}-query sample broadcasts; scoring is
+    corpus x sample in one pass; ranking is a per-qid window over the
+    sample's score lists -- the sampled-eval shape, never
+    corpus x corpus."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", _dvec(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _N_EVAL_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = e.join(F.broadcast(q), e.vec_id != q.qid).select(
+        "qid",
+        "qlabel",
+        "label",
+        dround(_cos(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        "vec_id",
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    hits = F.sum(
+        F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .groupBy("qid")
+        .agg(
+            F.any_value(F.col("qlabel")).alias("qlabel"),
+            hits.cast("long").alias("knn_hits"),
+            dround(hits / F.lit(float(_TOP_K)), 4).alias("purity"),
+        )
+        .orderBy("qid")
+    )
+
+
+knn_label_purity.__doc__ = knn_label_purity.__doc__.format(
+    k=_TOP_K, nq=_N_EVAL_Q
+)
+
+
+# ---------------------------------------------------------------------------
+# Distance-to-own-centroid outliers (mislabel / contamination detection)
+# ---------------------------------------------------------------------------
+
+_OUTLIER_TOPN = 20
+
+
+@query(
+    "label_centroid_outliers",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label, vec_id, g.i,
+             CAST(embedding AS DOUBLE[])[g.i] AS x
+      FROM embeddings, generate_series(1, {_DIM}) AS g(i)
+    ),
+    cent AS (
+      SELECT label, i, {davg_sql('x')} AS c
+      FROM comp GROUP BY label, i
+    ),
+    cv AS (
+      SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           {dround_sql(
+               'sqrt(list_reduce(list_transform(range(1, ' + str(_DIM + 1)
+               + '), i -> (CAST(e.embedding AS DOUBLE[])[i] - cv.cv[i])'
+               ' * (CAST(e.embedding AS DOUBLE[])[i] - cv.cv[i])),'
+               ' (a, b) -> a + b))', 6)} AS dist
+    FROM embeddings e JOIN cv ON e.label = cv.label
+    ORDER BY dist DESC, e.vec_id
+    LIMIT {_OUTLIER_TOPN}
+    """,
+    tags=("llm-similarity",),
+)
+def label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel / contamination detector: euclidean distance from every
+    vector to ITS OWN label centroid, reporting the {n} farthest rows --
+    the classic confident-learning-style triage list a labeling pass
+    reviews first. Centroids are davg-snapped per (label, dim), so both
+    engines derive the IDENTICAL centroid and the ranking is hash-exact
+    (ties broken by vec_id).
+
+    Shape at scale: the centroid build is posexplode -> (label, dim)
+    partial aggregation (labels x dims rows, independent of corpus
+    size -- same fully-distributed build as ann_ivf_topk); the
+    label-keyed centroid table is a tiny broadcast; distances are
+    per-row folds; the report compiles to TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", _dvec(F.col("embedding")).alias("v")
+    )
+    comp = e.select(
+        "label", F.posexplode(F.col("v")).alias("dim", "x")
+    )
+    cent = comp.groupBy("label", "dim").agg(davg("x", "c"))
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+    sq = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        e.join(F.broadcast(cent_arr), "label")
+        .select(
+            "vec_id",
+            "label",
+            dround(F.sqrt(sq), 6).alias("dist"),
+        )
+        .orderBy(F.col("dist").desc(), "vec_id")
+        .limit(_OUTLIER_TOPN)
+    )
+
+
+label_centroid_outliers.__doc__ = label_centroid_outliers.__doc__.format(
+    n=_OUTLIER_TOPN
+)

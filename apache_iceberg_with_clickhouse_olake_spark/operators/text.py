@@ -1681,3 +1681,88 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 rrf_hybrid_search.__doc__ = rrf_hybrid_search.__doc__.replace(
     "{_RRF_N}", str(_RRF_N)
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram KL divergence (corpus drift / source-mix QA)
+# ---------------------------------------------------------------------------
+
+@query(
+    "source_unigram_kl",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, UNNEST({_TOKS}) AS term FROM documents
+    ),
+    st AS MATERIALIZED (
+      SELECT source, term, COUNT(*) AS c_st FROM tok GROUP BY 1, 2
+    ),
+    tt AS (
+      SELECT term, CAST(SUM(c_st) AS DOUBLE) AS c_t FROM st GROUP BY 1
+    ),
+    s_tot AS (
+      SELECT source, CAST(SUM(c_st) AS DOUBLE) AS c_s FROM st GROUP BY 1
+    ),
+    g AS (SELECT CAST(SUM(c_t) AS DOUBLE) AS grand FROM tt)
+    SELECT st.source,
+           CAST(SUM(st.c_st) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_terms,
+           {dsum_sql(
+               '(st.c_st / s.c_s)'
+               ' * ln((st.c_st / s.c_s) / (tt.c_t / g.grand))'
+           )} AS kl_nats
+    FROM st JOIN tt USING (term) JOIN s_tot s USING (source) CROSS JOIN g
+    GROUP BY st.source
+    ORDER BY st.source
+    """,
+    tags=("llm-text", "llm-sampling"),
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence KL(p_source || p_corpus) in
+    nats -- the corpus-drift / source-mix QA metric: a source whose
+    token distribution diverges hard from the corpus is either a
+    different register (code vs prose), a different language leaking
+    past the router, or spam. Every source term appears in the corpus
+    distribution by construction, so q > 0 and the sum is total.
+
+    Shape at scale: ONE corpus scan+tokenize materializes the
+    (source, term) count frame as a localCheckpoint superstep (it is
+    vocabulary x sources sized -- tiny relative to the corpus); the
+    term-marginal, source-marginal, and grand total are all
+    RE-AGGREGATIONS of that frame, never second scans (the
+    source_ngram_novelty discipline). The term join is vocabulary-keyed
+    with no broadcast hint (vocabulary grows with the corpus; AQE
+    decides), the source marginal broadcasts (sources are a tiny
+    dimension), the grand total attaches as a one-row broadcast. Each
+    KL term decimal-snaps before summing (dsum), so the per-source sum
+    is partition-order-independent and engine-exact; DuckDB ln == JVM
+    log bit-for-bit (functions/__init__.py determinism note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    st = (
+        tok.groupBy("source", "term")
+        .agg(F.count("*").alias("c_st"))
+        .localCheckpoint(eager=True)
+    )
+    tt = st.groupBy("term").agg(
+        F.sum("c_st").cast("double").alias("c_t")
+    )
+    s_tot = st.groupBy("source").agg(
+        F.sum("c_st").cast("double").alias("c_s")
+    )
+    grand = tt.agg(F.sum("c_t").alias("grand"))
+    p = F.col("c_st").cast("double") / F.col("c_s")
+    q = F.col("c_t") / F.col("grand")
+    return (
+        st.join(tt, "term")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("source")
+        .agg(
+            F.sum("c_st").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_terms"),
+            dsum(p * F.log(p / q), "kl_nats"),
+        )
+        .orderBy("source")
+    )

@@ -960,3 +960,48 @@ def test_q20_semi_join_probes_preaggregated_keys(spark, sf_dir):
         "lineitem",
         {"l_partkey", "l_suppkey", "l_quantity", "l_shipdate"},
     )
+
+
+# -- r11 new ops: range-join decomposition, KL superstep, sign-ANN ---------
+
+
+def test_interval_join_is_bucket_equi_never_theta(spark, sf_dir):
+    """The interval x point range join must compile to a broadcast HASH
+    join on the bucket id -- never a nested-loop/cartesian theta join --
+    with the events scan pruned to the three referenced columns."""
+    df = _Q["events_interval_bucket_join"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin [bucket" in plan, plan
+    assert_scan_columns_at_most(df, "events", {"user_id", "value", "ts"})
+
+
+def test_source_kl_reaggregates_the_superstep_not_the_corpus(spark, sf_dir):
+    """All three KL marginals must derive from the localCheckpoint'd
+    (source, term) frame: the final plan contains ExistingRDD scans and
+    ZERO documents.parquet scans (one corpus scan+tokenize total, paid
+    at checkpoint time)."""
+    plan = physical_plan(_Q["source_unigram_kl"](spark, sf_dir))
+    assert "ExistingRDD" in plan, plan
+    assert "documents.parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sign_hamming_topk_takes_ordered(spark, sf_dir):
+    """Binary-quantized top-k must compile to TakeOrderedAndProject
+    (per-partition heaps over integer Hamming), and the signature words
+    must be scan-side projections (no shuffle of the float vectors
+    before the 1-row broadcast join)."""
+    plan = physical_plan(_Q["embedding_sign_hamming_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_centroid_outliers_broadcast_the_centroid_table(spark, sf_dir):
+    """The distance pass must broadcast the label-keyed centroid table
+    (labels x 1 rows) and report via TakeOrderedAndProject -- the
+    vectors themselves never shuffle."""
+    plan = physical_plan(_Q["label_centroid_outliers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin [label" in plan, plan
