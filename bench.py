@@ -328,6 +328,11 @@ def main() -> None:
         # weights; one corpus tokenize+hash pass + broadcast ratio
         # table) -- new name, intersection-skip on its first round
         "dsir_importance_weights",
+        # r11: the corpus-drift flagship (per-source unigram KL over a
+        # localCheckpoint superstep; marginals are re-aggregations of
+        # one tokenize pass) -- new name, intersection-skip on its
+        # first round
+        "source_unigram_kl",
     )
     llm_timings: dict[str, float] = {}
     llm_iqrs: dict[str, float] = {}

@@ -88,6 +88,12 @@ QUERIES = (
     "revenue_mom_growth",
     "important_part_share",
     "heavy_red_part_suppliers",
+    # r11 additions over the events fact: JSON extraction is a pure
+    # scan-side projection (must track the scan), and the bucketized
+    # range join's fan-out is windows x overlap -- constant -- so the
+    # join must track the single events pass
+    "event_props_json_stats",
+    "events_interval_bucket_join",
 )
 KEY_COLS = {
     "orders": "o_orderkey",
@@ -178,6 +184,16 @@ CORPUS_QUERIES = (
     # (exchange carries distinct (source, shingle) pairs only)
     "shingle_containment_pairs",
     "source_ngram_novelty",
+    # r11 additions: the KL superstep (one tokenize into a corpus-
+    # independent (source, term) frame; marginals re-aggregate it), the
+    # three sampled embedding evals (corpus x sample scoring -- must
+    # track the corpus pass, never the square), and the centroid
+    # outlier pass ((label, dim)-keyed build + broadcast distance scan)
+    "source_unigram_kl",
+    "ann_dim_truncation_recall",
+    "embedding_sign_hamming_topk",
+    "knn_label_purity",
+    "label_centroid_outliers",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)
@@ -195,6 +211,10 @@ SKEW_QUERIES = (
     # exactly the reducer-key skew the within-cluster pair join must
     # survive.
     "semantic_dedup_stats",
+    # r11: the centroid build keys by (label, dim) -- the 64-dim fanout
+    # is exactly what spreads a hot label across reducers; measured,
+    # not asserted.
+    "label_centroid_outliers",
 )
 SKEW_K = 8
 
