@@ -2263,3 +2263,102 @@ def event_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-rate anomaly detection (3-sigma over per-type daily rates)
+# ---------------------------------------------------------------------------
+
+# 2.0 (not the textbook 3.0): the fixture's uniform generator has no
+# injected incidents, so a 3-sigma gate returns zero rows at sf<=0.01
+# and the oracle would only ever compare empty frames. 2-sigma flags
+# 2-3 real tail days at every fixture scale, keeping the hash gate a
+# value check; a deployment tunes this like any alert threshold.
+_ANOM_SIGMA = 2.0
+
+
+@query(
+    "event_rate_anomalies",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             (epoch_us(ts) // 1000000) // 86400 AS day_num,
+             COUNT(*) AS cnt
+      FROM events
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             {davg_sql('cnt')} AS mean_cnt,
+             {davg_sql('CAST(cnt AS DOUBLE) * cnt')} AS mean_sq
+      FROM daily
+      GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(d.day_num AS BIGINT) AS day_num,
+           d.cnt AS n_events,
+           {dround_sql('s.mean_cnt', 4)} AS mean_cnt,
+           {dround_sql(
+               '(d.cnt - s.mean_cnt)'
+               ' / sqrt(GREATEST(s.mean_sq - s.mean_cnt * s.mean_cnt,'
+               ' 1e-12))', 4)} AS zscore
+    FROM daily d JOIN stats s USING (event_type)
+    WHERE d.cnt - s.mean_cnt
+          > {_ANOM_SIGMA} * sqrt(GREATEST(s.mean_sq - s.mean_cnt * s.mean_cnt,
+                                          1e-12))
+    ORDER BY d.event_type, day_num
+    """,
+    tags=("A2", "A8"),
+)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly detection over the event stream: per-type daily
+    counts flagged where the day exceeds the type's mean by
+    {sigma} population standard deviations -- the ingestion-health
+    alarm every pipeline runs over its own telemetry. Variance comes
+    from the one-pass identity E[x^2] - E[x]^2 over davg-SNAPPED
+    moments, so mean/sigma/zscore are bit-identical cross-engine (the
+    builtin stddev aggregates are partition-order-dependent doubles --
+    the judge-run mismatch class); the 1e-12 floor guards the
+    zero-variance single-day type.
+
+    Shape at scale: one events scan to (type, day) counts with
+    map-side partials; the stats table is a per-type re-aggregation of
+    that rollup (types x 1 rows) joined back broadcast-small. Nothing
+    in the plan scales super-linearly with the corpus; the flagged set
+    is the output, not an input to further stages."""
+    events = load_table(spark, sf_dir, "events")
+    day = (F.unix_micros(F.col("ts")) / 1_000_000).cast("long")
+    daily = (
+        events.select("event_type", (day / 86400).cast("long").alias("day_num"))
+        .groupBy("event_type", "day_num")
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        davg("cnt", "mean_cnt"),
+        davg(F.col("cnt").cast("double") * F.col("cnt"), "mean_sq"),
+    )
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("mean_sq") - F.col("mean_cnt") * F.col("mean_cnt"),
+            F.lit(1e-12),
+        )
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.col("cnt") - F.col("mean_cnt") > _ANOM_SIGMA * sigma)
+        .select(
+            "event_type",
+            "day_num",
+            F.col("cnt").alias("n_events"),
+            dround(F.col("mean_cnt"), 4).alias("mean_cnt"),
+            dround((F.col("cnt") - F.col("mean_cnt")) / sigma, 4).alias(
+                "zscore"
+            ),
+        )
+        .orderBy("event_type", "day_num")
+    )
+
+
+event_rate_anomalies.__doc__ = event_rate_anomalies.__doc__.format(
+    sigma=_ANOM_SIGMA
+)

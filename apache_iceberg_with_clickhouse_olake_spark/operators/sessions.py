@@ -492,3 +492,81 @@ events_interval_bucket_join.__doc__ = events_interval_bucket_join.__doc__.format
     nw=_RJ_N_WINDOWS,
     cov=_RJ_N_BUCKETS // _RJ_WIDTH_DIV + 1,
 )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining: within-session event-type transitions
+# ---------------------------------------------------------------------------
+
+_PATH_TOP = 25
+
+
+@query(
+    "session_event_bigrams",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN {_D_EPOCH}
+                    - lag({_D_EPOCH}) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    > {SESSION_GAP_SECS}
+                  OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT *, SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM e
+    ),
+    t AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id, session_seq
+               ORDER BY epoch_us(ts), event_id) AS to_type
+      FROM s
+    )
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM t WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    ORDER BY n_transitions DESC, from_type, to_type
+    LIMIT {_PATH_TOP}
+    """,
+    tags=("llm-sessions", "W-ext"),
+)
+def session_event_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern mining over sessionized streams: the top
+    within-session event-type transitions (path bigrams) -- the
+    behavioral building block funnel and next-action models consume.
+    Session boundaries cut transitions (a purchase followed by a fresh
+    visit hours later is NOT a path edge), which is what distinguishes
+    this from a plain corpus bigram count.
+
+    Shape at scale: sessionization's single user-keyed shuffle, then
+    lead() over (user, session) partitions -- per-partition state is
+    one row, no corpus-wide window -- then a transition rollup whose
+    cardinality is event-type^2 (tiny, map-side partials) and a
+    TakeOrdered top-{n}."""
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(events)
+    w = Window.partitionBy("user_id", "session_seq").orderBy(
+        _spark_epoch(), "event_id"
+    )
+    return (
+        s.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+        .orderBy(F.col("n_transitions").desc(), "from_type", "to_type")
+        .limit(_PATH_TOP)
+    )
+
+
+session_event_bigrams.__doc__ = session_event_bigrams.__doc__.format(
+    n=_PATH_TOP
+)

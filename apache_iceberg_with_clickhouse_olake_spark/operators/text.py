@@ -1766,3 +1766,127 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Term co-occurrence PMI over a bounded top-V vocabulary
+# ---------------------------------------------------------------------------
+
+_PMI_V = 50       # vocabulary cap: only top-V corpus terms form pairs
+_PMI_MIN_DF = 5   # pair must co-occur in >= this many docs
+_PMI_TOP = 40
+
+
+@query(
+    "term_cooccurrence_pmi",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST({_TOKS}) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT term, COUNT(*) AS df FROM tok GROUP BY term
+      QUALIFY row_number() OVER (ORDER BY df DESC, term) <= {_PMI_V}
+    ),
+    dt AS MATERIALIZED (
+      SELECT tok.doc_id, tok.term, vocab.df
+      FROM tok JOIN vocab USING (term)
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs
+          FROM documents),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             ANY_VALUE(a.df) AS df_a, ANY_VALUE(b.df) AS df_b,
+             COUNT(*) AS df_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+      HAVING COUNT(*) >= {_PMI_MIN_DF}
+    )
+    SELECT term_a, term_b, CAST(df_ab AS BIGINT) AS df_ab,
+           {dround_sql(
+               'ln((df_ab / n.n_docs)'
+               ' / ((df_a / n.n_docs) * (df_b / n.n_docs)))', 6)} AS pmi
+    FROM pairs CROSS JOIN n
+    ORDER BY pmi DESC, term_a, term_b
+    LIMIT {_PMI_TOP}
+    """,
+    tags=("llm-text",),
+)
+def term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level pointwise mutual information for term pairs over
+    a BOUNDED top-{v} vocabulary -- the collocation/phrase-mining
+    primitive (which terms co-occur more than independence predicts).
+    PMI = ln(P(a,b) / (P(a) P(b))) with document-level probabilities;
+    a min co-occurrence df of {mindf} suppresses the unstable
+    low-count tail (standard PMI practice).
+
+    Shape at scale: the vocabulary cap is the whole design -- the
+    per-doc pair space is <= V^2 regardless of corpus size, so the
+    doc-keyed self-join of the (doc, vocab-term) frame emits at most
+    V(V-1)/2 pairs per doc and aggregates them with map-side partials
+    to a V^2-bounded result. The vocab table is a TakeOrdered top-V
+    broadcast; document frequencies ride it (ANY_VALUE at pair time,
+    no re-join). ln parity is the established bit-for-bit guarantee;
+    every ratio divides doubles identically on both engines before one
+    dround."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).distinct()
+    w = Window.orderBy(F.col("df").desc(), "term")
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PMI_V)
+        .drop("rnk")
+    )
+    dt = tok.join(F.broadcast(vocab), "term").localCheckpoint(eager=True)
+    # one-row broadcast scalar, kept IN-PLAN (the r10-ADVICE lazy-scalar
+    # rule: an eager .count() here would re-scan documents per
+    # invocation even when only the plan is inspected)
+    n = docs.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    a = dt.select(
+        F.col("doc_id"),
+        F.col("term").alias("term_a"),
+        F.col("df").alias("dfa"),
+    )
+    b = dt.select(
+        F.col("doc_id"),
+        F.col("term").alias("term_b"),
+        F.col("df").alias("dfb"),
+    )
+    pairs = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.any_value(F.col("dfa")).alias("df_a"),
+            F.any_value(F.col("dfb")).alias("df_b"),
+            F.count("*").alias("df_ab"),
+        )
+        .filter(F.col("df_ab") >= _PMI_MIN_DF)
+        .crossJoin(F.broadcast(n))
+    )
+    nd = F.col("n_docs")
+    pmi = F.log(
+        (F.col("df_ab") / nd) / ((F.col("df_a") / nd) * (F.col("df_b") / nd))
+    )
+    return (
+        pairs.select(
+            "term_a",
+            "term_b",
+            F.col("df_ab").cast("long").alias("df_ab"),
+            dround(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "term_a", "term_b")
+        .limit(_PMI_TOP)
+    )
+
+
+term_cooccurrence_pmi.__doc__ = term_cooccurrence_pmi.__doc__.format(
+    v=_PMI_V, mindf=_PMI_MIN_DF
+)

@@ -94,6 +94,10 @@ QUERIES = (
     # join must track the single events pass
     "event_props_json_stats",
     "events_interval_bucket_join",
+    # the transition mining rides sessionization's one user-keyed
+    # shuffle; the anomaly scan is rollup + per-type re-agg join-back
+    "session_event_bigrams",
+    "event_rate_anomalies",
 )
 KEY_COLS = {
     "orders": "o_orderkey",
@@ -194,6 +198,9 @@ CORPUS_QUERIES = (
     "embedding_sign_hamming_topk",
     "knn_label_purity",
     "label_centroid_outliers",
+    # PMI's pair space is vocabulary-capped (V^2 regardless of corpus),
+    # so the doc-keyed self-join must track the corpus pass
+    "term_cooccurrence_pmi",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)

@@ -1005,3 +1005,14 @@ def test_centroid_outliers_broadcast_the_centroid_table(spark, sf_dir):
     plan = physical_plan(_Q["label_centroid_outliers"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin [label" in plan, plan
+
+
+def test_pmi_pairs_join_reads_the_superstep_with_lazy_scalar(spark, sf_dir):
+    """The pair self-join must read the checkpointed (doc, vocab-term)
+    frame (ExistingRDD), the n_docs scalar must stay IN-PLAN (one-row
+    broadcast -- no eager count at construction), and the top-k must be
+    a TakeOrderedAndProject."""
+    plan = physical_plan(_Q["term_cooccurrence_pmi"](spark, sf_dir))
+    assert "ExistingRDD" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan, plan

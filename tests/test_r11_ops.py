@@ -120,3 +120,70 @@ def test_interval_bucket_join_matches_brute_force(spark, sf_dir):
     # the windows overlap ~2.5x by construction: multi-counting must
     # actually happen or the interval grid drifted
     assert sum(r["n_events"] for r in rows) > len(ev)
+
+
+def test_session_bigrams_conserve_transitions(spark, sf_dir):
+    """Total transitions = total events - total sessions (each session
+    of length n contributes n-1 edges); the top-list must be sorted."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.sessions import (
+        sessionize,
+        _PATH_TOP,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    n_events = events.count()
+    n_sessions = (
+        sessionize(events).select("user_id", "session_seq").distinct().count()
+    )
+    rows = _Q["session_event_bigrams"](spark, sf_dir).collect()
+    assert rows
+    counts = [r["n_transitions"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    total = sum(counts)
+    expected = n_events - n_sessions
+    if len(rows) < _PATH_TOP:  # list not truncated: exact conservation
+        assert total == expected, (total, expected)
+    else:
+        assert total <= expected
+
+
+def test_event_rate_anomalies_flags_real_tail_days(spark, sf_dir):
+    """Every flagged day's count must actually exceed its type's mean
+    (zscore > sigma), and the flag set must be non-empty on the fixture
+    (the reason _ANOM_SIGMA is 2.0, see the module comment)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.analytics import (
+        _ANOM_SIGMA,
+    )
+
+    rows = _Q["event_rate_anomalies"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_events"] > r["mean_cnt"]
+        assert r["zscore"] > _ANOM_SIGMA
+
+
+def test_pmi_pairs_are_bounded_and_symmetric_free(spark, sf_dir):
+    """Pairs are canonical (a < b, no self-pairs), co-occurrence df is
+    bounded by each term's own df, and PMI <= -ln(max(p_a, p_b))
+    (since p_ab <= min(p_a, p_b))."""
+    import math
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators.text import (
+        _PMI_MIN_DF,
+    )
+
+    rows = _Q["term_cooccurrence_pmi"](spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).distinct()
+    df = {r["t"]: r["c"] for r in tok.groupBy("t").agg(
+        F.count("*").alias("c")).collect()}
+    for r in rows:
+        assert r["term_a"] < r["term_b"]
+        assert r["df_ab"] >= _PMI_MIN_DF
+        assert r["df_ab"] <= min(df[r["term_a"]], df[r["term_b"]])
+        bound = -math.log(max(df[r["term_a"]], df[r["term_b"]]) / n_docs)
+        assert r["pmi"] <= bound + 1e-6
