@@ -778,6 +778,11 @@ def doc_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+doc_contamination_fraction.__doc__ = doc_contamination_fraction.__doc__.format(
+    _PROBE_TOKENS=_PROBE_TOKENS
+)
+
+
 # ---------------------------------------------------------------------------
 # Pareto-skyline exemplar selection (quality x length frontier)
 # ---------------------------------------------------------------------------
