@@ -1977,11 +1977,11 @@ _TRUNC_DIM = _DIM // 2
     q AS (SELECT vec_id AS qid, v AS qv FROM b WHERE vec_id < {_N_EVAL_Q}),
     scored AS MATERIALIZED (
       SELECT q.qid, e.vec_id,
-             {dround_sql('list_cosine_similarity(e.v, q.qv)', 6)}
+             {dround_sql(_COS_SQL.format(a='e.v', b='q.qv'), 6)}
                AS cos_full,
-             {dround_sql(
-                 f'list_cosine_similarity(e.v[1:{_TRUNC_DIM}],'
-                 f' q.qv[1:{_TRUNC_DIM}])', 6)}
+             {dround_sql(_COS_SQL.format(
+                 a=f'e.v[1:{_TRUNC_DIM}]',
+                 b=f'q.qv[1:{_TRUNC_DIM}]'), 6)}
                AS cos_trunc
       FROM b e, q WHERE e.vec_id <> q.qid
     ),
@@ -2123,7 +2123,7 @@ def _hamming_sql() -> str:
           FROM b ORDER BY vec_id LIMIT 1)
     SELECT e.vec_id, e.label,
            CAST({_hamming_sql()} AS BIGINT) AS hamming,
-           {dround_sql('list_cosine_similarity(e.v, q.qv)', 6)} AS cos_exact
+           {dround_sql(_COS_SQL.format(a='e.v', b='q.qv'), 6)} AS cos_exact
     FROM b e, q WHERE e.vec_id <> q.qid
     ORDER BY hamming, e.vec_id
     LIMIT {_TOP_K}
@@ -2203,7 +2203,7 @@ embedding_sign_hamming_topk.__doc__ = embedding_sign_hamming_topk.__doc__.format
           FROM b WHERE vec_id < {_N_EVAL_Q}),
     scored AS (
       SELECT q.qid, q.qlabel, e.label,
-             {dround_sql('list_cosine_similarity(e.v, q.qv)', 6)} AS cos_sim,
+             {dround_sql(_COS_SQL.format(a='e.v', b='q.qv'), 6)} AS cos_sim,
              e.vec_id
       FROM b e, q WHERE e.vec_id <> q.qid
     ),

@@ -51,6 +51,13 @@ _EMB_QUERIES = (
     "embedding_dedup_cascade_stats",
     "embedding_norm_profile",
     "embedding_int8_quantization",
+    # r11 additions: the sampled evals and the sign/centroid passes must
+    # keep the zero-norm NULL contract (guarded _COS_SQL) and resolve
+    # replica/antiparallel ties identically on both engines
+    "ann_dim_truncation_recall",
+    "embedding_sign_hamming_topk",
+    "knn_label_purity",
+    "label_centroid_outliers",
 )
 
 
@@ -159,6 +166,11 @@ _DOC_QUERIES = (
     "minhash_estimate_calibration",
     "bm25_topk_search",
     "tokenizer_fertility_by_lang",
+    # r11: KL over a corpus with empty/no-word docs (sources whose
+    # token count is zero simply have no (source, term) rows), and PMI
+    # where the min-df gate empties the pair set on both engines
+    "source_unigram_kl",
+    "term_cooccurrence_pmi",
 )
 
 
@@ -286,3 +298,75 @@ def test_winnowing_guarantee_on_a_shared_run(spark):
     assert fps[1] & fps[2], "shared run must yield a common fingerprint"
     assert not (fps[1] & fps[3])
     assert not (fps[2] & fps[3])
+
+
+# ---------------------------------------------------------------------------
+# r11 closed-form pins: KL(p||p) = 0, PMI of a perfect collocation,
+# sign-Hamming of replicas/zero vectors
+# ---------------------------------------------------------------------------
+
+
+def test_source_kl_is_exactly_zero_on_identical_sources(
+    spark, tmp_path_factory
+):
+    """Two sources with IDENTICAL token multisets: every per-term ratio
+    is p/q = 1, ln(1) = 0, and the snapped sum must be EXACTLY 0.0 in
+    both engines -- the Gibbs floor, not approximately."""
+    d = str(tmp_path_factory.mktemp("kl_zero") / "sf")
+    rows = [
+        (1, "alpha beta beta gamma", "en", "srcA", 21),
+        (2, "alpha beta beta gamma", "en", "srcB", 21),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = registry.REGISTRY["source_unigram_kl"].fn(spark, d).collect()
+    assert [r["source"] for r in out] == ["srcA", "srcB"]
+    for r in out:
+        assert r["kl_nats"] == 0.0
+        assert r["n_tokens"] == 4
+        assert r["n_terms"] == 3
+
+
+def test_pmi_matches_the_closed_form_on_a_perfect_collocation(
+    spark, tmp_path_factory
+):
+    """Terms that ALWAYS co-occur (df_a = df_b = df_ab = d over N docs)
+    must score pmi = ln(N/d) exactly (one double division + one ln on
+    both engines, then the same dround)."""
+    import math
+
+    d = str(tmp_path_factory.mktemp("pmi") / "sf")
+    rows = [
+        (i, "xx yy filler%d" % i, "en", "web", 20) for i in range(6)
+    ] + [(6, "solo other", "en", "web", 10), (7, "solo other", "en", "web", 10)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = registry.REGISTRY["term_cooccurrence_pmi"].fn(spark, d).collect()
+    got = {(r["term_a"], r["term_b"]): r for r in out}
+    assert ("xx", "yy") in got
+    r = got[("xx", "yy")]
+    assert r["df_ab"] == 6
+    # 0.2876820724... is not a rounding tie, so Python round == HALF_UP
+    want = round(math.log((6 / 8.0) / ((6 / 8.0) * (6 / 8.0))), 6)
+    assert r["pmi"] == want, (r["pmi"], want)
+
+
+def test_sign_hamming_sees_replicas_at_zero_and_zero_vec_at_popcount(
+    spark, crafted_dir
+):
+    """Byte-identical replicas of the query are Hamming 0; the all-zero
+    vector's signature is 0, so its distance is the query signature's
+    popcount (3 positive components); its cosine stays NULL."""
+    rows = (
+        registry.REGISTRY["embedding_sign_hamming_topk"]
+        .fn(spark, crafted_dir)
+        .collect()
+    )
+    by_id = {r["vec_id"]: r for r in rows}
+    assert by_id[2]["hamming"] == 0 and by_id[3]["hamming"] == 0
+    assert by_id[4]["hamming"] == 3  # zero vector vs 3 positive bits
+    assert by_id[4]["cos_exact"] is None
