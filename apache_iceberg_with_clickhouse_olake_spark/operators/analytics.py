@@ -2207,11 +2207,18 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "event_props_json_stats",
     oracle=f"""
-    WITH k AS (
+    WITH raw AS (
       SELECT event_type,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS ks,
              epoch_us(ts) // 1000000 AS es
       FROM events
+    ),
+    k AS (
+      SELECT event_type, es,
+             CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
+                  THEN CAST(ks AS BIGINT) END AS k
+      FROM raw
     )
     SELECT event_type,
            COUNT(*) AS n_events,
@@ -2233,11 +2240,15 @@ def event_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ClickHouse-family JSONExtract* idiom (public ClickHouse SQL surface;
     the fixture's ``events.props`` column exists for exactly this,
     TESTDATA.md) re-expressed as Spark's ``get_json_object`` + cast.
-    A missing or malformed key yields NULL in BOTH engines, so
-    n_with_k vs n_events is the parse-health metric a pipeline alerts
-    on; first/last_seen are the per-type freshness window (MIN/MAX
-    event timestamps, exported as epoch seconds -- the ns-vs-us rule,
-    sessions.py module note).
+    The NULL-on-missing/malformed contract is made EXPLICIT on both
+    sides rather than trusted to builtin defaults: DuckDB's
+    json_extract_string ERRORS on malformed JSON (json_valid gate) and
+    its CAST rounds '1.5' to 2 where Spark NULLs it (integer-regex
+    gate), so both engines route non-JSON and non-integral values to
+    NULL identically. n_with_k vs n_events is then the parse-health
+    metric a pipeline alerts on; first/last_seen are the per-type
+    freshness window (MIN/MAX event timestamps, exported as epoch
+    seconds -- the ns-vs-us rule, sessions.py module note).
 
     Shape at scale: a pure per-row projection inside the scan (JSON
     path evaluation is a JVM-side Catalyst expression -- no UDF, stays
@@ -2247,7 +2258,8 @@ def event_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction switch to ``from_json`` with an explicit schema (one
     parse, N fields), same plan shape."""
     events = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    ks = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(ks.rlike("^-?[0-9]+$"), ks.cast("long"))
     es = (F.unix_micros(F.col("ts")) / 1_000_000).cast("long")
     return (
         events.select("event_type", k.alias("k"), es.alias("es"))

@@ -120,9 +120,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #                                    out, P9->bucket_index_lookup,
 #                                    J3->datagen_orders_by_status)
 # Only 3 slots are freeable: every other driver-checked window name is
-# the sole carrier of some op-id tag (computed, not assumed). The other
-# 4 r11 ops (ann_dim_truncation_recall, embedding_sign_hamming_topk,
-# knn_label_purity, label_centroid_outliers) lead the r12 proposal.
+# the sole carrier of some op-id tag (computed, not assumed). r11
+# authored 10 ops in total; the other SEVEN (ann_dim_truncation_recall,
+# embedding_sign_hamming_topk, knn_label_purity,
+# label_centroid_outliers, session_event_bigrams, event_rate_anomalies,
+# term_cooccurrence_pmi) lead scripts/rotation_r12_proposal.txt
+# (16 first-driver rows, invariant OK).
 _PRIORITY = (
     "scalar_functions",
     "high_value_orders",

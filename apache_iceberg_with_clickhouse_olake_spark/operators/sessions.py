@@ -551,8 +551,12 @@ def session_event_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered top-{n}."""
     events = load_table(spark, sf_dir, "events")
     s = sessionize(events)
+    # full-precision ts (micros on both engines after the source
+    # boundary), NOT the second-resolution epoch: two same-second events
+    # whose event_id order disagrees with their microsecond order would
+    # otherwise sequence differently across engines
     w = Window.partitionBy("user_id", "session_seq").orderBy(
-        _spark_epoch(), "event_id"
+        "ts", "event_id"
     )
     return (
         s.select(

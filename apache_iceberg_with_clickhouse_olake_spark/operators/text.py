@@ -1828,19 +1828,18 @@ def term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     no re-join). ln parity is the established bit-for-bit guarantee;
     every ratio divides doubles identically on both engines before one
     dround."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     ).distinct()
-    w = Window.orderBy(F.col("df").desc(), "term")
+    # top-V via orderBy().limit() -> TakeOrderedAndProject per-partition
+    # heaps; a global row_number window here would funnel the WHOLE
+    # term-df frame through one task (the rrf_hybrid_search rule)
     vocab = (
         tok.groupBy("term")
         .agg(F.count("*").alias("df"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _PMI_V)
-        .drop("rnk")
+        .orderBy(F.col("df").desc(), "term")
+        .limit(_PMI_V)
     )
     dt = tok.join(F.broadcast(vocab), "term").localCheckpoint(eager=True)
     # one-row broadcast scalar, kept IN-PLAN (the r10-ADVICE lazy-scalar

@@ -1010,9 +1010,15 @@ def test_centroid_outliers_broadcast_the_centroid_table(spark, sf_dir):
 def test_pmi_pairs_join_reads_the_superstep_with_lazy_scalar(spark, sf_dir):
     """The pair self-join must read the checkpointed (doc, vocab-term)
     frame (ExistingRDD), the n_docs scalar must stay IN-PLAN (one-row
-    broadcast -- no eager count at construction), and the top-k must be
-    a TakeOrderedAndProject."""
+    broadcast BNLJ -- no eager count at construction, never a
+    CartesianProduct), and BOTH top-Vs (vocab selection and the final
+    report) must compile to TakeOrderedAndProject, not a global
+    row_number window over the term-df frame."""
     plan = physical_plan(_Q["term_cooccurrence_pmi"](spark, sf_dir))
     assert "ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row scalar
     assert "TakeOrderedAndProject" in plan, plan
-    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # vocab selection runs before the checkpoint (invisible here); the
+    # visible plan must hold no window operator at all
+    assert "Window" not in plan, plan
