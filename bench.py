@@ -168,6 +168,14 @@ HEADLINE = (
 
 
 def main() -> None:
+    # AMBIENT machine state, sampled BEFORE any Spark work: loadavg and
+    # the calibration spin taken here measure the machine the bench is
+    # about to run on. (Until r11 the fingerprint was sampled at the
+    # END of the run, so loadavg_1m recorded the bench's OWN local[32]
+    # load -- 3-5 on a perfectly idle box -- and four consecutive
+    # rounds were misread as "taken under ambient load". The end-of-run
+    # sample is still published as *_end for transparency.)
+    ctx_ambient = _env_fingerprint()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
@@ -355,6 +363,16 @@ def main() -> None:
     # instead of requiring a cross-file diff.
     here = os.path.dirname(os.path.abspath(__file__))
     ctx = _env_fingerprint()
+    # loadavg: the headline value is the AMBIENT pre-run sample (the
+    # end-of-run one records the bench's own local[32] load); calib:
+    # the headline value STAYS the end-of-run sample because every
+    # prior round's artifact was sampled there, and the pre-run spin on
+    # an idle box runs on cold CPU clocks (~2.5x slower than the hot
+    # post-run clocks) -- swapping the normalization basis mid-series
+    # would corrupt calib_ratio_prev_over_now. Both samples publish.
+    ctx["loadavg_1m_end"] = ctx["loadavg_1m"]
+    ctx["loadavg_1m"] = ctx_ambient["loadavg_1m"]
+    ctx["calib_spin_ms_ambient"] = ctx_ambient["calib_spin_ms"]
     # Same-code envelope (r9 VERDICT item 5): BENCH_ENVELOPE.json holds
     # the controlled N-run min/max of the headline total measured on
     # this round's code on an idle machine (written at round close-out,
@@ -577,7 +595,9 @@ def main() -> None:
         "delta_vs_prev": delta_vs_prev,
         "detail_file": "BENCH_DETAIL.json",
         "context": {
-            k: ctx.get(k) for k in ("calib_spin_ms", "loadavg_1m") if k in ctx
+            k: ctx.get(k)
+            for k in ("calib_spin_ms", "loadavg_1m", "loadavg_1m_end")
+            if k in ctx
         },
     }
     line = json.dumps(compact)
