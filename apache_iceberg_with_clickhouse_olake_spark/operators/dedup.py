@@ -1933,3 +1933,132 @@ def source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test split leakage scan (near-dup pairs crossing the split)
+# ---------------------------------------------------------------------------
+
+_LEAK_TEST_MOD = 10  # hash-split: 1/10 of docs held out as test
+
+
+@query(
+    "train_test_leakage_scan",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id,
+             {md5_int60_sql("concat('split-', CAST(doc_id AS VARCHAR))")}
+               % {_LEAK_TEST_MOD} = 0 AS is_test
+      FROM documents
+    ),
+    {_SIG_CTE},
+    {_BANDS_CTE},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+    cross_pairs AS MATERIALIZED (
+      SELECT p.doc_a, p.doc_b, ta.is_test AS test_a,
+             CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+               >= {_JACCARD_THRESHOLD} AS near_dup
+      FROM cand p
+      JOIN split ta ON p.doc_a = ta.doc_id
+      JOIN split tb ON p.doc_b = tb.doc_id
+      JOIN sh sa ON p.doc_a = sa.doc_id
+      JOIN sh sb ON p.doc_b = sb.doc_id
+      WHERE ta.is_test <> tb.is_test
+    ),
+    leaked AS (
+      SELECT DISTINCT CASE WHEN test_a THEN doc_a ELSE doc_b END AS t
+      FROM cross_pairs WHERE near_dup
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM split WHERE is_test) AS n_test_docs,
+           (SELECT COUNT(*) FROM cross_pairs) AS cross_candidates,
+           (SELECT CAST(COALESCE(SUM(CASE WHEN near_dup THEN 1 ELSE 0 END),
+                                 0) AS BIGINT)
+            FROM cross_pairs) AS leaking_pairs,
+           (SELECT COUNT(*) FROM leaked) AS leaked_test_docs,
+           {dround_sql(
+               "(SELECT COUNT(*) FROM leaked)"
+               " / NULLIF((SELECT COUNT(*) FROM split WHERE is_test), 0)",
+               6)} AS leakage_rate
+    """,
+    tags=("llm-dedup", "llm-sampling"),
+)
+def train_test_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: hash-split the corpus 90/10 (deterministic
+    md5 draw, the uniform_hash_sample idiom) and count MinHash near-dup
+    pairs whose endpoints land on OPPOSITE sides -- the eval-integrity
+    check every training pipeline runs before trusting held-out
+    numbers, because exact-dedup alone misses near-duplicates and a
+    test doc with a train near-twin is a leaked answer. Reports the
+    one-row accounting: corpus/test sizes, cross-split candidate and
+    verified pair counts, distinct leaked test docs, and the leakage
+    rate.
+
+    Shape at scale: the pair stream is the SAME exactly-once
+    band-bucketed join as every LSH op (_lsh_candidate_pairs -- no new
+    quadratic surface); split flags are one boolean per doc attached by
+    key to the bounded pair set; the report is three one-row aggregates
+    combined by broadcast cross join (all scalars stay IN-PLAN, the
+    lazy-scalar rule). The remediation twin is decontamination_scan:
+    this op MEASURES leakage, that one removes probe contamination."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    is_test = (
+        md5_int60(F.concat(F.lit("split-"), F.col("doc_id").cast("string")))
+        % _LEAK_TEST_MOD
+        == 0
+    )
+    split = docs.select("doc_id", is_test.alias("is_test"))
+    vp = _minhash_verified_pairs(docs, par)
+    ta = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("is_test").alias("test_a")
+    )
+    tb = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("is_test").alias("test_b")
+    )
+    cross = (
+        vp.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(F.col("test_a") != F.col("test_b"))
+    )
+    leaked = (
+        cross.filter(F.col("near_dup"))
+        .select(
+            F.when(F.col("test_a"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("t")
+        )
+        .distinct()
+        .agg(F.count("*").alias("leaked_test_docs"))
+    )
+    totals = split.agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("is_test"), 1)).alias("n_test_docs"),
+    )
+    cross_stats = cross.agg(
+        F.count("*").alias("cross_candidates"),
+        F.count(F.when(F.col("near_dup"), 1)).alias("leaking_pairs"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(cross_stats))
+        .crossJoin(F.broadcast(leaked))
+        .select(
+            "n_docs",
+            "n_test_docs",
+            "cross_candidates",
+            "leaking_pairs",
+            "leaked_test_docs",
+            dround(
+                F.col("leaked_test_docs")
+                / F.nullif(F.col("n_test_docs"), F.lit(0)),
+                6,
+            ).alias("leakage_rate"),
+        )
+    )

@@ -201,6 +201,9 @@ CORPUS_QUERIES = (
     # PMI's pair space is vocabulary-capped (V^2 regardless of corpus),
     # so the doc-keyed self-join must track the corpus pass
     "term_cooccurrence_pmi",
+    # leakage scan = the shared LSH pair stream + split-flag key joins;
+    # the replicated corpus is its adversarial case like every pair op
+    "train_test_leakage_scan",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)

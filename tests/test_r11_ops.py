@@ -189,3 +189,17 @@ def test_pmi_pairs_are_bounded_and_symmetric_free(spark, sf_dir):
         assert r["df_ab"] <= min(df[r["term_a"]], df[r["term_b"]])
         bound = -math.log(max(df[r["term_a"]], df[r["term_b"]]) / n_docs)
         assert r["pmi"] <= bound + 1e-6
+
+
+def test_leakage_scan_accounting_is_consistent(spark, sf_dir):
+    r = _Q["train_test_leakage_scan"](spark, sf_dir).collect()[0]
+    assert 0 < r["n_test_docs"] < r["n_docs"]
+    assert r["leaking_pairs"] <= r["cross_candidates"]
+    assert r["leaked_test_docs"] <= r["n_test_docs"]
+    # each verified leaking pair names exactly one test doc, so distinct
+    # leaked docs can never exceed the pair count
+    assert r["leaked_test_docs"] <= r["leaking_pairs"]
+    assert r["leakage_rate"] is not None
+    assert abs(
+        r["leakage_rate"] - round(r["leaked_test_docs"] / r["n_test_docs"], 6)
+    ) < 1e-9
