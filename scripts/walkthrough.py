@@ -13,6 +13,10 @@ Mirrored reference steps (file:line cites per step below):
   8. (extension) training-corpus build    corpus_build_pipeline
   9. (extension) data recipe              corpus_mixture_weights,
                                           quality_length_pareto
+ 10. (extension) semantic dedup + BPE     semantic_dedup_apply,
+                                          bpe_learn_merges
+ 11. (extension) eval integrity           train_test_leakage_scan,
+                                          knn_label_purity
 
 Usage: python scripts/walkthrough.py [sf_dir]   (default sf0.001)
 Exits non-zero on any failed checkpoint.
@@ -165,6 +169,23 @@ def main() -> int:
             f"(kept {sum(r.kept_readback for r in sem)}"
             f"/{sum(r.n_members for r in sem)}), "
             f"learned merges: {[r.merged for r in merges]}"
+        )
+
+        # 11. Extension (r11): eval-integrity audit before trusting any
+        # held-out number -- near-dup leakage across a hash split, and
+        # embedding-space label sanity.
+        step(11, "eval integrity (split leakage + kNN label purity)")
+        leak = qs["train_test_leakage_scan"](spark, sf_dir).collect()[0]
+        assert 0 < leak.n_test_docs < leak.n_docs
+        assert leak.leaked_test_docs <= leak.leaking_pairs
+        purity = qs["knn_label_purity"](spark, sf_dir).collect()
+        assert purity and all(0.0 <= r.purity <= 1.0 for r in purity)
+        print(
+            f"   test split {leak.n_test_docs}/{leak.n_docs}, "
+            f"leaked test docs: {leak.leaked_test_docs} "
+            f"(rate {leak.leakage_rate}), "
+            f"mean kNN purity: "
+            f"{round(sum(r.purity for r in purity) / len(purity), 3)}"
         )
 
         print("\nall walkthrough checkpoints passed")
