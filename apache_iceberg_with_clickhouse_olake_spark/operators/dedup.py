@@ -2062,3 +2062,89 @@ def train_test_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("leakage_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document nearest near-dup (argmax over the LSH candidate stream)
+# ---------------------------------------------------------------------------
+
+@query(
+    "nearest_neardup_doc",
+    oracle=f"""
+    WITH {_SIG_CTE},
+    {_BANDS_CTE},
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+    scored AS MATERIALIZED (
+      SELECT p.doc_a, p.doc_b,
+             {dround_sql(
+                 'CAST(len(list_intersect(sa.shingles, sb.shingles))'
+                 ' AS DOUBLE)'
+                 ' / len(list_distinct(list_concat(sa.shingles,'
+                 ' sb.shingles)))',
+                 4,
+             )} AS jaccard
+      FROM pairs p
+      JOIN sh sa ON p.doc_a = sa.doc_id
+      JOIN sh sb ON p.doc_b = sb.doc_id
+    ),
+    sym AS (
+      SELECT doc_a AS doc_id, doc_b AS partner, jaccard FROM scored
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS partner, jaccard FROM scored
+    )
+    SELECT doc_id, partner AS nearest_doc, jaccard,
+           jaccard >= {_JACCARD_THRESHOLD} AS near_dup
+    FROM sym
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+              ORDER BY jaccard DESC, partner DESC) = 1
+    ORDER BY doc_id
+    """,
+    tags=("llm-dedup",),
+)
+def nearest_neardup_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document nearest near-duplicate: for every doc that has at
+    least one LSH candidate, its highest-Jaccard partner -- the triage
+    view a dedup reviewer reads (each row answers "what is this doc's
+    closest twin and is it over the dedup threshold?"), and the
+    doc-level reduction of the pair stream the removal plan consumes.
+
+    Shape at scale: the pair stream is the shared exactly-once
+    band-bucketed join (never all-pairs); the per-doc argmax is a
+    partial-aggregable struct-max over the symmetrized bounded pair
+    set -- a (jaccard, partner) lexicographic MAX with map-side
+    combine, NOT a corpus-wide rank window. The struct-max tie rule
+    (equal jaccard -> larger partner id) is mirrored by the oracle's
+    ORDER BY jaccard DESC, partner DESC; jaccard snaps to 4 decimals
+    BEFORE the argmax so both engines break ties on identical keys."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    vp = _minhash_verified_pairs(docs, par)  # doc_a, doc_b, jaccard (4dp)
+    sym = vp.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("partner"),
+        "jaccard",
+    ).unionByName(
+        vp.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("partner"),
+            "jaccard",
+        )
+    )
+    best = F.max(F.struct(F.col("jaccard"), F.col("partner"))).alias("b")
+    return (
+        sym.groupBy("doc_id")
+        .agg(best)
+        .select(
+            "doc_id",
+            F.col("b.partner").alias("nearest_doc"),
+            F.col("b.jaccard").alias("jaccard"),
+            (F.col("b.jaccard") >= _JACCARD_THRESHOLD).alias("near_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1022,3 +1022,14 @@ def test_pmi_pairs_join_reads_the_superstep_with_lazy_scalar(spark, sf_dir):
     # vocab selection runs before the checkpoint (invisible here); the
     # visible plan must hold no window operator at all
     assert "Window" not in plan, plan
+
+
+def test_nearest_neardup_argmax_is_struct_max_not_window(spark, sf_dir):
+    """The per-doc argmax must be a partial-aggregable struct MAX over
+    the bounded pair stream -- never a rank window -- and the pair join
+    stays band-keyed (no cartesian/BNLJ)."""
+    plan = physical_plan(_Q["nearest_neardup_doc"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_max" in plan, plan

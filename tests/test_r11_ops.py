@@ -203,3 +203,18 @@ def test_leakage_scan_accounting_is_consistent(spark, sf_dir):
     assert abs(
         r["leakage_rate"] - round(r["leaked_test_docs"] / r["n_test_docs"], 6)
     ) < 1e-9
+
+
+def test_nearest_neardup_is_symmetric_consistent(spark, sf_dir):
+    """If b is a's nearest with jaccard j, then a's jaccard to ITS
+    nearest is >= j by definition of per-doc argmax; every listed doc
+    appears with its best partner exactly once."""
+    rows = _Q["nearest_neardup_doc"](spark, sf_dir).collect()
+    assert rows
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    jac = {r["doc_id"]: r["jaccard"] for r in rows}
+    for r in rows:
+        assert r["nearest_doc"] in jac  # partner has candidates too
+        assert jac[r["nearest_doc"]] >= r["jaccard"] - 1e-9
+        assert r["near_dup"] == (r["jaccard"] >= 0.5)
