@@ -121,14 +121,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #                                    J3->datagen_orders_by_status)
 # Only 3 slots are freeable: every other driver-checked window name is
 # the sole carrier of some op-id tag (computed, not assumed). r11
-# authored 12 ops in total; the other NINE (ann_dim_truncation_recall,
+# authored 13 ops in total; the other TEN (ann_dim_truncation_recall,
 # embedding_sign_hamming_topk, knn_label_purity,
 # label_centroid_outliers, session_event_bigrams, event_rate_anomalies,
-# term_cooccurrence_pmi, train_test_leakage_scan, nearest_neardup_doc)
-# queue via scripts/rotation_r12_proposal.txt (16 first-driver rows,
-# invariant OK). Accounting: 204 registered, 137 ever driver-checked;
-# the 21 r11 first-driver rows land the blind spot at 46 -- strictly
-# below r10's 55 even net of the 12 new ops (the item-4 discipline).
+# term_cooccurrence_pmi, train_test_leakage_scan, nearest_neardup_doc,
+# countmin_heavy_hitters) queue via scripts/rotation_r12_proposal.txt
+# (16 first-driver rows, invariant OK). Accounting: 205 registered,
+# 137 ever driver-checked; the 21 r11 first-driver rows land the blind
+# spot at 47 -- strictly below r10's 55 even net of the 13 new ops
+# (the item-4 discipline).
 _PRIORITY = (
     "scalar_functions",
     "high_value_orders",

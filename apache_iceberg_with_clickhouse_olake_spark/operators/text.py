@@ -1889,3 +1889,130 @@ def term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 term_cooccurrence_pmi.__doc__ = term_cooccurrence_pmi.__doc__.format(
     v=_PMI_V, mindf=_PMI_MIN_DF
 )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (mergeable bounded-memory freq. estimate)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4       # hash rows
+_CMS_W = 256     # buckets per row
+_CMS_TOP = 20    # exact heavy hitters to score the sketch against
+
+
+def _cms_bucket_sql(i: int, tok_expr: str) -> str:
+    inner = f"concat('cms{i}-', {tok_expr})"
+    return f"{md5_int60_sql(inner)} % {_CMS_W}"
+
+
+@query(
+    "countmin_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    cms AS MATERIALIZED (
+      {' UNION ALL '.join(
+          f"SELECT {i} AS i, {_cms_bucket_sql(i, 'token')} AS bucket,"
+          f" COUNT(*) AS c FROM tok GROUP BY 2"
+          for i in range(_CMS_D)
+      )}
+    ),
+    top AS (
+      SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token
+      ORDER BY exact_cnt DESC, token LIMIT {_CMS_TOP}
+    ),
+    probes AS (
+      {' UNION ALL '.join(
+          f"SELECT token, exact_cnt, {i} AS i,"
+          f" {_cms_bucket_sql(i, 'token')} AS bucket FROM top"
+          for i in range(_CMS_D)
+      )}
+    )
+    SELECT p.token, ANY_VALUE(p.exact_cnt) AS exact_cnt,
+           CAST(MIN(cms.c) AS BIGINT) AS cms_estimate,
+           CAST(MIN(cms.c) - ANY_VALUE(p.exact_cnt) AS BIGINT)
+             AS overestimate
+    FROM probes p JOIN cms ON p.i = cms.i AND p.bucket = cms.bucket
+    GROUP BY p.token
+    ORDER BY exact_cnt DESC, p.token
+    """,
+    tags=("llm-text", "A6"),
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, public paper) over the
+    corpus token stream, scored against the exact top-{k} heavy
+    hitters: estimate(t) = min over {d} hash rows of the t-bucket
+    counter, which NEVER underestimates (every occurrence of t lands in
+    all {d} of its buckets; collisions only add). The overestimate
+    column is the sketch's measured error at {w} buckets/row -- the
+    sizing table for replacing an unbounded exact wordcount with an
+    O(d*w) sketch in a streaming or merge-heavy setting.
+
+    Shape at scale: the sketch IS the aggregation -- one token pass
+    explodes each token to its {d} (row, bucket) cells and reduces to a
+    bounded {d}x{w} counter table with map-side partials (the classic
+    mergeable-sketch property: per-partition tables add cell-wise); the
+    probe side is the exact top-{k} (TakeOrdered) exploded to
+    {d} probes joined against the broadcast-size counter table. All
+    arithmetic is integer, so both engines agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+
+    def bucket(i: int) -> F.Column:
+        return (
+            md5_int60(F.concat(F.lit(f"cms{i}-"), F.col("token"))) % _CMS_W
+        )
+
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("i"),
+                        bucket(i).alias("bucket"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("x")
+    ).select("x.i", "x.bucket")
+    cms = cells.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+    top = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(_CMS_TOP)
+    )
+    probes = top.select(
+        "token",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("i"),
+                        bucket(i).alias("bucket"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("x"),
+    ).select("token", "exact_cnt", "x.i", "x.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.any_value(F.col("exact_cnt")).alias("exact_cnt"),
+            F.min("c").alias("cms_estimate"),
+            (F.min("c") - F.any_value(F.col("exact_cnt")))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )
+
+
+countmin_heavy_hitters.__doc__ = countmin_heavy_hitters.__doc__.format(
+    k=_CMS_TOP, d=_CMS_D, w=_CMS_W
+)

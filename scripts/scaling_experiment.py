@@ -204,6 +204,9 @@ CORPUS_QUERIES = (
     # leakage scan = the shared LSH pair stream + split-flag key joins;
     # the replicated corpus is its adversarial case like every pair op
     "train_test_leakage_scan",
+    # the CMS sketch IS a bounded d x w aggregation -- its wall must
+    # track the single token pass at any corpus size
+    "countmin_heavy_hitters",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)

@@ -218,3 +218,16 @@ def test_nearest_neardup_is_symmetric_consistent(spark, sf_dir):
         assert r["nearest_doc"] in jac  # partner has candidates too
         assert jac[r["nearest_doc"]] >= r["jaccard"] - 1e-9
         assert r["near_dup"] == (r["jaccard"] >= 0.5)
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """CMS property: estimate >= exact for EVERY probed term (all of a
+    term's occurrences land in all d of its buckets; collisions only
+    add), and the probe set is the exact top-k."""
+    rows = _Q["countmin_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_cnt"], r
+        assert r["overestimate"] == r["cms_estimate"] - r["exact_cnt"]
+    cnts = [r["exact_cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
