@@ -171,6 +171,13 @@ _DOC_QUERIES = (
     # where the min-df gate empties the pair set on both engines
     "source_unigram_kl",
     "term_cooccurrence_pmi",
+    # r11 late: CMS over a tiny skewed stream (estimate >= exact even
+    # at w >> vocab), per-doc argmax over a near-empty candidate set,
+    # and the leakage scan where the 1/10 hash split can select ZERO
+    # test docs -- leakage_rate must be NULL via NULLIF on both engines
+    "countmin_heavy_hitters",
+    "nearest_neardup_doc",
+    "train_test_leakage_scan",
 )
 
 
