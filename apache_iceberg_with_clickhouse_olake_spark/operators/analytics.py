@@ -2210,6 +2210,7 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH raw AS (
       SELECT event_type,
              CASE WHEN json_valid(props)
+                   AND NOT regexp_matches(props, ',[ \t\r\n]*[}}\\]]')
                   THEN json_extract_string(props, '$.k') END AS ks,
              epoch_us(ts) // 1000000 AS es
       FROM events
@@ -2245,7 +2246,19 @@ def event_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     json_extract_string ERRORS on malformed JSON (json_valid gate) and
     its CAST rounds '1.5' to 2 where Spark NULLs it (integer-regex
     gate), so both engines route non-JSON and non-integral values to
-    NULL identically. n_with_k vs n_events is then the parse-health
+    NULL identically. The shared contract is STRICT JSON, pinned
+    value-for-value by tests/test_crafted_corpora.py's malformed-props
+    corpus: Spark's get_json_object is natively lenient (it accepts
+    single-quoted strings) so extraction is gated on a strict
+    from_json probe (allowSingleQuotes=false, validity read off the
+    corrupt-record side channel), while DuckDB's json_valid is lenient
+    about trailing commas so the oracle adds a trailing-comma
+    rejector. Extraction itself stays get_json_object
+    (NOT from_json) because both engines resolve duplicate keys to the
+    FIRST occurrence, where from_json would take the last. Known
+    residual: a strict doc whose OTHER string values contain ",}"/",]"
+    while k is integral trips the oracle's rejector only -- accepted,
+    documented, excluded from the crafted corpus. n_with_k vs n_events is then the parse-health
     metric a pipeline alerts on; first/last_seen are the per-type
     freshness window (MIN/MAX event timestamps, exported as epoch
     seconds -- the ns-vs-us rule, sessions.py module note).
@@ -2258,7 +2271,18 @@ def event_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction switch to ``from_json`` with an explicit schema (one
     parse, N fields), same plan shape."""
     events = load_table(spark, sf_dir, "events")
-    ks = F.get_json_object(F.col("props"), "$.k")
+    # Strict-JSON validity gate (mirrors the oracle's json_valid +
+    # trailing-comma rejector). PERMISSIVE from_json returns a struct
+    # of NULLs (never a NULL struct) on malformed input, so validity
+    # is read off the corrupt-record side channel instead; extraction
+    # still uses get_json_object for first-duplicate-key semantics.
+    strict = F.from_json(
+        F.col("props"),
+        "k string, _cr string",
+        {"allowSingleQuotes": "false", "columnNameOfCorruptRecord": "_cr"},
+    )
+    gate = strict.getField("_cr").isNull() & F.col("props").isNotNull()
+    ks = F.when(gate, F.get_json_object(F.col("props"), "$.k"))
     k = F.when(ks.rlike("^-?[0-9]+$"), ks.cast("long"))
     es = (F.unix_micros(F.col("ts")) / 1_000_000).cast("long")
     return (

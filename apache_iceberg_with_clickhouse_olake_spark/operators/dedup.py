@@ -2088,18 +2088,24 @@ def train_test_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ' / len(list_distinct(list_concat(sa.shingles,'
                  ' sb.shingles)))',
                  4,
-             )} AS jaccard
+             )} AS jaccard,
+             (CAST(len(list_intersect(sa.shingles, sb.shingles))
+                   AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles,
+                    sb.shingles))))
+               >= {_JACCARD_THRESHOLD} AS near_dup
       FROM pairs p
       JOIN sh sa ON p.doc_a = sa.doc_id
       JOIN sh sb ON p.doc_b = sb.doc_id
     ),
     sym AS (
-      SELECT doc_a AS doc_id, doc_b AS partner, jaccard FROM scored
+      SELECT doc_a AS doc_id, doc_b AS partner, jaccard, near_dup
+      FROM scored
       UNION ALL
-      SELECT doc_b AS doc_id, doc_a AS partner, jaccard FROM scored
+      SELECT doc_b AS doc_id, doc_a AS partner, jaccard, near_dup
+      FROM scored
     )
-    SELECT doc_id, partner AS nearest_doc, jaccard,
-           jaccard >= {_JACCARD_THRESHOLD} AS near_dup
+    SELECT doc_id, partner AS nearest_doc, jaccard, near_dup
     FROM sym
     QUALIFY row_number() OVER (PARTITION BY doc_id
               ORDER BY jaccard DESC, partner DESC) = 1
@@ -2121,22 +2127,34 @@ def nearest_neardup_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine, NOT a corpus-wide rank window. The struct-max tie rule
     (equal jaccard -> larger partner id) is mirrored by the oracle's
     ORDER BY jaccard DESC, partner DESC; jaccard snaps to 4 decimals
-    BEFORE the argmax so both engines break ties on identical keys."""
+    BEFORE the argmax so both engines break ties on identical keys.
+    near_dup carries the pair stream's RAW-ratio flag (vp.near_dup, the
+    same classification every sibling LSH op reports) -- NOT a
+    re-comparison of the snapped display value, so a raw ratio in
+    [threshold - 5e-5, threshold) can't flip the flag here alone."""
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
-    vp = _minhash_verified_pairs(docs, par)  # doc_a, doc_b, jaccard (4dp)
+    # doc_a, doc_b, jaccard (4dp display), near_dup (raw-ratio flag)
+    vp = _minhash_verified_pairs(docs, par)
     sym = vp.select(
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").alias("partner"),
         "jaccard",
+        "near_dup",
     ).unionByName(
         vp.select(
             F.col("doc_b").alias("doc_id"),
             F.col("doc_a").alias("partner"),
             "jaccard",
+            "near_dup",
         )
     )
-    best = F.max(F.struct(F.col("jaccard"), F.col("partner"))).alias("b")
+    # (jaccard, partner) is unique per doc_id (distinct pairs), so the
+    # trailing near_dup never participates in the lexicographic max --
+    # it just rides along with the winning pair.
+    best = F.max(
+        F.struct(F.col("jaccard"), F.col("partner"), F.col("near_dup"))
+    ).alias("b")
     return (
         sym.groupBy("doc_id")
         .agg(best)
@@ -2144,7 +2162,7 @@ def nearest_neardup_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("b.partner").alias("nearest_doc"),
             F.col("b.jaccard").alias("jaccard"),
-            (F.col("b.jaccard") >= _JACCARD_THRESHOLD).alias("near_dup"),
+            F.col("b.near_dup").alias("near_dup"),
         )
         .orderBy("doc_id")
     )

@@ -51,110 +51,64 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # SURVEY.md §2 op-id plus every LLM-pipeline family (dedup, similarity,
 # text, sessions, multimodal, windows, streaming) inside the first 50;
 # redundant variants of already-covered op-ids follow in module order.
-# tests/test_registry_window.py asserts the coverage invariant.
-# r7 rotation (r6 verdict item 1): 35 of 125 registered queries had
-# never held a driver correctness row in ANY round. Sixteen window
-# slots turn over this round: 15 never-checked queries come in (led by
-# the r6-authored removal-plan / cross-doc-repetition oracles and the
-# rest of the ANN family, per the verdict's ranking) plus the new
-# dedup_removal_apply materialization twin (verdict item 4). The
-# sixteen rotated out ALL hold driver rows (r6 or earlier) and leave
-# every op-id tag / family covered by a remaining or incoming entry
-# (asserted by tests/test_registry_window.py):
-#   out pricing_summary         (A2->session_epoch_stats, A4->revenue_by_nation,
-#                                P5->high_value_orders; stays the bench flagship)
-#   out salted_skew_join        (J1->revenue_by_nation, A2->session_epoch_stats)
-#   out layer_consistency       (A9->medallion_readback)
-#   out top_customers           (O1->revenue_by_nation, O3->top_terms)
-#   out sessionize_events       (llm-sessions->retention_cohorts,
-#                                C3->events_tumbling_windows)
-#   out events_sliding_windows, running_monthly_revenue
-#                               (W-ext->customer_order_gaps,
-#                                C3->events_tumbling_windows,
-#                                A8->monthly_revenue)
-#   out dedup_cluster_sizes, simhash_neardup_pairs
-#                               (llm-dedup->cascade + removal plan/apply)
-#   out ann_recall_eval, ann_multiprobe_topk, semantic_search_topk,
-#       embedding_neardup_config_sweep
-#                               (llm-similarity->incoming ANN trio)
-#   out text_token_stats, unigram_logprob_quality
-#                               (llm-text->top_terms/tfidf/token_count_bpe/
-#                                pii_redaction_stats + crossdoc pair)
-#   out media_decode_features   (multimodal->media_features_by_type)
-# `python scripts/coverage_gap.py` prints the remaining blind spot
-# (26 names once this rotation's rows land — 20 carried over, the three
-# r7-authored curation ops, and the late-r7 additions
-# corpus_mixture_weights / quality_length_pareto / mixture_plan_apply).
-# `python scripts/next_rotation.py` composes the next rotation
-# automatically (greedy tag set-cover + never-checked fill); the op-id
-# coverage constraint caps a rotation at ~15 fresh rows, so the blind
-# spot clears over the next TWO disciplined passes, not one.
-# r11 note: CORRECTNESS_r10 landed green (50/50, all op-ids represented),
-# so the window rotates per the r10 VERDICT item 1 — the committed
-# scripts/rotation_r11_proposal.txt verbatim: 18 first-driver rows
-# (lonely_late_supplier, revenue_mom_growth, streaming_dedup_exactly_once,
-# promo_revenue_share, disjunctive_pred_revenue, revenue_cube_levels,
-# minhash_estimate_calibration, winnowing_fingerprints,
-# winnowing_neardup_pairs, shingle_containment_pairs, source_ngram_novelty,
-# pq_codebook_stats, bigram_logprob_quality, zipf_slope_top_terms,
-# vocab_growth_curve, bm25_topk_search, tokenizer_fertility_by_lang,
-# rrf_hybrid_search). These cover the riskiest r10 constructions
-# (winnowing shared-run guarantee, containment pair stream, joinless PQ
-# assignment). Blind spot after these land: 55 -> ~37; the remaining
-# set (BPE quartet, multimodal trio, DSIR pair, PCA/power-iteration,
-# mixture/quota/packing, funnel, events_watermark_late_drop, Q-suite
-# stragglers) queues for r12 in scripts/rotation_r12_proposal.txt.
-# r11 new-op discipline (r10 VERDICT item 4: new queries displace
-# already-driver-checked names in the SAME commit that registers them):
-# of the 7 r11-authored ops, 3 enter the window now --
-#   in  event_props_json_stats      (JSON extraction + per-type MIN/MAX
-#                                    timestamps; takes A3 from
-#                                    order_date_range, which holds a
-#                                    driver row and rotates out)
-#   in  events_interval_bucket_join (bucketized range join; takes C3
-#                                    from streaming_vector_assign, whose
-#                                    C2 stays via streaming_dedup)
-#   in  source_unigram_kl           (riskiest new construction: dsum of
-#                                    ln-ratio terms over a localCheckpoint
-#                                    superstep; order_part_lookup rotates
-#                                    out, P9->bucket_index_lookup,
-#                                    J3->datagen_orders_by_status)
-# Only 3 slots are freeable: every other driver-checked window name is
-# the sole carrier of some op-id tag (computed, not assumed). r11
-# authored 13 ops in total; the other TEN (ann_dim_truncation_recall,
-# embedding_sign_hamming_topk, knn_label_purity,
-# label_centroid_outliers, session_event_bigrams, event_rate_anomalies,
-# term_cooccurrence_pmi, train_test_leakage_scan, nearest_neardup_doc,
-# countmin_heavy_hitters) queue via scripts/rotation_r12_proposal.txt
-# (16 first-driver rows, invariant OK). Accounting: 205 registered,
-# 137 ever driver-checked; the 21 r11 first-driver rows land the blind
-# spot at 47 -- strictly below r10's 55 even net of the 13 new ops
-# (the item-4 discipline).
+# tests/test_registry_window.py asserts the coverage invariant;
+# `python scripts/next_rotation.py` composes each round's rotation
+# (greedy tag set-cover + never-checked fill) and
+# `python scripts/coverage_gap.py` prints the remaining blind spot.
+# Rotation history (r7: 35-never-checked burn start; r11: 21
+# first-driver rows, blind spot 55 -> 47) lives in git — see this
+# block's history at tags r07..r11.
+# r12 rotation (r11 VERDICT items 1+2): the committed
+# scripts/rotation_r12_proposal.txt could not honor item 2 (the three
+# r02-FAIL names are "ever-checked", so the greedy fill skips them),
+# so the window was recomposed with those three SEEDED first:
+#   - unique_customers_approx / daily_users_hll_reagg /
+#     simhash_fingerprints: last driver rows are r02 FAILs, fixed in
+#     r03 and locally green for 9 rounds; force-included so the
+#     official record finally turns green.
+#   - 15 first-driver rows (the 10 r11-authored ops, the DSIR window
+#     stragglers sequence_packing_stats / corpus_mixture_weights, and
+#     the Q-suite trio shipping_priority_topk / idle_rich_customers /
+#     events_watermark_late_drop).
+# Accounting: 205 registered, 158 ever driver-checked, blind spot 47;
+# these 15 land it at 32 (VERDICT item 1 target). Every other
+# ever-checked window name is the sole carrier of some op-id tag
+# (computed by the recompose script, not assumed); the two flex slots
+# are order_part_lookup (P9/J3 double-covered) and order_date_range
+# (A3 — displaceable only by a new op that honestly carries A3), so
+# r12-authored ops enter via those per the same-commit displacement
+# discipline. The BPE quartet, multimodal trio, PCA pair and remaining
+# Q-suite names queue for r13 via scripts/next_rotation.py.
 _PRIORITY = (
+    "unique_customers_approx",  # force-include: clear r02 FAIL record
+    "daily_users_hll_reagg",  # force-include: clear r02 FAIL record
+    "simhash_fingerprints",  # force-include: clear r02 FAIL record
     "scalar_functions",
     "high_value_orders",
-    "lonely_late_supplier",  # first driver row
-    "medallion_readback",
-    "revenue_mom_growth",  # first driver row
-    "corpus_build_pipeline",
+    "shipping_priority_topk",  # first driver row
     "datagen_users",
     "schema_evolution_merge",
+    "medallion_readback",
+    "events_watermark_late_drop",  # first driver row
     "table_counts",
     "cdc_change_log",
     "cdc_upsert_state",
+    "corpus_build_pipeline",
     "ddl_roundtrip",
-    "events_interval_bucket_join",  # first driver row (r11-authored)
-    "unique_customers",
+    "idle_rich_customers",  # first driver row
+    "session_event_bigrams",  # first driver row
+    "monthly_revenue",
     "silver_projection",
-    "source_unigram_kl",  # first driver row (r11-authored)
+    "order_part_lookup",
     "current_date_sanity",
     "parquet_layout_roundtrip",
     "partition_pruning_roundtrip",
-    "session_length_distribution",
-    "streaming_dedup_exactly_once",  # first driver row
-    "event_props_json_stats",  # first driver row (r11-authored)
+    "ann_dim_truncation_recall",  # first driver row
+    "unique_customers",
+    "order_date_range",
     "distinct_status",
     "daily_active_users",
+    "order_value_percentiles",
     "max_key_bootstrap",
     "datagen_products",
     "datagen_orders_by_status",
@@ -165,22 +119,17 @@ _PRIORITY = (
     "lake_compaction_stats",
     "seed_literal_insert",
     "bucket_index_lookup",
-    "top_orders_per_customer",
-    "promo_revenue_share",  # first driver row
-    "disjunctive_pred_revenue",  # first driver row
-    "revenue_cube_levels",  # first driver row
-    "minhash_estimate_calibration",  # first driver row
-    "winnowing_fingerprints",  # first driver row
-    "winnowing_neardup_pairs",  # first driver row
-    "shingle_containment_pairs",  # first driver row
-    "source_ngram_novelty",  # first driver row
-    "pq_codebook_stats",  # first driver row
-    "bigram_logprob_quality",  # first driver row
-    "zipf_slope_top_terms",  # first driver row
-    "vocab_growth_curve",  # first driver row
-    "bm25_topk_search",  # first driver row
-    "tokenizer_fertility_by_lang",  # first driver row
-    "rrf_hybrid_search",  # first driver row
+    "streaming_restart_state",
+    "event_rate_anomalies",  # first driver row
+    "train_test_leakage_scan",  # first driver row
+    "nearest_neardup_doc",  # first driver row
+    "embedding_sign_hamming_topk",  # first driver row
+    "knn_label_purity",  # first driver row
+    "label_centroid_outliers",  # first driver row
+    "term_cooccurrence_pmi",  # first driver row
+    "countmin_heavy_hitters",  # first driver row
+    "sequence_packing_stats",  # first driver row
+    "corpus_mixture_weights",  # first driver row
 )
 
 

@@ -444,28 +444,59 @@ def events_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the window side becoming a shuffled equi-join keyed by
     bucket -- still never a cartesian -- and the grid density is the
     knob trading join fan-out ({cov} buckets/window here) against
-    false-positive bound checks per bucket."""
+    false-positive bound checks per bucket.
+
+    The span probe (tmin/step/width/bw) is derived IN-PLAN, exactly
+    like the oracle's sp CTE: ONE scalar subquery (a struct-packed
+    1-row aggregate, deduplicated by ReuseSubquery) feeds both the
+    window grid and the event bucket projection as plain expressions
+    -- no join of any kind for the scalars, so the only join in the
+    plan is the bucket equi-join itself. Constructing the query scans
+    nothing (lazy-scalar rule); executing it costs one extra 1-row
+    span aggregate, the in-plan price of a data-derived grid.
+    Floor-div via double division is exact here: every operand is a
+    non-negative epoch-second offset < 2^53."""
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "value", _spark_epoch().alias("es")
     )
-    tmin, tmax = events.agg(F.min("es"), F.max("es")).first()
-    span = tmax - tmin + 1
-    step = span // _RJ_STEP_DIV
-    width = span // _RJ_WIDTH_DIV
-    bw = max(span // _RJ_N_BUCKETS, 1)
-    # (window, covering-bucket) rows, all literal arithmetic (exact ints)
-    wb_rows = [
-        (j, tmin + j * step, tmin + j * step + width, b)
-        for j in range(_RJ_N_WINDOWS)
-        for b in range(
-            (j * step) // bw, (j * step + width - 1) // bw + 1
+    # Oracle's sp CTE as ONE struct-packed scalar subquery.
+    sp = events.agg(
+        F.min("es").alias("tmin"),
+        (F.max("es") - F.min("es") + F.lit(1)).alias("span"),
+    )
+    sc = sp.select(
+        F.struct(
+            F.col("tmin"),
+            F.expr(f"span DIV {_RJ_STEP_DIV}").alias("step"),
+            F.expr(f"span DIV {_RJ_WIDTH_DIV}").alias("width"),
+            F.greatest(
+                F.expr(f"span DIV {_RJ_N_BUCKETS}"), F.lit(1)
+            ).alias("bw"),
+        ).alias("s")
+    ).scalar()
+    tmin, step, width, bw = (
+        sc.getField(f) for f in ("tmin", "step", "width", "bw")
+    )
+    # (window, covering-bucket) rows, all exact integer arithmetic
+    # inside the plan (buckets are tmin-relative).
+    wb = (
+        spark.range(_RJ_N_WINDOWS)
+        .select(F.col("id").alias("window_id"), (F.col("id") * step).alias("rel_ws"))
+        .select("window_id", "rel_ws", (F.col("rel_ws") + width).alias("rel_we"))
+        .select(
+            "window_id",
+            (tmin + F.col("rel_ws")).alias("ws"),
+            (tmin + F.col("rel_we")).alias("we"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("rel_ws") / bw).cast("long"),
+                    F.floor((F.col("rel_we") - 1) / bw).cast("long"),
+                )
+            ).alias("bucket"),
         )
-    ]
-    wb = spark.createDataFrame(
-        wb_rows, "window_id long, ws long, we long, bucket long"
     )
     tagged = events.withColumn(
-        "bucket", F.expr(f"(es - {tmin}) DIV {bw}")
+        "bucket", F.floor((F.col("es") - tmin) / bw).cast("long")
     )
     return (
         tagged.join(F.broadcast(wb), "bucket")

@@ -2115,11 +2115,14 @@ def _hamming_sql() -> str:
     oracle=f"""
     WITH b AS MATERIALIZED (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-             {_sign_word_sql('CAST(embedding AS DOUBLE[])', 0)} AS w0,
-             {_sign_word_sql('CAST(embedding AS DOUBLE[])', 1)} AS w1
+             {', '.join(
+                 f"{_sign_word_sql('CAST(embedding AS DOUBLE[])', w)} AS w{w}"
+                 for w in range(_HAM_N_WORDS)
+             )}
       FROM embeddings
     ),
-    q AS (SELECT vec_id AS qid, v AS qv, w0 AS qw0, w1 AS qw1
+    q AS (SELECT vec_id AS qid, v AS qv,
+                 {', '.join(f'w{w} AS qw{w}' for w in range(_HAM_N_WORDS))}
           FROM b ORDER BY vec_id LIMIT 1)
     SELECT e.vec_id, e.label,
            CAST({_hamming_sql()} AS BIGINT) AS hamming,

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from apache_iceberg_with_clickhouse_olake_spark.operators import registry
 from tests.oracle_utils import assert_match
@@ -377,3 +378,101 @@ def test_sign_hamming_sees_replicas_at_zero_and_zero_vec_at_popcount(
     assert by_id[2]["hamming"] == 0 and by_id[3]["hamming"] == 0
     assert by_id[4]["hamming"] == 3  # zero vector vs 3 positive bits
     assert by_id[4]["cos_exact"] is None
+
+
+# ---------------------------------------------------------------------------
+# Malformed / non-strict JSON props: the strict-JSON extraction contract
+# ---------------------------------------------------------------------------
+
+# Every leniency divergence the two engines have, pinned value-for-value
+# (r11 ADVICE): Spark's get_json_object accepts single quotes where
+# DuckDB's json_valid refuses; DuckDB's json_valid accepts trailing
+# commas where Jackson refuses; both take the FIRST duplicate key; both
+# emit the literal string for numeric-string/padded/NaN values, which
+# the integer-regex gate then NULLs identically.
+_CRAFTED_PROPS = [
+    '{"k": 5}',            # strict, integral
+    "{'k': 5}",            # single quotes: Spark-lenient, Duck-invalid
+    '{"k": 1, "k": 2}',    # duplicate keys: both resolve to the FIRST
+    '{"k": "7"}',          # numeric string: extracted then cast
+    '{"k": 1.5}',          # non-integral: integer-regex NULLs it
+    "not json",            # garbage
+    '{"k": null}',         # explicit null
+    "{}",                  # key absent
+    '{"k": +3}',           # leading +: invalid number in BOTH parsers
+    '{"k": 007}',          # leading zeros: invalid in BOTH parsers
+    '{"k":"  8 "}',        # padded numeric string: regex rejects
+    None,                  # NULL props column
+    '{"k": 5,}',           # trailing comma: Duck-lenient, Spark-invalid
+    '{"k": NaN}',          # non-numeric number literal
+    "[1, 2]",              # valid JSON, not an object
+]
+
+
+@pytest.fixture(scope="module")
+def crafted_events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("crafted_events") / "sf")
+    rows = [
+        (
+            i,
+            f"2024-01-0{1 + i % 9} 0{i % 10}:15:00",
+            100 + i % 4,
+            "click" if i % 2 else "view",
+            float(i),
+            props,
+        )
+        for i, props in enumerate(_CRAFTED_PROPS)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def crafted_events_duck(crafted_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{crafted_events_dir}/events.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name", ["event_props_json_stats", "events_interval_bucket_join"]
+)
+def test_events_ops_hash_exact_on_malformed_props(
+    spark, crafted_events_dir, crafted_events_duck, name
+):
+    spec = registry.REGISTRY[name]
+    assert_match(
+        spec.fn(spark, crafted_events_dir),
+        crafted_events_duck,
+        spec.oracle,
+        name,
+    )
+
+
+def test_json_null_contract_counts_exactly_the_strict_integrals(
+    spark, crafted_events_dir
+):
+    """Of the 15 crafted props, exactly three yield a k on both engines:
+    strict {"k": 5}, first-duplicate {"k": 1, ...}, and the numeric
+    string {"k": "7"} -- single-quoted JSON must NOT leak through
+    Spark's leniency, trailing commas must NOT leak through DuckDB's."""
+    rows = (
+        registry.REGISTRY["event_props_json_stats"]
+        .fn(spark, crafted_events_dir)
+        .collect()
+    )
+    assert sum(r["n_events"] for r in rows) == len(_CRAFTED_PROPS)
+    assert sum(r["n_with_k"] for r in rows) == 3
+    ks = {v for r in rows for v in (r["min_k"], r["max_k"]) if v is not None}
+    assert ks <= {1, 5, 7}

@@ -968,12 +968,16 @@ def test_q20_semi_join_probes_preaggregated_keys(spark, sf_dir):
 def test_interval_join_is_bucket_equi_never_theta(spark, sf_dir):
     """The interval x point range join must compile to a broadcast HASH
     join on the bucket id -- never a nested-loop/cartesian theta join --
-    with the events scan pruned to the three referenced columns."""
+    with the events scan pruned to the three referenced columns, and
+    the data-derived grid scalars (tmin/step/width/bw) must ride a
+    ScalarSubquery INSIDE the plan (r11 ADVICE: no eager span probe at
+    query-construction time)."""
     df = _Q["events_interval_bucket_join"](spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin [bucket" in plan, plan
+    assert "Subquery" in plan, plan  # in-plan span probe, not .first()
     assert_scan_columns_at_most(df, "events", {"user_id", "value", "ts"})
 
 
