@@ -180,6 +180,67 @@ def session_epoch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_count_distribution",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n_sessions,
+             COUNT(DISTINCT session_token) AS n_tokens
+      FROM ({_SESSIONS_SQL})
+      GROUP BY user_id
+    )
+    SELECT n_sessions AS sessions_per_user,
+           COUNT(*) AS n_users,
+           MIN(user_id) AS min_user_id,
+           MAX(user_id) AS max_user_id,
+           CAST(SUM(CASE WHEN n_tokens = n_sessions THEN 1 ELSE 0 END)
+                AS BIGINT) AS users_with_unique_tokens
+    FROM per_user
+    GROUP BY n_sessions
+    ORDER BY n_sessions
+    """,
+    tags=("S7", "G1", "A2"),
+)
+def session_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generator's per-user session-count DISTRIBUTION (r11 VERDICT
+    item 6): generate_sessions deals each user exactly
+    {SESSIONS_PER_USER} sessions (reference mysql-init/01-setup.sql:
+    242-289 loops sessions_per_user times per user), so the
+    distribution must collapse to a single row -- sessions_per_user =
+    {SESSIONS_PER_USER} covering every user id -- with all session
+    tokens unique per user. A second row appearing, or
+    users_with_unique_tokens < n_users, is the generator-drift alarm
+    this query exists to raise; the pytest twin lives in
+    tests/test_r12_ops.py, this row makes the check driver-facing.
+
+    Shape at scale: two cascaded groupBys (user, then count-of-counts);
+    both have map-side partials, the second reduces to at most a
+    handful of distinct counts."""
+    return (
+        gen_sessions(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("session_token").alias("n_tokens"),
+        )
+        .groupBy(F.col("n_sessions").alias("sessions_per_user"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.min("user_id").alias("min_user_id"),
+            F.max("user_id").alias("max_user_id"),
+            F.sum(
+                F.when(F.col("n_tokens") == F.col("n_sessions"), 1).otherwise(0)
+            ).alias("users_with_unique_tokens"),
+        )
+        .orderBy("sessions_per_user")
+    )
+
+
+session_count_distribution.__doc__ = session_count_distribution.__doc__.format(
+    SESSIONS_PER_USER=SESSIONS_PER_USER
+)
+
+
+@query(
     "datagen_ecommerce_counts",
     oracle=f"""
     SELECT 'users' AS table_name, COUNT(*) AS row_count FROM ({_USERS_SQL})

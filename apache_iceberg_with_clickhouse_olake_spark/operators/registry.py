@@ -74,11 +74,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # these 15 land it at 32 (VERDICT item 1 target). Every other
 # ever-checked window name is the sole carrier of some op-id tag
 # (computed by the recompose script, not assumed); the two flex slots
-# are order_part_lookup (P9/J3 double-covered) and order_date_range
-# (A3 — displaceable only by a new op that honestly carries A3), so
+# were order_part_lookup (P9/J3 double-covered) and order_date_range
+# (A3 — displaceable only by a new op that honestly carries A3).
 # r12-authored ops enter via those per the same-commit displacement
-# discipline. The BPE quartet, multimodal trio, PCA pair and remaining
-# Q-suite names queue for r13 via scripts/next_rotation.py.
+# discipline: session_count_distribution (VERDICT item 6, the
+# generator-distribution oracle) takes order_part_lookup's slot
+# (P9->bucket_index_lookup, J3->datagen_orders_by_status). The BPE
+# quartet, multimodal trio, PCA pair and remaining Q-suite names queue
+# for r13 via scripts/next_rotation.py.
 _PRIORITY = (
     "unique_customers_approx",  # force-include: clear r02 FAIL record
     "daily_users_hll_reagg",  # force-include: clear r02 FAIL record
@@ -99,7 +102,7 @@ _PRIORITY = (
     "session_event_bigrams",  # first driver row
     "monthly_revenue",
     "silver_projection",
-    "order_part_lookup",
+    "session_count_distribution",  # first driver row (r12-authored)
     "current_date_sanity",
     "parquet_layout_roundtrip",
     "partition_pruning_roundtrip",

@@ -601,3 +601,46 @@ def test_mixture_ops_on_degenerate_zero_token_groups(spark, tmp_path):
         assert out[("web", "en")]["target_permille"] > 0
     finally:
         con.close()
+
+
+def test_semantic_pair_cap_bounds_cluster_work(spark):
+    """The in-code scale guard for the direct SemDeDup shape (r11
+    VERDICT item 4): a pathological 40-replica cluster drops 39 members
+    uncapped but EXACTLY cap-1 with max_cluster_pair_members=8 -- only
+    the hash-ranked cap survivors ever enter the pair join, so
+    per-cluster pair work is bounded at cap*(cap-1)/2 no matter how
+    skewed the clustering gets. The plan carries the rank filter BELOW
+    the self-join (work is cut before pairing, not after)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _semantic_dropped,
+    )
+
+    n, cap = 40, 8
+    assigned = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0], 0) for i in range(n)]
+        + [(100, [1.0, 0.0, 0.0], 1), (101, [0.0, 1.0, 0.0], 1),
+           (102, [0.0, 0.0, 1.0], 1)],
+        "vec_id long, dv array<double>, cluster int",
+    )
+    uncapped = _semantic_dropped(assigned).count()
+    assert uncapped == n - 1
+    capped_df = _semantic_dropped(assigned, max_cluster_pair_members=cap)
+    assert capped_df.count() == cap - 1
+    plan = capped_df._jdf.queryExecution().optimizedPlan().toString()
+    join_at = plan.index("Join")
+    assert "row_number" in plan[join_at:], plan  # filter below the join
+
+
+def test_semantic_direct_variant_is_tagged_benchmark_yardstick():
+    """No caller can mistake the exact all-pairs variant for the
+    production path: the registry entry carries the benchmark-yardstick
+    tag (the cascade, the production shape, must NOT)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators import registry
+
+    registry._load_all()
+    assert "benchmark-yardstick" in registry.REGISTRY[
+        "semantic_dedup_stats"
+    ].tags
+    assert "benchmark-yardstick" not in registry.REGISTRY[
+        "semantic_dedup_cascade_stats"
+    ].tags
