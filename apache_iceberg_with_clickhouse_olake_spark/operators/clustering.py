@@ -209,8 +209,20 @@ def _kmeans_assign_frames(emb: DataFrame) -> DataFrame:
 
 def _kmeans_state_frames(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(assigned, centroids): the final assignment plus the centroid
-    frame that produced it (the inverted-file index the ANN op probes)."""
-    emb = _persist(emb)
+    frame that produced it (the inverted-file index the ANN op probes).
+
+    The vector frame is repartitioned to full parallelism BEFORE the
+    persist: the assignment stage is pure n*k*dim CPU with no shuffle,
+    so its task count is whatever the cached frame has -- and a
+    file-count-partitioned source (1 file at sf0.1 = 1 task) serializes
+    the hottest stage of the whole op onto one core. Measured (r12
+    stage audit, SCALING.md): at the 8x corpus the two assignment scans
+    carried 23.7 s of the op's 23.9 s executor CPU on 8 tasks; hashing
+    by vec_id spreads them across all cores and is what a real cluster
+    would do with a 100 TB cached training frame (partition count ~
+    input splits, never file count)."""
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    emb = _persist(emb.repartition(par, "vec_id"))
     # the count both sizes k (k ~ n / target cluster size, mirrored by
     # _K_SQL in the oracle) and materializes the cache the Lloyd
     # iterations rescan -- one action, two jobs done

@@ -79,9 +79,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # r12-authored ops enter via those per the same-commit displacement
 # discipline: session_count_distribution (VERDICT item 6, the
 # generator-distribution oracle) takes order_part_lookup's slot
-# (P9->bucket_index_lookup, J3->datagen_orders_by_status). The BPE
-# quartet, multimodal trio, PCA pair and remaining Q-suite names queue
-# for r13 via scripts/next_rotation.py.
+# (P9->bucket_index_lookup, J3->datagen_orders_by_status), and
+# user_lifetime_stats (per-user first/last-seen + active-days rollup,
+# an honest A3 carrier) takes order_date_range's. The BPE quartet,
+# multimodal trio, PCA pair and remaining Q-suite names queue for r13
+# via scripts/next_rotation.py.
 _PRIORITY = (
     "unique_customers_approx",  # force-include: clear r02 FAIL record
     "daily_users_hll_reagg",  # force-include: clear r02 FAIL record
@@ -108,7 +110,7 @@ _PRIORITY = (
     "partition_pruning_roundtrip",
     "ann_dim_truncation_recall",  # first driver row
     "unique_customers",
-    "order_date_range",
+    "user_lifetime_stats",  # first driver row (r12-authored)
     "distinct_status",
     "daily_active_users",
     "order_value_percentiles",

@@ -381,18 +381,29 @@ def lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rsupp = 1 encodes the NOT EXISTS (no OTHER supplier was flagged),
     and when n_rsupp = 1 the MAX over the flagged suppkeys IS that sole
     supplier. One orderkey shuffle with partial distinct, one
-    supplier-grain count, one broadcast name attach."""
-    per_order = (
+    supplier-grain count, one broadcast name attach.
+
+    The two distincts are computed by an EXPLICIT two-level aggregate
+    -- collapse to distinct (orderkey, suppkey) pairs first (map-side
+    partials), then plain counts per order -- instead of two
+    countDistinct()s in one agg: Catalyst plans multi-distinct via an
+    Expand that triples every lineitem row before the shuffle, and the
+    r12 A/B measured the two-level form 1.7x faster at BOTH 1x and 8x
+    replicated-fact scale (2.03->1.20 s, 2.83->1.73 s medians,
+    identical results; SCALING.md r12 residue audit)."""
+    per_pair = (
         load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.col("l_returnflag") == "R").alias("has_r"))
+    )
+    per_order = (
+        per_pair.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(
-                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-            ).alias("n_rsupp"),
-            F.max(
-                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-            ).alias("r_supp"),
+            F.count("*").alias("n_supp"),
+            F.count(F.when(F.col("has_r"), 1)).alias("n_rsupp"),
+            F.max(F.when(F.col("has_r"), F.col("l_suppkey"))).alias(
+                "r_supp"
+            ),
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_rsupp") == 1))
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import dsum, dsum_sql
+from ..functions import dround, dround_sql, dsum, dsum_sql
 from ..sources.parquet import load_table
 from .registry import query
 
@@ -605,3 +605,64 @@ def session_event_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 session_event_bigrams.__doc__ = session_event_bigrams.__doc__.format(
     n=_PATH_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-user lifetime profile (first/last seen, active days)
+# ---------------------------------------------------------------------------
+
+@query(
+    "user_lifetime_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, {_D_EPOCH} AS es FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(MIN(es) AS BIGINT) AS first_seen_epoch,
+           CAST(MAX(es) AS BIGINT) AS last_seen_epoch,
+           CAST(MAX(es) - MIN(es) AS BIGINT) AS lifetime_secs,
+           CAST(COUNT(DISTINCT es // 86400) AS BIGINT) AS active_days,
+           {dround_sql(
+               'COUNT(*) / CAST(COUNT(DISTINCT es // 86400) AS DOUBLE)', 4
+           )} AS events_per_active_day
+    FROM e
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("A3", "A2"),
+)
+def user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime profile: first/last event timestamps, lifetime
+    span, distinct active days and event intensity -- the recency/
+    tenure table every engagement pipeline derives from a raw stream
+    (ClickHouse-family MIN/MAX-timestamp rollup, the same grouped
+    time-extremes idiom as the reference's aggregation comparisons,
+    compare-query-performance.sql). Active days count distinct integer
+    epoch-day buckets (es // 86400) rather than engine dates, and all
+    timestamps export as epoch seconds (module ns-vs-us rule).
+
+    Shape at scale: ONE shuffle keyed by user_id (high-cardinality,
+    uniform -- the same key every session op here rides), count/min/max
+    all with map-side partials; count(DISTINCT day) is per-group
+    bounded (~90 distinct days in the fixture, never more than the
+    stream's day span), so the agg state stays O(days) per user --
+    no expansion joins, no windows."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", _spark_epoch().alias("es")
+    )
+    day = F.floor(F.col("es") / 86400).cast("long")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("es").alias("first_seen_epoch"),
+            F.max("es").alias("last_seen_epoch"),
+            (F.max("es") - F.min("es")).alias("lifetime_secs"),
+            F.countDistinct(day).alias("active_days"),
+            dround(
+                F.count("*") / F.countDistinct(day).cast("double"), 4
+            ).alias("events_per_active_day"),
+        )
+        .orderBy("user_id")
+    )

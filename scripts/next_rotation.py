@@ -20,6 +20,13 @@ Prints the proposed ``_PRIORITY`` tuple body and the invariant check
 result. It does NOT edit registry.py -- the rotation lands as the next
 round's first commit, after the driver has recorded the current
 window's rows.
+
+Names passed as arguments are FORCE-SEEDED into the window before the
+greedy cover runs (r12 lesson: names whose only driver rows are old
+FAILs count as "ever-checked", so the never-checked fill skips them
+forever -- seeding is the only way to re-sample them):
+
+  python scripts/next_rotation.py unique_customers_approx ...
 """
 from __future__ import annotations
 
@@ -64,7 +71,12 @@ def main() -> int:
     # checked ones (a never-checked coverer advances both goals), then
     # spend the leftover slots on the remaining never-checked, then on
     # current-window representatives.
-    window: list[str] = []
+    forced = sys.argv[1:]
+    unknown = [n for n in forced if n not in reg]
+    if unknown:
+        print(f"unknown forced names: {unknown}")
+        return 2
+    window: list[str] = list(forced)
     while len(window) < WINDOW:
         need = want - tags(window)
         if not need:

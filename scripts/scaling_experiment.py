@@ -735,7 +735,52 @@ def main() -> None:
         + " The direct op is kept REGISTERED deliberately: it is the",
         "adversarial yardstick the cascade is measured against, and on",
         "a real (non-fully-replicated) corpus its within-cluster",
-        "quadratic is bounded by the cluster-size knob k.",
+        "quadratic is bounded by the cluster-size knob k (and by the",
+        "max_cluster_pair_members cap for callers that want the direct",
+        "shape in production, clustering.py).",
+        "",
+        "## r12 residue audit — the 1.8-2.2 corpus ratios, measured",
+        "",
+        "The r11 sub-2x stragglers were stage-audited (REST stage",
+        "metrics + intermediate-cardinality counts, this round):",
+        "",
+        "- embedding_kmeans_profile (was 2.2): the r11 'plan",
+        "  construction' attribution was WRONG and is retracted -- a",
+        "  checkpointed-centroid variant (collapsed Lloyd lineage) was",
+        "  built and measured NO faster (5.38 vs 5.16 s at 8x). The",
+        "  stage audit found the truth: the two assignment scans",
+        "  carried 23.1 s of the op's 23.9 s executor CPU (n*k*dim",
+        "  distance folds; k grows with n by the corpus-derived-k rule)",
+        "  on only EIGHT tasks at 8x and ONE at 1x -- the persisted",
+        "  vector frame inherited file-count partitioning. Fix shipped:",
+        "  _kmeans_state_frames repartitions to defaultParallelism",
+        "  before the persist; re-measured 8x/1x = 1.2 (2.90 s vs",
+        "  2.47 s), oracles unchanged (6-query targeted sim MATCH).",
+        "- minhash_estimate_calibration (was 2.0) and",
+        "  train_test_leakage_scan (was 1.8): both ride the shared LSH",
+        "  candidate stream, whose cardinality on the fully-replicated",
+        "  corpus grew 284 -> 158,176 pairs (557x) at 8x -- every",
+        "  replica pair is a candidate. Walls re-measured 1.2x and",
+        "  1.5x against that 557x intermediate: the plans are",
+        "  emphatically sublinear in the true work driver; the r11",
+        "  ratios were absolute-small-number epoch noise, and the class",
+        "  is quadratic-INTERMEDIATE (bounded output), cascade-shaped",
+        "  in production like everything else in this section.",
+        "- winnowing_neardup_pairs (was 1.9): OUTPUT rows grew 271 ->",
+        "  28,332 (105x) at 8x -- replicas share every fingerprint, so",
+        "  this op belongs to the documented quadratic-OUTPUT class",
+        "  (same as shingle_containment_pairs); its wall ratio (1.9 in",
+        "  the audit epoch, 2-3 across epochs) prices 105x more output",
+        "  rows, not a plan defect. The production shape collapses",
+        "  exact replicas first (cascade) so the pair stage never sees",
+        "  the clique.",
+        "- lonely_late_supplier (read 2.7 in one epoch): the double",
+        "  countDistinct made Catalyst Expand-triple every lineitem row",
+        "  before the orderkey shuffle. Re-planned as an explicit",
+        "  two-level aggregate (distinct (orderkey, suppkey) pairs",
+        "  first, then plain counts): A/B-measured 1.7x faster at both",
+        "  1x and 8x (2.03->1.20 s, 2.83->1.73 s medians, identical",
+        "  results), shipped in relational.py.",
         "",
         "## Skew suite — zipf-hot key, per-task straggler ratio",
         "",

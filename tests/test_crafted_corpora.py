@@ -446,7 +446,12 @@ def crafted_events_duck(crafted_events_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["event_props_json_stats", "events_interval_bucket_join"]
+    "name",
+    [
+        "event_props_json_stats",
+        "events_interval_bucket_join",
+        "user_lifetime_stats",
+    ],
 )
 def test_events_ops_hash_exact_on_malformed_props(
     spark, crafted_events_dir, crafted_events_duck, name

@@ -1037,3 +1037,16 @@ def test_nearest_neardup_argmax_is_struct_max_not_window(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "partial_max" in plan, plan
+
+
+def test_user_lifetime_stats_is_one_shuffle_pruned_scan(spark, sf_dir):
+    """The lifetime profile is a user_id-keyed aggregation over a
+    two-column scan: at most the standard two-phase-distinct pair of
+    user_id-prefixed exchanges ((user_id, day) partial, then user_id),
+    no join, no window, and the events reader pruned to (user_id, ts)."""
+    df = _Q["user_lifetime_stats"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2, plan
+    assert_scan_columns_at_most(df, "events", {"user_id", "ts"})
