@@ -1050,3 +1050,14 @@ def test_user_lifetime_stats_is_one_shuffle_pruned_scan(spark, sf_dir):
     assert "Window" not in plan, plan
     assert plan.count("Exchange hashpartitioning(user_id") <= 2, plan
     assert_scan_columns_at_most(df, "events", {"user_id", "ts"})
+
+
+def test_q21_distincts_never_expand(spark, sf_dir):
+    """lonely_late_supplier's two distinct counts must ride the explicit
+    two-level aggregate (distinct (orderkey, suppkey) pairs first) --
+    never Catalyst's multi-distinct Expand, which triples every lineitem
+    row before the shuffle (r12 A/B: two-level is 1.7x faster at 1x and
+    8x; SCALING.md r12 residue audit)."""
+    plan = physical_plan(_Q["lonely_late_supplier"](spark, sf_dir))
+    assert "Expand" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
