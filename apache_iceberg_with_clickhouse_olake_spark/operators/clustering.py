@@ -353,8 +353,10 @@ def _semantic_dropped(
     ``max_cluster_pair_members`` is the in-code scale guard (r11
     VERDICT item 4): when set, each cluster contributes at most that
     many members to the pair join -- a deterministic hash-ranked
-    subsample (xxhash64 of vec_id, so the choice is seed-free and
-    engine-reproducible) -- bounding per-cluster pair work at
+    subsample (xxhash64 of vec_id with the vec_id tiebreak, so the
+    choice is stable across runs and partitionings with no RNG state;
+    no oracle mirrors it because the registry path never caps) --
+    bounding per-cluster pair work at
     cap*(cap-1)/2 regardless of how skewed the clustering is. Members
     beyond the cap neither drop nor get dropped (degraded RECALL,
     bounded WORK -- the documented trade). The registry entry
