@@ -92,6 +92,12 @@ _K_SQL = (
 # operating point as operators/similarity.py (_NEAR_DUP_COS) -- real
 # corpora run ~0.9+.
 _SEMDEDUP_COS = 0.3
+# Production pair-work cap exercised by semantic_dedup_capped_stats:
+# 32 < mean cluster size at every fixture SF (500 vectors / k=8 ~ 62),
+# so by pigeonhole at least one cluster always exceeds it and the
+# driver row genuinely exercises the capped branch, never the
+# cap-is-a-no-op degenerate (pinned by tests/test_scale_techniques).
+_SEMDEDUP_CAP = 32
 
 
 # ---------------------------------------------------------------------------
@@ -353,19 +359,23 @@ def _semantic_dropped(
     ``max_cluster_pair_members`` is the in-code scale guard (r11
     VERDICT item 4): when set, each cluster contributes at most that
     many members to the pair join -- a deterministic hash-ranked
-    subsample (xxhash64 of vec_id with the vec_id tiebreak, so the
-    choice is stable across runs and partitionings with no RNG state;
-    no oracle mirrors it because the registry path never caps) --
+    subsample (md5 of the vec_id string with the vec_id tiebreak: the
+    same engine-identical idiom as the k-means seed init, so the
+    choice is stable across runs and partitionings with no RNG state
+    AND the DuckDB oracle of semantic_dedup_capped_stats can mirror it
+    exactly; was xxhash64 before r13, which no oracle could compute) --
     bounding per-cluster pair work at
     cap*(cap-1)/2 regardless of how skewed the clustering is. Members
     beyond the cap neither drop nor get dropped (degraded RECALL,
     bounded WORK -- the documented trade). The registry entry
     (semantic_dedup_stats) keeps None: it is the tagged
     benchmark-yardstick whose exact all-pairs cost the cascade is
-    measured against; production callers set a cap."""
+    measured against; production callers set a cap, and the capped
+    production shape is driver-checked via semantic_dedup_capped_stats
+    (r12 VERDICT item 5)."""
     if max_cluster_pair_members is not None:
         w = Window.partitionBy("cluster").orderBy(
-            F.xxhash64("vec_id"), F.col("vec_id")
+            F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
         )
         assigned = (
             assigned.withColumn("_pair_rank", F.row_number().over(w))
@@ -451,6 +461,90 @@ def _semantic_stats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(assigned["cluster"].alias("cluster"))
         .agg(
             F.count("*").alias("n_members"),
+            F.count("drop_id").alias("n_dropped"),
+            (F.count("*") - F.count("drop_id")).alias("n_kept"),
+            dround(
+                (F.count("*") - F.count("drop_id"))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("kept_frac"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "semantic_dedup_capped_stats",
+    oracle=f"""
+    {_kmeans_sql_prefix()},
+    capped AS (
+      SELECT vec_id, dv, cluster
+      FROM {_FINAL}
+      QUALIFY row_number() OVER (
+        PARTITION BY cluster
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      ) <= {_SEMDEDUP_CAP}
+    ),
+    pairs AS (
+      SELECT a.cluster, b.vec_id AS drop_id
+      FROM capped a JOIN capped b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL.format(a='a.dv', b='b.dv')} >= {_SEMDEDUP_COS}
+    ),
+    dropped AS (SELECT DISTINCT cluster, drop_id FROM pairs)
+    SELECT s.cluster,
+           COUNT(*) AS n_members,
+           LEAST(COUNT(*), {_SEMDEDUP_CAP}) AS n_pair_members,
+           COUNT(d.drop_id) AS n_dropped,
+           COUNT(*) - COUNT(d.drop_id) AS n_kept,
+           {dround_sql(
+               '(COUNT(*) - COUNT(d.drop_id)) / CAST(COUNT(*) AS DOUBLE)', 4
+           )} AS kept_frac
+    FROM {_FINAL} s
+    LEFT JOIN dropped d
+      ON s.cluster = d.cluster AND s.vec_id = d.drop_id
+    GROUP BY s.cluster
+    ORDER BY s.cluster
+    """,
+    tags=("llm-similarity", "llm-dedup", "llm-clustering"),
+)
+@_scoped
+def semantic_dedup_capped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PRODUCTION pair-work cap engaged
+    (max_cluster_pair_members=_SEMDEDUP_CAP): each cluster contributes
+    at most cap members -- the md5-ranked deterministic subsample -- to
+    the pair join, so per-cluster pair work is bounded at cap*(cap-1)/2
+    no matter how skewed the clustering gets (the 100 TB failure mode of
+    the direct variant). Members beyond the cap neither drop nor get
+    dropped; n_members still counts EVERY cluster member, so kept_frac
+    reports the degraded-recall trade honestly (n_pair_members shows
+    where the cap bound). The oracle mirrors the subsample exactly --
+    md5-of-string ranking is engine-identical, the same idiom as the
+    k-means seed init -- making the capped branch hash-checkable
+    (r12 VERDICT item 5: the cap existed in code since r12 but no
+    registered query ever executed it against an oracle)."""
+    return _finalize(spark, _semantic_capped_stats_frame(spark, sf_dir))
+
+
+def _semantic_capped_stats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy capped-SemDeDup per-cluster stats frame (plan-pinned)."""
+    assigned = _persist(_kmeans_assign(spark, sf_dir))
+    dropped = _semantic_dropped(
+        assigned, max_cluster_pair_members=_SEMDEDUP_CAP
+    )
+    return (
+        assigned.join(
+            dropped,
+            (assigned["cluster"] == dropped["cluster"])
+            & (assigned["vec_id"] == dropped["drop_id"]),
+            "left",
+        )
+        .groupBy(assigned["cluster"].alias("cluster"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.least(F.count("*"), F.lit(_SEMDEDUP_CAP).cast("long")).alias(
+                "n_pair_members"
+            ),
             F.count("drop_id").alias("n_dropped"),
             (F.count("*") - F.count("drop_id")).alias("n_kept"),
             dround(

@@ -241,6 +241,73 @@ session_count_distribution.__doc__ = session_count_distribution.__doc__.format(
 
 
 @query(
+    "order_count_distribution",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n_orders,
+             COUNT(DISTINCT order_id) AS n_ids,
+             COUNT(DISTINCT product_id) AS n_products
+      FROM ({_ORDERS_SQL})
+      GROUP BY user_id
+    )
+    SELECT n_orders AS orders_per_user,
+           COUNT(*) AS n_users,
+           MIN(user_id) AS min_user_id,
+           MAX(user_id) AS max_user_id,
+           CAST(SUM(CASE WHEN n_ids = n_orders THEN 1 ELSE 0 END)
+                AS BIGINT) AS users_with_unique_ids,
+           MAX(n_products) AS max_products_per_user
+    FROM per_user
+    GROUP BY n_orders
+    ORDER BY orders_per_user
+    """,
+    tags=("S7", "G1", "A2"),
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generator's per-user ORDER-count distribution (r12 VERDICT
+    item 6, completing the generator-parity story the sessions row
+    started): generate_orders deals each user exactly {ORDERS_PER_USER}
+    orders (reference mysql-init/01-setup.sql:186-239 loops
+    orders_per_user times per user id), so the distribution must
+    collapse to a single row -- orders_per_user = {ORDERS_PER_USER}
+    covering every user id -- with all order ids unique per user. A
+    second row appearing, or users_with_unique_ids < n_users, is the
+    generator-drift alarm; max_products_per_user additionally bounds the
+    hash-assigned product fan-out (<= orders per user by construction).
+    The pytest twin lives in tests/test_r12_ops.py; this row makes the
+    check driver-facing like its sessions sibling.
+
+    Shape at scale: two cascaded groupBys (user, then count-of-counts);
+    both have map-side partials, the second reduces to at most a
+    handful of distinct counts."""
+    return (
+        gen_orders(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("order_id").alias("n_ids"),
+            F.countDistinct("product_id").alias("n_products"),
+        )
+        .groupBy(F.col("n_orders").alias("orders_per_user"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.min("user_id").alias("min_user_id"),
+            F.max("user_id").alias("max_user_id"),
+            F.sum(
+                F.when(F.col("n_ids") == F.col("n_orders"), 1).otherwise(0)
+            ).alias("users_with_unique_ids"),
+            F.max("n_products").alias("max_products_per_user"),
+        )
+        .orderBy("orders_per_user")
+    )
+
+
+order_count_distribution.__doc__ = order_count_distribution.__doc__.format(
+    ORDERS_PER_USER=ORDERS_PER_USER
+)
+
+
+@query(
     "datagen_ecommerce_counts",
     oracle=f"""
     SELECT 'users' AS table_name, COUNT(*) AS row_count FROM ({_USERS_SQL})

@@ -56,64 +56,64 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (greedy tag set-cover + never-checked fill) and
 # `python scripts/coverage_gap.py` prints the remaining blind spot.
 # Rotation history (r7: 35-never-checked burn start; r11: 21
-# first-driver rows, blind spot 55 -> 47) lives in git — see this
-# block's history at tags r07..r11.
-# r12 rotation (r11 VERDICT items 1+2): the committed
-# scripts/rotation_r12_proposal.txt could not honor item 2 (the three
-# r02-FAIL names are "ever-checked", so the greedy fill skips them),
-# so the window was recomposed with those three SEEDED first:
-#   - unique_customers_approx / daily_users_hll_reagg /
-#     simhash_fingerprints: last driver rows are r02 FAILs, fixed in
-#     r03 and locally green for 9 rounds; force-included so the
-#     official record finally turns green.
-#   - 15 first-driver rows (the 10 r11-authored ops, the DSIR window
-#     stragglers sequence_packing_stats / corpus_mixture_weights, and
-#     the Q-suite trio shipping_priority_topk / idle_rich_customers /
-#     events_watermark_late_drop).
-# Accounting: 205 registered, 158 ever driver-checked, blind spot 47;
-# these 15 land it at 32 (VERDICT item 1 target). Every other
-# ever-checked window name is the sole carrier of some op-id tag
-# (computed by the recompose script, not assumed); the two flex slots
-# were order_part_lookup (P9/J3 double-covered) and order_date_range
-# (A3 — displaceable only by a new op that honestly carries A3).
-# r12-authored ops enter via those per the same-commit displacement
-# discipline: session_count_distribution (VERDICT item 6, the
-# generator-distribution oracle) takes order_part_lookup's slot
-# (P9->bucket_index_lookup, J3->datagen_orders_by_status), and
-# user_lifetime_stats (per-user first/last-seen + active-days rollup,
-# an honest A3 carrier) takes order_date_range's. The BPE quartet,
-# multimodal trio, PCA pair and remaining Q-suite names queue for r13
-# via scripts/next_rotation.py.
+# first-driver rows, blind spot 55 -> 47; r12: 17 first-driver rows
+# incl. the three seeded r02-FAIL retests, blind spot 47 -> 32) lives
+# in git — see this block's history at tags r07..r12.
+# r13 rotation (r12 VERDICT item 1): adopts the committed
+# scripts/rotation_r13_proposal.txt verbatim — 15 first-driver rows
+# (the DSIR pair, the multimodal trio video_frame_sample /
+# audio_chunk_energy / image_resize_thumbnail, the PCA pair,
+# mixture_plan_apply, stratified_quota_sample, quality_length_pareto,
+# zorder_layout_roundtrip, doc_contamination_fraction, and the
+# TPC-H-shaped trio late_exists_order_priority /
+# returned_items_ranking / top_supplier_revenue).
+# Accounting (post-displacement totals, per r12 ADVICE): round start
+# was 207 registered / 175 ever driver-checked (CORRECTNESS_r01..r12
+# union) / blind spot 32; the two r13-authored ops below make it 209
+# registered / blind spot 34, and the window's 17 first-driver rows
+# (15 proposal + 2 authored) land it at 17 when r13 closes. Every
+# already-checked name kept in the window is a sole carrier of some
+# op-id/family tag per the recompose script's greedy cover, except
+# annotated flex slots. r13-authored ops (the capped-SemDeDup driver
+# path, the orders-generator distribution — r12 VERDICT items 5+6)
+# enter by displacing double-covered names in the same commit that
+# registers them, per the established displacement discipline;
+# displacements are annotated inline below. The remaining 17 (BPE
+# quartet, funnel/session-window pair, ~10 TPC-H-shaped relational)
+# queue for r14 via scripts/next_rotation.py — proposal committed
+# this round (r12 VERDICT item 3).
 _PRIORITY = (
-    "unique_customers_approx",  # force-include: clear r02 FAIL record
-    "daily_users_hll_reagg",  # force-include: clear r02 FAIL record
-    "simhash_fingerprints",  # force-include: clear r02 FAIL record
     "scalar_functions",
     "high_value_orders",
-    "shipping_priority_topk",  # first driver row
+    "medallion_readback",
+    "lonely_late_supplier",
+    "revenue_mom_growth",
+    "corpus_build_pipeline",
     "datagen_users",
     "schema_evolution_merge",
-    "medallion_readback",
-    "events_watermark_late_drop",  # first driver row
     "table_counts",
     "cdc_change_log",
     "cdc_upsert_state",
-    "corpus_build_pipeline",
     "ddl_roundtrip",
-    "idle_rich_customers",  # first driver row
-    "session_event_bigrams",  # first driver row
-    "monthly_revenue",
-    "silver_projection",
-    "session_count_distribution",  # first driver row (r12-authored)
-    "current_date_sanity",
-    "parquet_layout_roundtrip",
-    "partition_pruning_roundtrip",
-    "ann_dim_truncation_recall",  # first driver row
+    "streaming_vector_assign",
     "unique_customers",
-    "user_lifetime_stats",  # first driver row (r12-authored)
+    "silver_projection",
+    # displacement (r13-authored ops, same-commit discipline): the
+    # capped-SemDeDup driver path takes order_part_lookup's slot
+    # (J3->datagen_orders_by_status, P9->bucket_index_lookup) and the
+    # orders-generator distribution takes parquet_layout_roundtrip's
+    # (D12/S6->lake_compaction_stats+zorder_layout_roundtrip); the two
+    # kept flex candidates stay deliberately -- lonely_late_supplier
+    # because its r12 two-level-aggregate rewrite has never earned a
+    # driver row, corpus_build_pipeline for integration breadth.
+    "semantic_dedup_capped_stats",  # first driver row (r13-authored)
+    "current_date_sanity",
+    "order_count_distribution",  # first driver row (r13-authored)
+    "partition_pruning_roundtrip",
+    "session_length_distribution",
+    "order_date_range",
     "distinct_status",
     "daily_active_users",
-    "order_value_percentiles",
     "max_key_bootstrap",
     "datagen_products",
     "datagen_orders_by_status",
@@ -124,17 +124,23 @@ _PRIORITY = (
     "lake_compaction_stats",
     "seed_literal_insert",
     "bucket_index_lookup",
+    "session_event_bigrams",
     "streaming_restart_state",
-    "event_rate_anomalies",  # first driver row
-    "train_test_leakage_scan",  # first driver row
-    "nearest_neardup_doc",  # first driver row
-    "embedding_sign_hamming_topk",  # first driver row
-    "knn_label_purity",  # first driver row
-    "label_centroid_outliers",  # first driver row
-    "term_cooccurrence_pmi",  # first driver row
-    "countmin_heavy_hitters",  # first driver row
-    "sequence_packing_stats",  # first driver row
-    "corpus_mixture_weights",  # first driver row
+    "mixture_plan_apply",  # first driver row
+    "stratified_quota_sample",  # first driver row
+    "dsir_importance_weights",  # first driver row
+    "dsir_resample_counts",  # first driver row
+    "doc_contamination_fraction",  # first driver row
+    "quality_length_pareto",  # first driver row
+    "zorder_layout_roundtrip",  # first driver row
+    "embedding_power_iteration",  # first driver row
+    "embedding_pca_top2",  # first driver row
+    "video_frame_sample",  # first driver row
+    "audio_chunk_energy",  # first driver row
+    "image_resize_thumbnail",  # first driver row
+    "late_exists_order_priority",  # first driver row
+    "returned_items_ranking",  # first driver row
+    "top_supplier_revenue",  # first driver row
 )
 
 

@@ -628,7 +628,33 @@ def test_semantic_pair_cap_bounds_cluster_work(spark):
     assert capped_df.count() == cap - 1
     plan = capped_df._jdf.queryExecution().optimizedPlan().toString()
     join_at = plan.index("Join")
-    assert "row_number" in plan[join_at:], plan  # filter below the join
+    # the rank filter must sit below the join on BOTH children (work is
+    # cut before pairing, not after): both self-join subtrees print
+    # after the Join node, so a single occurrence could mean the filter
+    # was applied to only one side (r12 ADVICE) -- require two.
+    assert plan[join_at:].count("row_number") >= 2, plan
+
+
+def test_semantic_cap_binds_on_fixture_and_members_stay_full(spark, sf_dir):
+    """The registered capped query (semantic_dedup_capped_stats) must
+    genuinely exercise the cap on fixture data: 500 vectors / k=8 means
+    some cluster exceeds _SEMDEDUP_CAP=32 by pigeonhole, so at least one
+    row shows n_pair_members < n_members (cap bound) while n_members
+    still totals the full corpus (the rollup never loses uncapped
+    members)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _SEMDEDUP_CAP,
+        semantic_dedup_capped_stats,
+    )
+
+    rows = semantic_dedup_capped_stats(spark, sf_dir).collect()
+    assert sum(r.n_members for r in rows) == 500
+    assert all(r.n_pair_members <= _SEMDEDUP_CAP for r in rows)
+    assert all(r.n_pair_members <= r.n_members for r in rows)
+    assert any(r.n_members > r.n_pair_members for r in rows)
+    # members beyond the cap neither drop nor get dropped
+    assert all(r.n_dropped <= r.n_pair_members for r in rows)
+    assert all(r.n_kept + r.n_dropped == r.n_members for r in rows)
 
 
 def test_semantic_direct_variant_is_tagged_benchmark_yardstick():
