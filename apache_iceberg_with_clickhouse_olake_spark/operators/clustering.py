@@ -651,6 +651,29 @@ def semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Production shape: exact-collapse BEFORE clustering (cascade)
 # ---------------------------------------------------------------------------
 
+def _fp_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, fp, dv): the cascade's quantized-fingerprint frame,
+    spread to full parallelism BELOW the fingerprint/cast projection
+    and BEFORE the caller's persist (r13 persist-site audit,
+    SCALING.md): a file-count-partitioned source would compute every
+    _vec_fp/_dvec on one task at sf0.1 -- the k-means cache bug class
+    (clustering._kmeans_state_frames, fixed r12) -- and the exchange
+    must sit under the projection so the hash/cast work itself runs
+    wide. Pinned by tests/test_plans.py."""
+    from .similarity import _vec_fp
+
+    par = spark.sparkContext.defaultParallelism
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(par, "vec_id")
+        .select(
+            "vec_id",
+            _vec_fp().alias("fp"),
+            _dvec(F.col("embedding")).alias("dv"),
+        )
+    )
+
+
 _REPS_SOURCE = f"""SELECT vec_id, dv FROM (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
              row_number() OVER (
@@ -709,17 +732,9 @@ def semantic_dedup_cascade_stats(
     cascade's pair stage sees each clique once, so cost tracks DISTINCT
     vectors -- the same mitigation embedding_dedup_cascade_stats
     measures for the banded pairing (SCALING.md)."""
-    from .similarity import _vec_fp
-
-    emb = load_table(spark, sf_dir, "embeddings")
     # persisted: reps AND sizes both derive from the fingerprint frame;
     # without the cache each one is a full corpus scan (stage-audited).
-    g = emb.select(
-        "vec_id",
-        _vec_fp().alias("fp"),
-        _dvec(F.col("embedding")).alias("dv"),
-    )
-    g = _persist(g)
+    g = _persist(_fp_vectors(spark, sf_dir))
     w = Window.partitionBy("fp").orderBy("vec_id")
     reps = (
         g.withColumn("rn", F.row_number().over(w))

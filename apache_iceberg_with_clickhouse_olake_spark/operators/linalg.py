@@ -60,12 +60,26 @@ def _pi_frame(
     """Lazy (dim, component) frame after ``iters`` power iterations
     (plan tests can pin its physical shape before materialization; the
     Rayleigh-monotonicity test sweeps ``iters``)."""
-    emb = _persist(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", _dvec(F.col("embedding")).alias("dv")
-        )
-    )
+    emb = _persist(_pi_vectors(spark, sf_dir))
     return _pi_loop(spark, emb, iters)
+
+
+def _pi_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dv) spread to full parallelism BEFORE the persist: the
+    iterated consumers (score projection, posexplode partials) are pure
+    CPU with no shuffle, so their task count is whatever the cached
+    frame has -- and a file-count-partitioned source (1 file at sf0.1 =
+    1 task) would serialize every corpus pass onto one core, the same
+    bug class the r12 k-means audit fixed (clustering.py
+    _kmeans_state_frames; r13 persist-site audit, SCALING.md). The
+    exchange sits below the _dvec projection so the cast itself also
+    runs wide."""
+    par = spark.sparkContext.defaultParallelism
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(par, "vec_id")
+        .select("vec_id", _dvec(F.col("embedding")).alias("dv"))
+    )
 
 
 def _pi_loop(spark: SparkSession, emb: DataFrame, iters: int) -> DataFrame:
@@ -230,11 +244,7 @@ def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-component story -- iterations x one pass, dim-row
     reductions, nothing driver-side. The deflated frame is persisted
     for the second loop exactly like the raw frame for the first."""
-    emb = _persist(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", _dvec(F.col("embedding")).alias("dv")
-        )
-    )
+    emb = _persist(_pi_vectors(spark, sf_dir))
     # v1 is the 64-row MODEL ARTIFACT between the two loops: collapse
     # it to local rows so the second loop's lineage does not embed the
     # first loop's unrolled plan (the doubly-nested plan was measured
@@ -251,6 +261,8 @@ def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "varr",
         dround(_dot(F.col("dv"), F.col("varr")), 6).alias("s"),
     )
+    # defl inherits emb's full-parallelism partitioning through the
+    # narrow projection chain (no repartition needed -- r13 audit)
     defl = _persist(
         proj.select(
             "vec_id",

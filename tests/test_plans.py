@@ -1061,3 +1061,39 @@ def test_q21_distincts_never_expand(spark, sf_dir):
     plan = physical_plan(_Q["lonely_late_supplier"](spark, sf_dir))
     assert "Expand" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_persisted_corpus_frames_run_at_full_parallelism(spark, sf_dir):
+    """r13 persist-site audit (r12 VERDICT item 4): every persisted
+    frame that feeds a CPU-heavy no-shuffle consumer must carry at
+    least defaultParallelism partitions BEFORE the persist -- a cached
+    frame inheriting file-count partitioning (1 file at sf0.1 = 1 task)
+    serializes its hottest consumer stage onto one core, the bug class
+    the r12 k-means fix exposed. Pins the three corpus-vector caches on
+    their REAL builders: the power-iteration/PCA vector frame and the
+    semantic-cascade fingerprint frame (both fixed r13), plus the Lloyd
+    assignment frame (the r12 fix, whose parallelism the first two
+    inherit-by-discipline). For the two r13 frames the projection
+    (fp/dvec cast) must also sit ABOVE the exchange so the cache-build
+    pass itself runs wide -- checked by Project appearing before the
+    Exchange line in the physical tree (children print below parents)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _fp_vectors,
+        _kmeans_assign,
+        release_caches,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.operators.linalg import (
+        _pi_vectors,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    try:
+        for frame in (_pi_vectors(spark, sf_dir), _fp_vectors(spark, sf_dir)):
+            assert frame.rdd.getNumPartitions() >= par
+            plan = physical_plan(frame)
+            exch_at = plan.index("Exchange hashpartitioning(vec_id")
+            assert "Project" in plan[:exch_at], plan  # cast runs wide
+        assigned = _kmeans_assign(spark, sf_dir)
+        assert assigned.rdd.getNumPartitions() >= par
+    finally:
+        release_caches()
