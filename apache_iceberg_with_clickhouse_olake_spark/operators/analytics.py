@@ -2210,7 +2210,10 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH raw AS (
       SELECT event_type,
              CASE WHEN json_valid(props)
-                   AND NOT regexp_matches(props, ',[ \t\r\n]*[}}\\]]')
+                   AND NOT regexp_matches(
+                         regexp_replace(props,
+                                        '"([^"\\\\]|\\\\.)*"', '""', 'g'),
+                         ',[ \t\r\n]*[}}\\]]')
                   THEN json_extract_string(props, '$.k') END AS ks,
              epoch_us(ts) // 1000000 AS es
       FROM events
@@ -2255,10 +2258,13 @@ def event_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     about trailing commas so the oracle adds a trailing-comma
     rejector. Extraction itself stays get_json_object
     (NOT from_json) because both engines resolve duplicate keys to the
-    FIRST occurrence, where from_json would take the last. Known
-    residual: a strict doc whose OTHER string values contain ",}"/",]"
-    while k is integral trips the oracle's rejector only -- accepted,
-    documented, excluded from the crafted corpus. n_with_k vs n_events is then the parse-health
+    FIRST occurrence, where from_json would take the last. The
+    rejector is STRING-AWARE (r12 ADVICE): string literals are blanked
+    (regexp_replace of '"([^"\\]|\\.)*"' with '""') before the
+    trailing-comma scan, so a strict doc whose OTHER string values
+    contain ",}"/",]" no longer trips it -- that former residual is now
+    a crafted-corpus case pinned hash-exact on both engines.
+    n_with_k vs n_events is then the parse-health
     metric a pipeline alerts on; first/last_seen are the per-type
     freshness window (MIN/MAX event timestamps, exported as epoch
     seconds -- the ns-vs-us rule, sessions.py module note).

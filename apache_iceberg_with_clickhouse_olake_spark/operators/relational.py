@@ -399,8 +399,15 @@ def lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = (
         per_pair.groupBy("l_orderkey")
         .agg(
-            F.count("*").alias("n_supp"),
-            F.count(F.when(F.col("has_r"), 1)).alias("n_rsupp"),
+            # count the carried KEY, not rows: COUNT(DISTINCT l_suppkey)
+            # ignores NULLs, so a NULL-suppkey pair group must not count
+            # toward either distinct (r12 ADVICE; no divergence on
+            # TPC-H data where l_suppkey is NOT NULL, but the engine
+            # must not depend on that fixture property)
+            F.count("l_suppkey").alias("n_supp"),
+            F.count(
+                F.when(F.col("has_r"), F.col("l_suppkey"))
+            ).alias("n_rsupp"),
             F.max(F.when(F.col("has_r"), F.col("l_suppkey"))).alias(
                 "r_supp"
             ),

@@ -406,6 +406,8 @@ _CRAFTED_PROPS = [
     '{"k": 5,}',           # trailing comma: Duck-lenient, Spark-invalid
     '{"k": NaN}',          # non-numeric number literal
     "[1, 2]",              # valid JSON, not an object
+    '{"k": 9, "s": ",}"}',  # ',}' INSIDE a string: strict, must extract
+    '{"k": 4, "s": "a,]"}',  # ',]' inside a string: strict, must extract
 ]
 
 
@@ -468,16 +470,19 @@ def test_events_ops_hash_exact_on_malformed_props(
 def test_json_null_contract_counts_exactly_the_strict_integrals(
     spark, crafted_events_dir
 ):
-    """Of the 15 crafted props, exactly three yield a k on both engines:
-    strict {"k": 5}, first-duplicate {"k": 1, ...}, and the numeric
-    string {"k": "7"} -- single-quoted JSON must NOT leak through
-    Spark's leniency, trailing commas must NOT leak through DuckDB's."""
+    """Of the 17 crafted props, exactly five yield a k on both engines:
+    strict {"k": 5}, first-duplicate {"k": 1, ...}, the numeric string
+    {"k": "7"}, and the two strict docs whose OTHER string values embed
+    ",}"/",]" (the string-aware rejector fix, r12 ADVICE) -- single-
+    quoted JSON must NOT leak through Spark's leniency, trailing commas
+    must NOT leak through DuckDB's, and ',}'-in-string must NOT trip
+    the oracle's trailing-comma scan."""
     rows = (
         registry.REGISTRY["event_props_json_stats"]
         .fn(spark, crafted_events_dir)
         .collect()
     )
     assert sum(r["n_events"] for r in rows) == len(_CRAFTED_PROPS)
-    assert sum(r["n_with_k"] for r in rows) == 3
+    assert sum(r["n_with_k"] for r in rows) == 5
     ks = {v for r in rows for v in (r["min_k"], r["max_k"]) if v is not None}
-    assert ks <= {1, 5, 7}
+    assert ks <= {1, 4, 5, 7, 9}
