@@ -1,0 +1,54 @@
+"""Semantic invariants of the round-13 operators (value-level
+correctness is oracle-checked by the driver/driver_sim; these pin the
+algebraic properties that survive fixture regeneration)."""
+
+from __future__ import annotations
+
+from apache_iceberg_with_clickhouse_olake_spark.operators import registry
+from apache_iceberg_with_clickhouse_olake_spark.sources.datagen import (
+    N_USERS,
+    ORDERS_PER_USER,
+)
+
+registry._load_all()
+_Q = {name: spec.fn for name, spec in registry.REGISTRY.items()}
+
+
+def test_order_count_distribution_is_a_single_spike(spark, sf_dir):
+    """generate_orders deals every user exactly ORDERS_PER_USER orders
+    with globally-unique order ids (reference mysql-init/01-setup.sql:
+    186-239): the distribution collapses to ONE row covering all user
+    ids -- any second row is generator drift. The product fan-out is
+    hash-assigned, so it can only be bounded, never pinned exactly."""
+    rows = _Q["order_count_distribution"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["orders_per_user"] == ORDERS_PER_USER
+    assert r["n_users"] == N_USERS
+    assert (r["min_user_id"], r["max_user_id"]) == (1, N_USERS)
+    assert r["users_with_unique_ids"] == N_USERS
+    assert 1 <= r["max_products_per_user"] <= ORDERS_PER_USER
+
+
+def test_capped_semdedup_never_drops_more_than_uncapped(spark, sf_dir):
+    """The cap can only REMOVE members from the pair join, so per
+    cluster the capped variant's n_dropped is <= the uncapped
+    benchmark-yardstick's (degraded recall, bounded work -- the
+    documented trade, made executable)."""
+    capped = {
+        r["cluster"]: r
+        for r in _Q["semantic_dedup_capped_stats"](spark, sf_dir).collect()
+    }
+    uncapped = {
+        r["cluster"]: r
+        for r in _Q["semantic_dedup_stats"](spark, sf_dir).collect()
+    }
+    assert set(capped) == set(uncapped)
+    assert any(
+        capped[c]["n_dropped"] < uncapped[c]["n_dropped"] for c in capped
+    ) or all(
+        capped[c]["n_dropped"] == uncapped[c]["n_dropped"] for c in capped
+    )
+    for c in capped:
+        assert capped[c]["n_members"] == uncapped[c]["n_members"]
+        assert capped[c]["n_dropped"] <= uncapped[c]["n_dropped"]
