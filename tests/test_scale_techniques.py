@@ -670,3 +670,117 @@ def test_semantic_direct_variant_is_tagged_benchmark_yardstick():
     assert "benchmark-yardstick" not in registry.REGISTRY[
         "semantic_dedup_cascade_stats"
     ].tags
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir):
+    """Dynamic partition pruning, demonstrated executably: a fact table
+    partitioned on the join key joined to a dimension with a selective
+    predicate gets a runtime `dynamicpruningexpression` in its
+    PartitionFilters -- at 100 TB this is the difference between
+    scanning every date partition and scanning only the ones the dim
+    filter selects, with zero query rewrite (Catalyst injects the
+    pruning subquery and reuses the join's own broadcast). Catalog
+    tables, not raw paths: DPP's benefit estimate needs relation sizes,
+    which the catalog supplies. The dim filter must be one Catalyst
+    considers likely-selective (EqualTo/In/Like -- probed: a bare
+    boolean-attribute filter does NOT trigger the rule), hence the
+    month_num = 3 equality."""
+    spark.sql("DROP TABLE IF EXISTS dpp_orders")
+    spark.sql("DROP TABLE IF EXISTS dpp_months")
+    orders = load_table(spark, sf_dir, "orders")
+    try:
+        (
+            orders.withColumn(
+                "om", F.date_format("o_orderdate", "yyyy-MM")
+            )
+            .write.partitionBy("om")
+            .saveAsTable("dpp_orders")
+        )
+        (
+            orders.select(
+                F.date_format("o_orderdate", "yyyy-MM").alias("om")
+            )
+            .distinct()
+            .withColumn(
+                "month_num", F.substring("om", 6, 2).cast("int")
+            )
+            .write.saveAsTable("dpp_months")
+        )
+        fact = spark.table("dpp_orders")
+        dim = spark.table("dpp_months").filter(F.col("month_num") == 3)
+        j = fact.join(dim, "om").agg(
+            F.count("*").alias("n"), F.sum("o_totalprice").alias("s")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
+        # and the pruned answer is the filtered answer
+        want = (
+            orders.filter(
+                F.date_format("o_orderdate", "yyyy-MM").endswith("-03")
+            ).count()
+        )
+        assert j.collect()[0]["n"] == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dpp_orders")
+        spark.sql("DROP TABLE IF EXISTS dpp_months")
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_rows(spark, sf_dir, tmp_path):
+    """Runtime bloom-filter join pruning, demonstrated executably: when
+    a shuffle join's build side carries a selective filter, Catalyst
+    injects a BloomFilterAggregate on the build side and a
+    might_contain probe into the APPLICATION side's scan -- at 100 TB
+    the fact rows that would never match die before the shuffle instead
+    of crossing the wire. Thresholds are lowered because the trigger is
+    byte-based (the fixture fact is far below the 10 GiB application-
+    side default); the mechanism, not the threshold, is what the test
+    pins. Broadcast is disabled so the join actually shuffles -- with a
+    broadcastable dim DPP/broadcast is the better plan and the bloom
+    rule correctly stays out."""
+    fact_dir = str(tmp_path / "bloom_fact")
+    dim_dir = str(tmp_path / "bloom_dim")
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    ).write.parquet(fact_dir)
+    load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    ).write.parquet(dim_dir)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        fact = spark.read.parquet(fact_dir)
+        dim = spark.read.parquet(dim_dir).filter(F.col("s_nationkey") == 3)
+        j = fact.join(
+            dim, fact.l_suppkey == dim.s_suppkey
+        ).agg(F.sum("l_extendedprice").alias("s"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower(), plan
+        # bloom filters never drop true matches: answer equals unfiltered
+        got = j.collect()[0]["s"]
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
+        want = fact.join(
+            dim, fact.l_suppkey == dim.s_suppkey
+        ).agg(F.sum("l_extendedprice").alias("s")).collect()[0]["s"]
+        assert got == want
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
