@@ -2166,3 +2166,256 @@ def nearest_neardup_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split assignment (the constructive twin of the leakage scan)
+# ---------------------------------------------------------------------------
+
+_SPLIT_MOD10 = 10  # 8/1/1 train/val/test
+
+
+def _split_col(key: Column) -> Column:
+    """Deterministic 80/10/10 split from a string key: the same md5-draw
+    idiom as uniform_hash_sample, so assignment is reproducible with no
+    RNG state and no shuffle."""
+    d = md5_int60(F.concat(F.lit("split-"), key)) % _SPLIT_MOD10
+    return (
+        F.when(d < 8, F.lit("train"))
+        .when(d == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _split_sql(expr: str) -> str:
+    h = md5_int60_sql(f"concat('split-', {expr})")
+    return (
+        f"CASE WHEN {h} % {_SPLIT_MOD10} < 8 THEN 'train' "
+        f"WHEN {h} % {_SPLIT_MOD10} = 8 THEN 'val' ELSE 'test' END"
+    )
+
+
+@query(
+    "leakage_safe_split_stats",
+    oracle=f"""
+    WITH g AS MATERIALIZED (
+      SELECT doc_id, text,
+             MIN(doc_id) OVER (PARTITION BY md5({_NORM})) AS rep_id,
+             row_number() OVER (
+               PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    reps AS MATERIALIZED (SELECT doc_id, text FROM g WHERE rn = 1),
+    {_sig_cte_sql('reps')},
+    {_BANDS_CTE},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM reps),
+    edges AS (
+      SELECT p.doc_a AS a, p.doc_b AS b
+      FROM cand p
+      JOIN sh sa ON p.doc_a = sa.doc_id
+      JOIN sh sb ON p.doc_b = sb.doc_id
+      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+            >= {_JACCARD_THRESHOLD}
+    ),
+    sym AS MATERIALIZED (
+      SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+    ),
+    {_cc_rounds_sql()},
+    tagged AS MATERIALIZED (
+      SELECT g.doc_id,
+             COALESCE(l.label, g.rep_id) AS cluster_id,
+             {_split_sql('CAST(COALESCE(l.label, g.rep_id) AS VARCHAR)')}
+               AS split,
+             {_split_sql('CAST(g.doc_id AS VARCHAR)')} AS naive_split
+      FROM g LEFT JOIN l{_CC_ROUNDS} l ON g.rep_id = l.doc_id
+    ),
+    straddle AS (
+      SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS clusters_straddling,
+             CAST(SUM(CASE WHEN nn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS naive_clusters_straddling
+      FROM (
+        SELECT cluster_id,
+               COUNT(DISTINCT split) AS ns,
+               COUNT(DISTINCT naive_split) AS nn
+        FROM tagged GROUP BY cluster_id
+      )
+    )
+    SELECT t.split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT t.cluster_id) AS n_clusters,
+           s.clusters_straddling,
+           s.naive_clusters_straddling
+    FROM tagged t, straddle s
+    GROUP BY t.split, s.clusters_straddling, s.naive_clusters_straddling
+    ORDER BY t.split
+    """,
+    tags=("llm-dedup", "llm-sampling"),
+)
+def leakage_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-safe train/val/test assignment -- the CONSTRUCTIVE twin of
+    train_test_leakage_scan (that op measures leakage after the fact;
+    this one makes it impossible by construction): the 80/10/10 split
+    hash is drawn from the doc's DUPLICATE-CLUSTER id (connected
+    component over the verified near-dup graph, exact-dup groups
+    collapsed first -- the same cascade core as dedup_cluster_sizes),
+    never from the doc id, so a near-dup clique lands whole in exactly
+    one split. Emits the per-split accounting plus the two global
+    integrity columns a pipeline alerts on: clusters_straddling under
+    the cluster-keyed split (structurally 0 -- the invariant the op
+    exists to provide) and naive_clusters_straddling under a doc-keyed
+    split of the same corpus (>0 whenever multi-doc clusters exist --
+    the leakage a naive split would have shipped).
+
+    Shape at scale: one fp-keyed window pass over the corpus, the
+    bounded rep-graph LSH + propagation (cost tracks DISTINCT docs, the
+    cascade discipline), then pure projections -- split tags are
+    content-hash functions, so assignment needs no state, no shuffle,
+    and is reproducible across reruns and cluster sizes. The straddle
+    audit uses two-level distinct pairs (distinct (cluster, split)
+    first), never a multi-distinct Expand over the corpus (the Q21
+    lesson, relational.py)."""
+    grouped, reps, labels = _cascade_rep_labels(spark, sf_dir)
+    from pyspark.sql import Window
+
+    rep_id = F.min("doc_id").over(Window.partitionBy("fp"))
+    doc_rep = grouped.select("doc_id", rep_id.alias("rep_id"))
+    lab = labels.select(
+        F.col("doc_id").alias("rep_id"), F.col("label").alias("label")
+    )
+    cluster_id = F.coalesce("label", "rep_id")
+    tagged = (
+        doc_rep.join(lab, "rep_id", "left")
+        .select(
+            "doc_id",
+            cluster_id.alias("cluster_id"),
+            _split_col(cluster_id.cast("string")).alias("split"),
+            _split_col(F.col("doc_id").cast("string")).alias("naive_split"),
+        )
+    )
+    ns = (
+        tagged.select("cluster_id", "split")
+        .distinct()
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("ns"))
+    )
+    nn = (
+        tagged.select("cluster_id", "naive_split")
+        .distinct()
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("nn"))
+    )
+    straddle = ns.join(nn, "cluster_id").agg(
+        F.sum((F.col("ns") > 1).cast("long")).alias("clusters_straddling"),
+        F.sum((F.col("nn") > 1).cast("long")).alias(
+            "naive_clusters_straddling"
+        ),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "clusters_straddling",
+            "naive_clusters_straddling",
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (who duplicates whom)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cross_source_dup_matrix",
+    oracle=f"""
+    WITH {_SIG_CTE},
+    {_BANDS_CTE},
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+             (CAST(len(list_intersect(sa.shingles, sb.shingles))
+                   AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))))
+               >= {_JACCARD_THRESHOLD} AS near_dup
+      FROM pairs p
+      JOIN sh sa ON p.doc_a = sa.doc_id
+      JOIN sh sb ON p.doc_b = sb.doc_id
+    ),
+    srcs AS (SELECT doc_id, source FROM documents)
+    SELECT LEAST(sa.source, sb.source) AS source_a,
+           GREATEST(sa.source, sb.source) AS source_b,
+           COUNT(*) AS candidate_pairs,
+           CAST(SUM(CASE WHEN near_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS near_dup_pairs,
+           {dround_sql(
+               'SUM(CASE WHEN near_dup THEN 1 ELSE 0 END)'
+               ' / CAST(COUNT(*) AS DOUBLE)', 4)} AS near_dup_rate
+    FROM scored p
+    JOIN srcs sa ON p.doc_a = sa.doc_id
+    JOIN srcs sb ON p.doc_b = sb.doc_id
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+    """,
+    tags=("llm-dedup",),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair duplication matrix: verified near-dup pairs grouped by
+    the UNORDERED pair of their endpoints' sources (LEAST/GREATEST
+    canonicalization, so web-wiki and wiki-web are one cell). The view a
+    corpus owner reads to decide where dedup budget goes and which
+    ingest duplicates which -- per-source totals (dedup_exact_stats)
+    can't show that a source's duplicates live in ANOTHER source.
+
+    Shape at scale: rides the exactly-once band-bucketed LSH pair
+    stream (_minhash_verified_pairs -- no new quadratic surface), two
+    keyed source attaches on the bounded pair set, and a group-by over
+    at most |sources|^2/2 cells."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    vp = _minhash_verified_pairs(docs, par)
+    srcs = docs.select("doc_id", "source")
+    sa = srcs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    sb = srcs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        vp.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("candidate_pairs"),
+            F.count(F.when(F.col("near_dup"), 1)).alias("near_dup_pairs"),
+            dround(
+                F.sum(F.col("near_dup").cast("long"))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("near_dup_rate"),
+        )
+        .orderBy("source_a", "source_b")
+    )

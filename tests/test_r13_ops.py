@@ -52,3 +52,36 @@ def test_capped_semdedup_never_drops_more_than_uncapped(spark, sf_dir):
     for c in capped:
         assert capped[c]["n_members"] == uncapped[c]["n_members"]
         assert capped[c]["n_dropped"] <= uncapped[c]["n_dropped"]
+
+
+def test_leakage_safe_split_never_straddles(spark, sf_dir):
+    """The cluster-keyed split's straddle count is structurally zero
+    (split is a function of cluster id); docs conserve; every split
+    label is one of the three."""
+    rows = _Q["leakage_safe_split_stats"](spark, sf_dir).collect()
+    from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import (
+        load_table,
+    )
+
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    for r in rows:
+        assert r["clusters_straddling"] == 0
+        assert r["naive_clusters_straddling"] >= 0
+        assert r["n_clusters"] <= r["n_docs"]
+
+
+def test_cross_source_matrix_conserves_pair_stream(spark, sf_dir):
+    """The matrix is a re-grouping of the SAME verified pair stream
+    minhash_lsh_candidates emits: cell totals must conserve both the
+    candidate and near-dup counts, and cells are canonically ordered."""
+    rows = _Q["cross_source_dup_matrix"](spark, sf_dir).collect()
+    vp = _Q["minhash_lsh_candidates"](spark, sf_dir)
+    n_cand = vp.count()
+    n_near = vp.filter("near_dup").count()
+    assert sum(r["candidate_pairs"] for r in rows) == n_cand
+    assert sum(r["near_dup_pairs"] for r in rows) == n_near
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]
+        assert 0 <= r["near_dup_pairs"] <= r["candidate_pairs"]
