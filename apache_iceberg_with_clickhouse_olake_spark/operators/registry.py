@@ -69,19 +69,23 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # returned_items_ranking / top_supplier_revenue).
 # Accounting (post-displacement totals, per r12 ADVICE): round start
 # was 207 registered / 175 ever driver-checked (CORRECTNESS_r01..r12
-# union) / blind spot 32; the two r13-authored ops below make it 209
-# registered / blind spot 34, and the window's 17 first-driver rows
-# (15 proposal + 2 authored) land it at 17 when r13 closes. Every
+# union) / blind spot 32; the four r13-authored ops (the two below
+# plus leakage_safe_split_stats / cross_source_dup_matrix in dedup.py)
+# make it 211 registered / blind spot 36, and the window's 17
+# first-driver rows (15 proposal + 2 authored) land it at 19 when r13
+# closes; the committed rotation_r14 proposal covers 17 of those,
+# reaching blind spot 2 (the r12 VERDICT item 3 target). Every
 # already-checked name kept in the window is a sole carrier of some
 # op-id/family tag per the recompose script's greedy cover, except
 # annotated flex slots. r13-authored ops (the capped-SemDeDup driver
 # path, the orders-generator distribution — r12 VERDICT items 5+6)
 # enter by displacing double-covered names in the same commit that
 # registers them, per the established displacement discipline;
-# displacements are annotated inline below. The remaining 17 (BPE
-# quartet, funnel/session-window pair, ~10 TPC-H-shaped relational)
-# queue for r14 via scripts/next_rotation.py — proposal committed
-# this round (r12 VERDICT item 3).
+# displacements are annotated inline below. The remaining 19 (BPE
+# quartet, funnel/session-window pair, ~10 TPC-H-shaped relational,
+# the two r13-authored dedup ops) queue for r14 via
+# scripts/next_rotation.py — proposal committed this round (r12
+# VERDICT item 3; 17 of 19 fit, blind spot 2 after r14).
 _PRIORITY = (
     "scalar_functions",
     "high_value_orders",
