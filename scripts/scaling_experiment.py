@@ -207,6 +207,13 @@ CORPUS_QUERIES = (
     # the CMS sketch IS a bounded d x w aggregation -- its wall must
     # track the single token pass at any corpus size
     "countmin_heavy_hitters",
+    # r13 additions: the cluster-safe split runs the cascade core
+    # (rep-graph LSH + propagation, cost tracks DISTINCT docs) plus
+    # corpus-pass split projections; the source matrix re-groups the
+    # shared pair stream -- both must track the replication-flat
+    # cascade/pair-op family, never the raw corpus square
+    "leakage_safe_split_stats",
+    "cross_source_dup_matrix",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)
