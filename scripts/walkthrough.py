@@ -17,6 +17,7 @@ Mirrored reference steps (file:line cites per step below):
                                           bpe_learn_merges
  11. (extension) eval integrity           train_test_leakage_scan,
                                           knn_label_purity
+ 12. (extension) leakage-safe split       leakage_safe_split_stats
 
 Usage: python scripts/walkthrough.py [sf_dir]   (default sf0.001)
 Exits non-zero on any failed checkpoint.
@@ -186,6 +187,18 @@ def main() -> int:
             f"(rate {leak.leakage_rate}), "
             f"mean kNN purity: "
             f"{round(sum(r.purity for r in purity) / len(purity), 3)}"
+        )
+
+        # 12. Remediation: the cluster-keyed split that makes step 11's
+        # leakage impossible by construction (r13).
+        step(12, "leakage-safe split (cluster-keyed, straddle 0)")
+        split_rows = qs["leakage_safe_split_stats"](spark, sf_dir).collect()
+        assert split_rows
+        assert all(r.clusters_straddling == 0 for r in split_rows)
+        by_split = {r.split: r.n_docs for r in split_rows}
+        print(
+            f"   docs per split: {by_split}; cluster-keyed straddle 0, "
+            f"naive straddle {split_rows[0].naive_clusters_straddling}"
         )
 
         print("\nall walkthrough checkpoints passed")

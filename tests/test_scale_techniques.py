@@ -1,6 +1,8 @@
 """Scale-technique demonstrations the registry queries can't carry:
-bucketed co-located joins (shuffle elimination) and arbitrary stateful
-streaming via applyInPandasWithState."""
+bucketed co-located joins (shuffle elimination), dynamic partition
+pruning, runtime bloom-filter join pruning, arbitrary stateful
+streaming via applyInPandasWithState, sketch/recall floors, and the
+SemDeDup pair-work cap."""
 
 from __future__ import annotations
 
