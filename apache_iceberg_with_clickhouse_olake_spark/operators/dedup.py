@@ -2419,3 +2419,84 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph degree histogram (template/hub detection)
+# ---------------------------------------------------------------------------
+
+@query(
+    "neardup_degree_histogram",
+    oracle=f"""
+    WITH {_SIG_CTE},
+    {_BANDS_CTE},
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+    edges AS (
+      SELECT p.doc_a, p.doc_b
+      FROM pairs p
+      JOIN sh sa ON p.doc_a = sa.doc_id
+      JOIN sh sb ON p.doc_b = sb.doc_id
+      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+            >= {_JACCARD_THRESHOLD}
+    ),
+    sym AS (
+      SELECT doc_a AS doc_id FROM edges
+      UNION ALL SELECT doc_b AS doc_id FROM edges
+    ),
+    deg AS (SELECT doc_id, COUNT(*) AS degree FROM sym GROUP BY doc_id),
+    alldeg AS (
+      SELECT d.doc_id, COALESCE(g.degree, 0) AS degree
+      FROM documents d LEFT JOIN deg g USING (doc_id)
+    )
+    SELECT degree,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM alldeg
+    GROUP BY degree
+    ORDER BY degree
+    """,
+    tags=("llm-dedup",),
+)
+def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the verified near-dup graph -- the hub
+    detector: a doc near-duplicating MANY others is a template or
+    boilerplate shell (the line-level boilerplate signal, recovered at
+    doc grain), and the histogram's tail is where a curation pass looks
+    first. Degree 0 rows keep the never-matched mass visible, so the
+    histogram always sums to the corpus. Complements
+    dedup_cluster_sizes (components say HOW BIG the groups are; degree
+    says WHO is doing the duplicating -- a chain of 5 docs and a
+    5-doc star have the same component but opposite hub structure).
+
+    Shape at scale: the same exactly-once band-bucketed pair stream as
+    every LSH op, one doc-keyed count, one left join back to the corpus
+    (doc-keyed), and a histogram over at most max-degree rows."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    vp = _minhash_verified_pairs(docs, par).filter(F.col("near_dup"))
+    sym = vp.select(F.col("doc_a").alias("doc_id")).unionAll(
+        vp.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = sym.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    alldeg = (
+        docs.select("doc_id")
+        .join(deg, "doc_id", "left")
+        .select("doc_id", F.coalesce("degree", F.lit(0)).alias("degree"))
+    )
+    return (
+        alldeg.groupBy("degree")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("degree")
+    )

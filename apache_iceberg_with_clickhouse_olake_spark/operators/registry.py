@@ -69,12 +69,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # returned_items_ranking / top_supplier_revenue).
 # Accounting (post-displacement totals, per r12 ADVICE): round start
 # was 207 registered / 175 ever driver-checked (CORRECTNESS_r01..r12
-# union) / blind spot 32; the four r13-authored ops (the two below
-# plus leakage_safe_split_stats / cross_source_dup_matrix in dedup.py)
-# make it 211 registered / blind spot 36, and the window's 17
-# first-driver rows (15 proposal + 2 authored) land it at 19 when r13
-# closes; the committed rotation_r14 proposal covers 17 of those,
-# reaching blind spot 2 (the r12 VERDICT item 3 target). Every
+# union) / blind spot 32; the six r13-authored ops (the two annotated
+# below, leakage_safe_split_stats / cross_source_dup_matrix /
+# neardup_degree_histogram in dedup.py, quality_source_fair_threshold
+# in text.py) make it 213 registered / blind spot 38, and the window's
+# 19 first-driver rows (15 proposal + 4 authored via displacement)
+# land it at 19 when r13 closes; the committed rotation_r14 proposal
+# covers 17 of those, reaching blind spot 2 (the r12 VERDICT item 3
+# target). Every
 # already-checked name kept in the window is a sole carrier of some
 # op-id/family tag per the recompose script's greedy cover, except
 # annotated flex slots. r13-authored ops (the capped-SemDeDup driver
@@ -83,16 +85,24 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registers them, per the established displacement discipline;
 # displacements are annotated inline below. The remaining 19 (BPE
 # quartet, funnel/session-window pair, ~10 TPC-H-shaped relational,
-# the two r13-authored dedup ops) queue for r14 via
+# the split/matrix dedup pair) queue for r14 via
 # scripts/next_rotation.py — proposal committed this round (r12
 # VERDICT item 3; 17 of 19 fit, blind spot 2 after r14).
 _PRIORITY = (
     "scalar_functions",
     "high_value_orders",
     "medallion_readback",
-    "lonely_late_supplier",
+    # second displacement wave (the two late-r13-authored diagnostics,
+    # same-commit discipline): the near-dup degree histogram takes
+    # lonely_late_supplier's slot and the source-fair quality threshold
+    # takes corpus_build_pipeline's -- both displaced names hold green
+    # driver rows from prior rounds and every tag they carry is
+    # double-covered in this window, so the blind-spot math stays on
+    # the <=2-after-r14 track (19 never-checked at r13 close, 17 in the
+    # r14 proposal).
+    "neardup_degree_histogram",  # first driver row (r13-authored)
     "revenue_mom_growth",
-    "corpus_build_pipeline",
+    "quality_source_fair_threshold",  # first driver row (r13-authored)
     "datagen_users",
     "schema_evolution_merge",
     "table_counts",

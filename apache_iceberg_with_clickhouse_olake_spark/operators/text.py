@@ -2016,3 +2016,125 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 countmin_heavy_hitters.__doc__ = countmin_heavy_hitters.__doc__.format(
     k=_CMS_TOP, d=_CMS_D, w=_CMS_W
 )
+
+
+# ---------------------------------------------------------------------------
+# Source-fair quality threshold (per-source quantile normalization)
+# ---------------------------------------------------------------------------
+
+_FAIR_Q = 0.75  # keep the top quartile of each source
+
+
+@query(
+    "quality_source_fair_threshold",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {dround_sql(
+                 f"CAST(len(list_filter({_TOKS}, x ->"
+                 f" list_contains({_sql_array(_STOPWORDS)}, x)))"
+                 f" AS DOUBLE) / NULLIF(len({_TOKS}), 0)", 4)} AS score
+      FROM documents
+    ),
+    cuts AS (
+      SELECT source,
+             {dround_sql(f'quantile_cont(score, {_FAIR_Q})', 4)} AS src_cut
+      FROM t GROUP BY source
+    ),
+    gcut AS (
+      SELECT {dround_sql(f'quantile_cont(score, {_FAIR_Q})', 4)}
+               AS global_cut
+      FROM t
+    )
+    SELECT t.source,
+           COUNT(*) AS n_docs,
+           c.src_cut,
+           g.global_cut,
+           CAST(COUNT(CASE WHEN t.score >= c.src_cut THEN 1 END)
+                AS BIGINT) AS kept_source_fair,
+           CAST(COUNT(CASE WHEN t.score >= g.global_cut THEN 1 END)
+                AS BIGINT) AS kept_global,
+           {dround_sql(
+               "COUNT(CASE WHEN t.score >= c.src_cut THEN 1 END)"
+               " / CAST(COUNT(*) AS DOUBLE)", 4)} AS fair_keep_frac,
+           {dround_sql(
+               "COUNT(CASE WHEN t.score >= g.global_cut THEN 1 END)"
+               " / CAST(COUNT(*) AS DOUBLE)", 4)} AS global_keep_frac
+    FROM t JOIN cuts c USING (source) CROSS JOIN gcut g
+    GROUP BY t.source, c.src_cut, g.global_cut
+    ORDER BY t.source
+    """,
+    tags=("llm-text", "llm-sampling", "A10"),
+)
+def quality_source_fair_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source quantile-normalized quality cut vs one global cut --
+    the source-bias audit a mixture owner runs before thresholding: a
+    single global score cutoff silently over-prunes whole sources whose
+    score DISTRIBUTION sits lower (code or tables score fewer stopwords
+    than prose, not less quality), while the per-source p{Q} cut keeps
+    the same top fraction of every source. Each row prices the
+    difference: kept_source_fair (top quartile within the source, frac
+    pinned near 0.25 modulo ties) against kept_global (what the global
+    cut would keep -- lopsided exactly where the bias is).
+
+    Engine-exactness: the score is snapped BEFORE the percentile, both
+    engines share the a + (b - a) * g interpolation over identical
+    sorted positions (the order_value_percentiles contract), and cuts
+    are snapped again before the >= compare, so keeps are
+    tie-deterministic. Shape at scale: one corpus pass computes scores;
+    the per-source exact percentile sorts within source groups (the
+    profiling trade -- swap percentile_approx's mergeable sketch at
+    100 TB, the order_value_percentiles_approx twin discipline); cuts
+    come back as a broadcast |sources|-row join plus a 1-row global
+    cross join (scalars stay in-plan, the lazy-scalar rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    score = dround(
+        n_stop.cast("double")
+        / F.when(n_tokens == 0, F.lit(None)).otherwise(n_tokens),
+        4,
+    )
+    t = docs.select("doc_id", "source", score.alias("score"))
+    cuts = t.groupBy("source").agg(
+        dround(F.percentile(F.col("score"), F.lit(_FAIR_Q)), 4).alias(
+            "src_cut"
+        )
+    )
+    gcut = t.agg(
+        dround(F.percentile(F.col("score"), F.lit(_FAIR_Q)), 4).alias(
+            "global_cut"
+        )
+    )
+    fair_kept = F.count(F.when(F.col("score") >= F.col("src_cut"), 1))
+    global_kept = F.count(F.when(F.col("score") >= F.col("global_cut"), 1))
+    return (
+        t.join(F.broadcast(cuts), "source")
+        .crossJoin(F.broadcast(gcut))
+        .groupBy("source", "src_cut", "global_cut")
+        .agg(
+            F.count("*").alias("n_docs"),
+            fair_kept.alias("kept_source_fair"),
+            global_kept.alias("kept_global"),
+            dround(fair_kept / F.count("*").cast("double"), 4).alias(
+                "fair_keep_frac"
+            ),
+            dround(global_kept / F.count("*").cast("double"), 4).alias(
+                "global_keep_frac"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "src_cut",
+            "global_cut",
+            "kept_source_fair",
+            "kept_global",
+            "fair_keep_frac",
+            "global_keep_frac",
+        )
+        .orderBy("source")
+    )

@@ -85,3 +85,41 @@ def test_cross_source_matrix_conserves_pair_stream(spark, sf_dir):
     for r in rows:
         assert r["source_a"] <= r["source_b"]
         assert 0 <= r["near_dup_pairs"] <= r["candidate_pairs"]
+
+
+def test_degree_histogram_conserves_corpus_and_handshake(spark, sf_dir):
+    """The histogram must sum to the corpus (degree-0 rows keep the
+    never-matched mass visible) and obey the handshake lemma: the
+    degree-weighted sum equals twice the verified near-dup pair count
+    of the same stream (minhash_lsh_candidates)."""
+    from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import (
+        load_table,
+    )
+
+    rows = _Q["neardup_degree_histogram"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    n_near = _Q["minhash_lsh_candidates"](spark, sf_dir).filter(
+        "near_dup"
+    ).count()
+    assert sum(r["degree"] * r["n_docs"] for r in rows) == 2 * n_near
+    assert all(r["degree"] >= 0 for r in rows)
+
+
+def test_source_fair_threshold_keeps_top_quartile_per_source(spark, sf_dir):
+    """The per-source cut keeps AT LEAST a quarter of every source
+    (>= on the p75 cut can only add ties, never drop below the
+    quantile mass), and never more than all of it; docs conserve."""
+    from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import (
+        load_table,
+    )
+
+    rows = _Q["quality_source_fair_threshold"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert 0 < r["kept_source_fair"] <= r["n_docs"]
+        assert 0 <= r["kept_global"] <= r["n_docs"]
+        # p75 cut with >= keeps at least the top quarter (ties only add)
+        assert r["kept_source_fair"] >= r["n_docs"] // 4
+        assert r["global_cut"] == rows[0]["global_cut"]
