@@ -341,6 +341,10 @@ def main() -> None:
         # one tokenize pass) -- new name, intersection-skip on its
         # first round
         "source_unigram_kl",
+        # r13: the eval-integrity flagship (cluster-keyed leakage-safe
+        # split over the cascade core; straddle structurally 0) -- new
+        # name, intersection-skip on its first round
+        "leakage_safe_split_stats",
     )
     llm_timings: dict[str, float] = {}
     llm_iqrs: dict[str, float] = {}
