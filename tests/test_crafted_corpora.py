@@ -179,6 +179,14 @@ _DOC_QUERIES = (
     "countmin_heavy_hitters",
     "nearest_neardup_doc",
     "train_test_leakage_scan",
+    # r13: the split keys off duplicate-cluster ids (empty docs are one
+    # exact-dup cluster), the matrix/histogram re-group the same pair
+    # stream, and the source-fair cut must survive zero-token sources
+    # (NULL scores drop from both engines' percentiles identically)
+    "leakage_safe_split_stats",
+    "cross_source_dup_matrix",
+    "neardup_degree_histogram",
+    "quality_source_fair_threshold",
 )
 
 
@@ -486,3 +494,61 @@ def test_json_null_contract_counts_exactly_the_strict_integrals(
     assert sum(r["n_with_k"] for r in rows) == 5
     ks = {v for r in rows for v in (r["min_k"], r["max_k"]) if v is not None}
     assert ks <= {1, 4, 5, 7, 9}
+
+
+# ---------------------------------------------------------------------------
+# Dup-graph structure: a clique of exact replicas vs isolated docs
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def clique_docs_dir(spark, tmp_path_factory):
+    """4 byte-identical replicas (pairwise Jaccard 1 -- every banding
+    scheme finds every pair, so the structure assertions are
+    probability-free) + 3 mutually-dissimilar singletons."""
+    d = str(tmp_path_factory.mktemp("clique_docs") / "sf")
+    rep = "the quick brown fox jumps over the lazy dog " * 6
+    uniq = [
+        "alpha beta gamma delta epsilon zeta eta theta " * 6,
+        "one two three four five six seven eight nine ten " * 6,
+        "spark catalyst tungsten shuffle broadcast partition " * 6,
+    ]
+    rows = [(i, rep, "en", "web", len(rep)) for i in range(1, 5)] + [
+        (10 + j, t, "en", "books", len(t)) for j, t in enumerate(uniq)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_degree_histogram_pins_clique_structure(spark, clique_docs_dir):
+    """On the replica corpus the dup graph is one 4-clique: histogram
+    must read exactly {degree 3: 4 docs, degree 0: 3 docs} -- the
+    structural claim (component size alone cannot distinguish a star
+    from a clique; degree can) made executable without LSH-probability
+    flakiness (Jaccard-1 pairs survive any banding)."""
+    rows = {
+        r["degree"]: r["n_docs"]
+        for r in registry.REGISTRY["neardup_degree_histogram"]
+        .fn(spark, clique_docs_dir)
+        .collect()
+    }
+    assert rows == {0: 3, 3: 4}
+
+
+def test_leakage_safe_split_lands_clique_in_one_split(spark, clique_docs_dir):
+    """The 4 replicas are one duplicate cluster: exactly 4 clusters
+    total (1 clique + 3 singletons), the clique's docs land whole in
+    ONE split, and the cluster-keyed straddle is 0."""
+    rows = registry.REGISTRY["leakage_safe_split_stats"].fn(
+        spark, clique_docs_dir
+    ).collect()
+    assert sum(r["n_docs"] for r in rows) == 7
+    assert sum(r["n_clusters"] for r in rows) == 4
+    assert all(r["clusters_straddling"] == 0 for r in rows)
+    # the clique contributes 4 docs but only 1 cluster to its split
+    assert any(
+        r["n_docs"] - r["n_clusters"] == 3 for r in rows
+    ), rows
