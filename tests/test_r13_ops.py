@@ -123,3 +123,22 @@ def test_source_fair_threshold_keeps_top_quartile_per_source(spark, sf_dir):
         # p75 cut with >= keeps at least the top quarter (ties only add)
         assert r["kept_source_fair"] >= r["n_docs"] // 4
         assert r["global_cut"] == rows[0]["global_cut"]
+
+
+def test_cc_rounds_converged_on_fixture(spark, sf_dir, monkeypatch):
+    """_CC_ROUNDS=4 min-label-propagation rounds are claimed sufficient
+    for fixture near-dup graphs ('tiny diameters', dedup.py docstring)
+    -- made executable: a FIFTH round must not change a single label.
+    If the fixture ever grows a dup chain with diameter > 4, this fails
+    loudly instead of the engine and its unrolled oracle agreeing on an
+    identically-under-propagated labeling (hash-exactness would hide
+    semantic non-convergence, since both sides run the same round
+    count)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators import dedup
+
+    def labels_at(rounds: int) -> dict:
+        monkeypatch.setattr(dedup, "_CC_ROUNDS", rounds)
+        _, _, labels = dedup._cascade_rep_labels(spark, sf_dir)
+        return {r["doc_id"]: r["label"] for r in labels.collect()}
+
+    assert labels_at(4) == labels_at(5)
