@@ -1097,3 +1097,26 @@ def test_persisted_corpus_frames_run_at_full_parallelism(spark, sf_dir):
         assert assigned.rdd.getNumPartitions() >= par
     finally:
         release_caches()
+
+
+def test_no_operator_persists_a_raw_scan():
+    """Structural guard for the file-count-partitioning bug class (r12
+    k-means, r13 PI/PCA/cascade-fingerprint): persisting a frame built
+    directly on load_table() inherits however many files the fixture
+    has (1 at sf0.1 = 1 task for every no-shuffle consumer). Any new
+    persist must take its partitioning from an explicit repartition or
+    a shuffle-born frame -- the exact textual shape that caused all
+    three historical hits is banned here so it cannot quietly return."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(
+        "apache_iceberg_with_clickhouse_olake_spark/operators"
+    )
+    bad = re.compile(r"_persist\(\s*\n?\s*load_table\(")
+    hits = [
+        str(p)
+        for p in pkg.glob("*.py")
+        if bad.search(p.read_text())
+    ]
+    assert not hits, f"persist of a raw scan (file-count partitions): {hits}"
