@@ -1110,9 +1110,9 @@ def test_no_operator_persists_a_raw_scan():
     import pathlib
     import re
 
-    pkg = pathlib.Path(
-        "apache_iceberg_with_clickhouse_olake_spark/operators"
-    )
+    from apache_iceberg_with_clickhouse_olake_spark import operators
+
+    pkg = pathlib.Path(operators.__file__).parent
     bad = re.compile(r"_persist\(\s*\n?\s*load_table\(")
     hits = [
         str(p)
