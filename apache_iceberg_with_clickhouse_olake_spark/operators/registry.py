@@ -59,50 +59,36 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # first-driver rows, blind spot 55 -> 47; r12: 17 first-driver rows
 # incl. the three seeded r02-FAIL retests, blind spot 47 -> 32) lives
 # in git — see this block's history at tags r07..r12.
-# r13 rotation (r12 VERDICT item 1): adopts the committed
-# scripts/rotation_r13_proposal.txt verbatim — 15 first-driver rows
-# (the DSIR pair, the multimodal trio video_frame_sample /
-# audio_chunk_energy / image_resize_thumbnail, the PCA pair,
-# mixture_plan_apply, stratified_quota_sample, quality_length_pareto,
-# zorder_layout_roundtrip, doc_contamination_fraction, and the
-# TPC-H-shaped trio late_exists_order_priority /
-# returned_items_ranking / top_supplier_revenue).
-# Accounting (post-displacement totals, per r12 ADVICE): round start
-# was 207 registered / 175 ever driver-checked (CORRECTNESS_r01..r12
-# union) / blind spot 32; the six r13-authored ops (the two annotated
-# below, leakage_safe_split_stats / cross_source_dup_matrix /
-# neardup_degree_histogram in dedup.py, quality_source_fair_threshold
-# in text.py) make it 213 registered / blind spot 38, and the window's
-# 19 first-driver rows (15 proposal + 4 authored via displacement)
-# land it at 19 when r13 closes; the committed rotation_r14 proposal
-# covers 17 of those, reaching blind spot 2 (the r12 VERDICT item 3
-# target). Every
-# already-checked name kept in the window is a sole carrier of some
-# op-id/family tag per the recompose script's greedy cover, except
-# annotated flex slots. r13-authored ops (the capped-SemDeDup driver
-# path, the orders-generator distribution — r12 VERDICT items 5+6)
-# enter by displacing double-covered names in the same commit that
-# registers them, per the established displacement discipline;
-# displacements are annotated inline below. The remaining 19 (BPE
-# quartet, funnel/session-window pair, ~10 TPC-H-shaped relational,
-# the split/matrix dedup pair) queue for r14 via
-# scripts/next_rotation.py — proposal committed this round (r12
-# VERDICT item 3; 17 of 19 fit, blind spot 2 after r14).
+# r14 rotation (r13 VERDICT item 1): adopts the committed
+# scripts/rotation_r14_proposal.txt — 17 first-driver rows (the
+# r13-authored leakage-safe split + cross-source matrix dedup pair,
+# bpe_learn_merges + bpe_tokenize_corpus_stats swapped into the two
+# double-covered flex slots, the session-window/funnel pair, and the
+# ~10 TPC-H-shaped relational names the greedy fill selected).
+# Accounting: round start was 213 registered / 194 ever driver-checked
+# (CORRECTNESS_r01..r13 union) / blind spot 19; this window's 17
+# first-driver rows land it at 2 when r14 closes, plus the one
+# r14-authored op (embedding_kmeans_twolevel_profile, clustering.py —
+# r13 VERDICT item 4's sqrt-k refinement moved from prose to an
+# oracle-checked registration) makes the r15 queue 3:
+# bpe_pair_frequencies + bpe_heldout_compression + the two-level
+# k-means, all in the committed rotation_r15 proposal (r13 VERDICT
+# item 3; blind spot 0 after r15). The new op does NOT displace into
+# this window: the only already-checked flex candidate
+# (corpus_build_pipeline) is the window's sole `multimodal` carrier
+# now that the r13 multimodal trio rotated out, and displacing one of
+# the 17 first-driver names would trade one blind-spot name for
+# another — the proposal is adopted verbatim instead, exactly as the
+# r13 VERDICT item 1 done-criterion asks. Every already-checked name
+# kept in the window is a sole carrier of some op-id/family tag per
+# the recompose script's greedy cover.
 _PRIORITY = (
     "scalar_functions",
     "high_value_orders",
     "medallion_readback",
-    # second displacement wave (the two late-r13-authored diagnostics,
-    # same-commit discipline): the near-dup degree histogram takes
-    # lonely_late_supplier's slot and the source-fair quality threshold
-    # takes corpus_build_pipeline's -- both displaced names hold green
-    # driver rows from prior rounds and every tag they carry is
-    # double-covered in this window, so the blind-spot math stays on
-    # the <=2-after-r14 track (19 never-checked at r13 close, 17 in the
-    # r14 proposal).
-    "neardup_degree_histogram",  # first driver row (r13-authored)
+    "bpe_learn_merges",  # first driver row (displaces lonely_late_supplier, all tags double-covered)
     "revenue_mom_growth",
-    "quality_source_fair_threshold",  # first driver row (r13-authored)
+    "corpus_build_pipeline",
     "datagen_users",
     "schema_evolution_merge",
     "table_counts",
@@ -112,17 +98,9 @@ _PRIORITY = (
     "streaming_vector_assign",
     "unique_customers",
     "silver_projection",
-    # displacement (r13-authored ops, same-commit discipline): the
-    # capped-SemDeDup driver path takes order_part_lookup's slot
-    # (J3->datagen_orders_by_status, P9->bucket_index_lookup) and the
-    # orders-generator distribution takes parquet_layout_roundtrip's
-    # (D12/S6->lake_compaction_stats+zorder_layout_roundtrip); the two
-    # kept flex candidates stay deliberately -- lonely_late_supplier
-    # because its r12 two-level-aggregate rewrite has never earned a
-    # driver row, corpus_build_pipeline for integration breadth.
-    "semantic_dedup_capped_stats",  # first driver row (r13-authored)
+    "bpe_tokenize_corpus_stats",  # first driver row (displaces order_part_lookup; J3/P9 carried by datagen_orders_by_status/bucket_index_lookup)
     "current_date_sanity",
-    "order_count_distribution",  # first driver row (r13-authored)
+    "parquet_layout_roundtrip",
     "partition_pruning_roundtrip",
     "session_length_distribution",
     "order_date_range",
@@ -140,21 +118,21 @@ _PRIORITY = (
     "bucket_index_lookup",
     "session_event_bigrams",
     "streaming_restart_state",
-    "mixture_plan_apply",  # first driver row
-    "stratified_quota_sample",  # first driver row
-    "dsir_importance_weights",  # first driver row
-    "dsir_resample_counts",  # first driver row
-    "doc_contamination_fraction",  # first driver row
-    "quality_length_pareto",  # first driver row
-    "zorder_layout_roundtrip",  # first driver row
-    "embedding_power_iteration",  # first driver row
-    "embedding_pca_top2",  # first driver row
-    "video_frame_sample",  # first driver row
-    "audio_chunk_energy",  # first driver row
-    "image_resize_thumbnail",  # first driver row
-    "late_exists_order_priority",  # first driver row
-    "returned_items_ranking",  # first driver row
-    "top_supplier_revenue",  # first driver row
+    "leakage_safe_split_stats",  # first driver row
+    "cross_source_dup_matrix",  # first driver row
+    "large_quantity_orders",  # first driver row
+    "intra_region_revenue",  # first driver row
+    "nation_trade_volume",  # first driver row
+    "brand_size_supplier_counts",  # first driver row
+    "forecast_revenue_change",  # first driver row
+    "product_profit_by_nation",  # first driver row
+    "ship_lag_priority_counts",  # first driver row
+    "custdist_histogram",  # first driver row
+    "small_qty_part_revenue",  # first driver row
+    "important_part_share",  # first driver row
+    "heavy_red_part_suppliers",  # first driver row
+    "session_window_rollup",  # first driver row
+    "funnel_signup_click_purchase",  # first driver row
 )
 
 
