@@ -214,6 +214,12 @@ CORPUS_QUERIES = (
     # cascade/pair-op family, never the raw corpus square
     "leakage_safe_split_stats",
     "cross_source_dup_matrix",
+    # r14 addition: the sqrt-k two-level k-means (r13 VERDICT item 4)
+    # -- its assignment work is ~2n*sqrt(n/target)*dim vs the linear-k
+    # op's n*(n/target)*dim, so its 8x/1x wall ratio must undercut
+    # embedding_kmeans_profile's as n grows (authoring-time A/B in the
+    # static section below; recurring row here keeps the claim honest)
+    "embedding_kmeans_twolevel_profile",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)
@@ -634,7 +640,13 @@ def main() -> None:
         "| query | 1x | 2x | 4x | 8x | 8x/1x |",
         "|---|---|---|---|---|---|",
     ]
+    # A name absent from a REUSED section table (sections gate: the
+    # query joined the suite after that section's last full run) is
+    # skipped here -- its numbers live in the static authoring-time
+    # record until the next full regen picks up the recurring row.
     for name in QUERIES:
+        if name not in fact_table:
+            continue
         t = fact_table[name]
         lines.append(
             f"| {name} | {t['x1']:.2f} | {t['x2']:.2f} | {t['x4']:.2f} "
@@ -689,6 +701,8 @@ def main() -> None:
         "|---|---|---|---|---|---|",
     ]
     for name in CORPUS_QUERIES:
+        if name not in corpus_table:
+            continue
         t = corpus_table[name]
         lines.append(
             f"| {name} | {t['x1']:.2f} | {t['x2']:.2f} | {t['x4']:.2f} "

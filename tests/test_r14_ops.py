@@ -1,0 +1,65 @@
+"""Semantic invariants of the round-14 operators (value-level
+correctness is oracle-checked by the driver/driver_sim; these pin the
+algebraic properties that survive fixture regeneration)."""
+
+from __future__ import annotations
+
+from apache_iceberg_with_clickhouse_olake_spark.operators import registry
+from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+    _TARGET_CLUSTER_SIZE,
+    _k1_for,
+    _k_for,
+)
+from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import (
+    load_table,
+)
+
+registry._load_all()
+_Q = {name: spec.fn for name, spec in registry.REGISTRY.items()}
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def test_twolevel_kmeans_conserves_and_bounds_leaves(spark, sf_dir):
+    """Every vector lands in exactly one (cluster, sub) leaf; coarse
+    cluster ids stay under k1 = ceil(sqrt(ceil(n/target))); each coarse
+    cluster's sub ids stay under ceil(cluster_size/target) (sub seeds
+    are drawn per cluster, so the leaf fan-out is size-proportional,
+    never global)."""
+    rows = _Q["embedding_kmeans_twolevel_profile"](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == n
+    k1 = _k1_for(n)
+    sizes: dict[int, int] = {}
+    for r in rows:
+        assert 0 <= r["cluster"] < k1
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + r["n_vectors"]
+        assert r["n_vectors"] >= 1
+        assert r["avg_dist2"] >= 0.0
+    for r in rows:
+        # sub ids index the md5-ranked seeds of THIS cluster only
+        assert 0 <= r["sub"] < _ceil_div(
+            sizes[r["cluster"]], _TARGET_CLUSTER_SIZE
+        )
+
+
+def test_twolevel_kmeans_does_less_assignment_work(spark, sf_dir):
+    """The refinement's raison d'etre, made executable: total distance
+    folds (level-1 n*k1 + level-2 sum(cluster_size * n_subs_used))
+    must undercut the linear-k op's n*k folds. The margin grows with n
+    (sqrt vs linear in k); at fixture scale it is already strict."""
+    rows = _Q["embedding_kmeans_twolevel_profile"](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    sizes: dict[int, int] = {}
+    subs: dict[int, int] = {}
+    for r in rows:
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + r["n_vectors"]
+        subs[r["cluster"]] = max(subs.get(r["cluster"], 0), r["sub"] + 1)
+    level1 = n * _k1_for(n) * 2  # _ITERS assignment passes
+    level2 = sum(
+        sizes[c] * _ceil_div(sizes[c], _TARGET_CLUSTER_SIZE) for c in sizes
+    )
+    linear = n * _k_for(n) * 2
+    assert level1 + level2 < linear, (level1, level2, linear)
