@@ -939,7 +939,7 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cascade_rep_labels(spark: SparkSession, sf_dir: str):
+def _cascade_rep_labels(spark: SparkSession, sf_dir: str, with_prev=False):
     """Shared cascade core: exact-dedup the corpus, run minhash-verified
     near-dup banding over REPRESENTATIVES only, and label-propagate
     cluster ids. Returns (grouped, reps, labels):
@@ -951,6 +951,11 @@ def _cascade_rep_labels(spark: SparkSession, sf_dir: str):
       the fingerprint window over the full corpus),
     - labels: (doc_id, label) for every rep touching a verified
       near-dup edge; label = min doc_id reachable within _CC_ROUNDS.
+
+    ``with_prev=True`` additionally returns the labels after round
+    _CC_ROUNDS - 1, letting callers emit a convergence indicator
+    (final round changed no label <=> propagation reached its
+    fixpoint) without re-running the cascade.
 
     Consumed by dedup_cluster_sizes (cluster-size accounting) and
     dedup_removal_plan (keep/remove decisions)."""
@@ -993,7 +998,9 @@ def _cascade_rep_labels(spark: SparkSession, sf_dir: str):
         sym.select(F.col("a").alias("doc_id")).distinct()
         .withColumn("label", F.col("doc_id"))
     )
+    prev = labels
     for _ in range(_CC_ROUNDS):
+        prev = labels
         neighbor_labels = sym.join(
             labels, sym["b"] == labels["doc_id"]
         ).select(sym["a"].alias("doc_id"), "label")
@@ -1003,6 +1010,8 @@ def _cascade_rep_labels(spark: SparkSession, sf_dir: str):
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)
         )
+    if with_prev:
+        return grouped, reps, labels, prev
     return grouped, reps, labels
 
 
@@ -2247,14 +2256,22 @@ def _split_sql(expr: str) -> str:
                COUNT(DISTINCT naive_split) AS nn
         FROM tagged GROUP BY cluster_id
       )
+    ),
+    conv AS (
+      SELECT CAST(COALESCE(SUM(
+               CASE WHEN a.label <> b.label THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS propagation_label_changes
+      FROM l{_CC_ROUNDS} a JOIN l{_CC_ROUNDS - 1} b USING (doc_id)
     )
     SELECT t.split,
            COUNT(*) AS n_docs,
            COUNT(DISTINCT t.cluster_id) AS n_clusters,
            s.clusters_straddling,
-           s.naive_clusters_straddling
-    FROM tagged t, straddle s
-    GROUP BY t.split, s.clusters_straddling, s.naive_clusters_straddling
+           s.naive_clusters_straddling,
+           c.propagation_label_changes
+    FROM tagged t, straddle s, conv c
+    GROUP BY t.split, s.clusters_straddling, s.naive_clusters_straddling,
+             c.propagation_label_changes
     ORDER BY t.split
     """,
     tags=("llm-dedup", "llm-sampling"),
@@ -2262,17 +2279,26 @@ def _split_sql(expr: str) -> str:
 def leakage_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-safe train/val/test assignment -- the CONSTRUCTIVE twin of
     train_test_leakage_scan (that op measures leakage after the fact;
-    this one makes it impossible by construction): the 80/10/10 split
-    hash is drawn from the doc's DUPLICATE-CLUSTER id (connected
-    component over the verified near-dup graph, exact-dup groups
-    collapsed first -- the same cascade core as dedup_cluster_sizes),
-    never from the doc id, so a near-dup clique lands whole in exactly
-    one split. Emits the per-split accounting plus the two global
-    integrity columns a pipeline alerts on: clusters_straddling under
-    the cluster-keyed split (structurally 0 -- the invariant the op
-    exists to provide) and naive_clusters_straddling under a doc-keyed
-    split of the same corpus (>0 whenever multi-doc clusters exist --
-    the leakage a naive split would have shipped).
+    this one prevents it structurally): the 80/10/10 split hash is
+    drawn from the doc's DUPLICATE-CLUSTER id (connected component
+    over the verified near-dup graph, exact-dup groups collapsed
+    first -- the same cascade core as dedup_cluster_sizes), never from
+    the doc id, so a near-dup clique lands whole in exactly one split
+    PROVIDED label propagation converged -- i.e. _CC_ROUNDS covers the
+    dup-graph diameter (r13 ADVICE: an under-converged component
+    splits into multiple labels, and near-dup docs can then land in
+    different splits while clusters_straddling still reads 0, because
+    the straddle audit is keyed on the very labels that
+    under-propagated). That is why the op emits its own in-band
+    convergence indicator: propagation_label_changes counts reps whose
+    label still changed in the FINAL propagation round (0 = fixpoint
+    reached, the straddle-0 invariant holds unconditionally; >0 =
+    under-propagation, re-run with more rounds before trusting the
+    split). Alongside it, the two audit columns a pipeline alerts on:
+    clusters_straddling under the cluster-keyed split (structurally 0
+    whenever the indicator reads 0) and naive_clusters_straddling
+    under a doc-keyed split of the same corpus (>0 whenever multi-doc
+    clusters exist -- the leakage a naive split would have shipped).
 
     Shape at scale: one fp-keyed window pass over the corpus, the
     bounded rep-graph LSH + propagation (cost tracks DISTINCT docs, the
@@ -2281,8 +2307,13 @@ def leakage_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and is reproducible across reruns and cluster sizes. The straddle
     audit uses two-level distinct pairs (distinct (cluster, split)
     first), never a multi-distinct Expand over the corpus (the Q21
-    lesson, relational.py)."""
-    grouped, reps, labels = _cascade_rep_labels(spark, sf_dir)
+    lesson, relational.py); the convergence indicator is a keyed join
+    of the last two (doc_id, label) frames -- both already
+    materialized by the propagation superstep, so it costs one
+    rep-sized join, never a corpus pass."""
+    grouped, reps, labels, prev = _cascade_rep_labels(
+        spark, sf_dir, with_prev=True
+    )
     from pyspark.sql import Window
 
     rep_id = F.min("doc_id").over(Window.partitionBy("fp"))
@@ -2318,6 +2349,22 @@ def leakage_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "naive_clusters_straddling"
         ),
     )
+    conv = (
+        labels.join(
+            prev.select(
+                "doc_id", F.col("label").alias("prev_label")
+            ),
+            "doc_id",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("label") != F.col("prev_label")).cast("long")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("propagation_label_changes")
+        )
+    )
     return (
         tagged.groupBy("split")
         .agg(
@@ -2325,12 +2372,14 @@ def leakage_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("cluster_id").alias("n_clusters"),
         )
         .crossJoin(F.broadcast(straddle))
+        .crossJoin(F.broadcast(conv))
         .select(
             "split",
             "n_docs",
             "n_clusters",
             "clusters_straddling",
             "naive_clusters_straddling",
+            "propagation_label_changes",
         )
         .orderBy("split")
     )

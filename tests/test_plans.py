@@ -1105,18 +1105,86 @@ def test_no_operator_persists_a_raw_scan():
     directly on load_table() inherits however many files the fixture
     has (1 at sf0.1 = 1 task for every no-shuffle consumer). Any new
     persist must take its partitioning from an explicit repartition or
-    a shuffle-born frame -- the exact textual shape that caused all
-    three historical hits is banned here so it cannot quietly return."""
+    a shuffle-born frame.
+
+    AST-based (r13 ADVICE: the earlier regex matched only
+    ``_persist(load_table(...))`` and would have missed the historical
+    cascade-fingerprint shape ``g = emb.select(...); _persist(g)``):
+    within each function, a local name is TAINTED when its assignment
+    is a METHOD CHAIN rooted at load_table() or at an already-tainted
+    name, without a .repartition/.repartitionByRange anywhere in the
+    chain; `_persist(arg)` is flagged when the arg is tainted by the
+    same rule. This covers all three historical shapes. Taint stops at
+    free-function boundaries on purpose (``_persist(helper(docs))`` is
+    clean even when docs is a raw scan: helpers like
+    _word_symbols_from or _kmeans_assign_frames reshuffle internally,
+    and flagging them would indict every audited-OK site in the r13
+    sweep) -- the plan-level
+    test_persisted_corpus_frames_run_at_full_parallelism is the
+    backstop that checks the REAL builders' partition counts."""
+    import ast
     import pathlib
-    import re
 
     from apache_iceberg_with_clickhouse_olake_spark import operators
 
+    _REPART = {"repartition", "repartitionByRange"}
+
+    def _root(node: ast.AST) -> ast.AST:
+        """Base of a method/attribute chain: ``a.b(x).c(y)`` -> ``a``;
+        a free-function call is its own root (boundary)."""
+        while True:
+            if isinstance(node, ast.Call):
+                if isinstance(node.func, ast.Attribute):
+                    node = node.func.value
+                else:
+                    return node
+            elif isinstance(node, (ast.Attribute, ast.Subscript)):
+                node = node.value
+            else:
+                return node
+
+    def _has_repartition(node: ast.AST) -> bool:
+        return any(
+            isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Attribute)
+            and n.func.attr in _REPART
+            for n in ast.walk(node)
+        )
+
+    def _tainted(expr: ast.AST, taint: set[str]) -> bool:
+        if _has_repartition(expr):
+            return False
+        root = _root(expr)
+        if isinstance(root, ast.Name):
+            return root.id in taint
+        if isinstance(root, ast.Call) and isinstance(root.func, ast.Name):
+            return root.func.id == "load_table"
+        return False
+
+    hits: list[str] = []
     pkg = pathlib.Path(operators.__file__).parent
-    bad = re.compile(r"_persist\(\s*\n?\s*load_table\(")
-    hits = [
-        str(p)
-        for p in pkg.glob("*.py")
-        if bad.search(p.read_text())
-    ]
+    for path in sorted(pkg.glob("*.py")):
+        tree = ast.parse(path.read_text())
+        for fn in ast.walk(tree):
+            if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            taint: set[str] = set()
+            for stmt in ast.walk(fn):
+                if isinstance(stmt, ast.Assign):
+                    if _tainted(stmt.value, taint):
+                        taint.update(
+                            t.id
+                            for t in stmt.targets
+                            if isinstance(t, ast.Name)
+                        )
+                elif (
+                    isinstance(stmt, ast.Call)
+                    and isinstance(stmt.func, ast.Name)
+                    and stmt.func.id == "_persist"
+                    and stmt.args
+                    and _tainted(stmt.args[0], taint)
+                ):
+                    hits.append(
+                        f"{path.name}:{stmt.lineno} in {fn.name}"
+                    )
     assert not hits, f"persist of a raw scan (file-count partitions): {hits}"

@@ -44,10 +44,15 @@ def test_capped_semdedup_never_drops_more_than_uncapped(spark, sf_dir):
         for r in _Q["semantic_dedup_stats"](spark, sf_dir).collect()
     }
     assert set(capped) == set(uncapped)
+    # the cap must genuinely engage on this fixture (pigeonhole: mean
+    # cluster size > _SEMDEDUP_CAP at every SF -- clustering.py): at
+    # least one cluster contributes fewer pair members than it has,
+    # so the per-cluster <= bound below exercises the capped branch,
+    # never the cap-is-a-no-op degenerate. (r13 ADVICE: the previous
+    # any(<)-or-all(==) assertion here was a tautology of the loop.)
     assert any(
-        capped[c]["n_dropped"] < uncapped[c]["n_dropped"] for c in capped
-    ) or all(
-        capped[c]["n_dropped"] == uncapped[c]["n_dropped"] for c in capped
+        capped[c]["n_pair_members"] < capped[c]["n_members"]
+        for c in capped
     )
     for c in capped:
         assert capped[c]["n_members"] == uncapped[c]["n_members"]
@@ -56,8 +61,11 @@ def test_capped_semdedup_never_drops_more_than_uncapped(spark, sf_dir):
 
 def test_leakage_safe_split_never_straddles(spark, sf_dir):
     """The cluster-keyed split's straddle count is structurally zero
-    (split is a function of cluster id); docs conserve; every split
-    label is one of the three."""
+    (split is a function of cluster id) WHEN propagation converged --
+    and the op's own convergence indicator must read 0 on the fixture
+    (test_cc_rounds_converged_on_fixture pins the same fact via a
+    fifth round; this pins that the in-band column agrees). Docs
+    conserve; every split label is one of the three."""
     rows = _Q["leakage_safe_split_stats"](spark, sf_dir).collect()
     from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import (
         load_table,
@@ -67,6 +75,7 @@ def test_leakage_safe_split_never_straddles(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows) == total
     assert {r["split"] for r in rows} <= {"train", "val", "test"}
     for r in rows:
+        assert r["propagation_label_changes"] == 0
         assert r["clusters_straddling"] == 0
         assert r["naive_clusters_straddling"] >= 0
         assert r["n_clusters"] <= r["n_docs"]
@@ -107,21 +116,50 @@ def test_degree_histogram_conserves_corpus_and_handshake(spark, sf_dir):
 
 
 def test_source_fair_threshold_keeps_top_quartile_per_source(spark, sf_dir):
-    """The per-source cut keeps AT LEAST a quarter of every source
-    (>= on the p75 cut can only add ties, never drop below the
-    quantile mass), and never more than all of it; docs conserve."""
+    """The per-source cut keeps AT LEAST a quarter of every source's
+    SCOREABLE docs (>= on the p75 cut can only add ties, never drop
+    below the quantile mass), and never more than all of it; docs
+    conserve. Zero-token docs carry a NULL score -- they count in
+    n_docs but can never be kept, so the floor is based on the
+    non-NULL-score population, and an all-NULL source (NULL src_cut)
+    legitimately keeps 0 (r13 ADVICE: the old n_docs // 4 floor would
+    break if the fixture gained many empty docs)."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators.text import (
+        tokens,
+    )
     from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import (
         load_table,
     )
 
     rows = _Q["quality_source_fair_threshold"](spark, sf_dir).collect()
-    total = load_table(spark, sf_dir, "documents").count()
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    scoreable = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(
+            F.count(
+                F.when(F.size(tokens(F.col("text"))) > 0, 1)
+            ).alias("n")
+        )
+        .collect()
+    }
     assert sum(r["n_docs"] for r in rows) == total
     for r in rows:
-        assert 0 < r["kept_source_fair"] <= r["n_docs"]
+        n_scoreable = scoreable[r["source"]]
+        assert 0 <= r["kept_source_fair"] <= r["n_docs"]
         assert 0 <= r["kept_global"] <= r["n_docs"]
-        # p75 cut with >= keeps at least the top quarter (ties only add)
-        assert r["kept_source_fair"] >= r["n_docs"] // 4
+        if r["src_cut"] is None:
+            assert n_scoreable == 0
+            assert r["kept_source_fair"] == 0
+        else:
+            # p75 cut with >= keeps at least the top quarter of the
+            # scoreable docs (ties only add)
+            assert r["kept_source_fair"] >= n_scoreable // 4
+            if n_scoreable > 0:
+                assert r["kept_source_fair"] > 0
         assert r["global_cut"] == rows[0]["global_cut"]
 
 
