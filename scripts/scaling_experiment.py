@@ -857,6 +857,44 @@ def main() -> None:
         "sublinear-in-true-work behavior as train_test_leakage_scan's",
         "1.5x against 557x candidates). Recurring rows above.",
         "",
+        "## r14: two-level sqrt-k k-means — crossover measured, not",
+        "asserted",
+        "",
+        "embedding_kmeans_twolevel_profile (the extreme-n refinement of",
+        "the linear-k rule; r13 VERDICT item 4) joined CORPUS_QUERIES",
+        "this round. Its authoring-time A/B vs embedding_kmeans_profile",
+        "(same protocol: warm + median-of-3 into the noop sink, idle",
+        "machine, calib 135 ms epoch) measured the crossover the flop",
+        "arithmetic predicts (linear-k assignment is n*(n/target)*dim",
+        "folds -- wall grows ~n^2 once k leaves the k=8 floor; the",
+        "two-level scheme is ~2n*sqrt(n/target)*dim -- wall ~n^1.5):",
+        "",
+        "| corpus | n | linear-k (k) | two-level (k1) | two-level vs linear |",
+        "|---|---|---|---|---|",
+        "| x1 | 2,000 | 2.73 s (8) | 3.50 s (3) | 0.8x (slower) |",
+        "| x8 | 16,000 | 3.10 s (64) | 5.19 s (8) | 0.6x (slower) |",
+        "| x32 | 64,000 | 16.12 s (256) | 6.72 s (16) | **2.4x faster** |",
+        "| x64 | 128,000 | 59.80 s (512) | 13.09 s (23) | **4.6x faster** |",
+        "",
+        "Honest read, both directions: BELOW the crossover (fixture-",
+        "scale n, where k sits at/near its floor and assignment flops",
+        "are cheap) the two-level variant LOSES -- its extra Lloyd",
+        "level costs ~6 more stages (cluster-keyed window + seed-array",
+        "join) that dominate sub-second assignment work; that is why",
+        "the linear-k rule remains the registered default and the",
+        "recurring-suite ratio for the two-level op reads worse at",
+        "x8 (1.48 vs 1.13 in the same-session x1/x8 A/B). ABOVE it,",
+        "the linear-k wall bends quadratic exactly as predicted",
+        "(x32 -> x64 doubles n and the wall grows 3.7x) while the",
+        "two-level wall grows 1.95x on the same doubling -- at n = 1e9",
+        "(100 TB embeddings) linear-k means 4M broadcast centroids and",
+        "is simply infeasible, two-level means k1 ~ 2000 coarse + per-",
+        "cluster sub-seeding and stays the shape of the registered op.",
+        "The flop-count claim is pinned executable by",
+        "tests/test_r14_ops.py::test_twolevel_kmeans_does_less_",
+        "assignment_work; both ops are hash-exact against unrolled",
+        "DuckDB oracles, so the A/B compares identical semantics.",
+        "",
         "## Skew suite — zipf-hot key, per-task straggler ratio",
         "",
         f"One hot key replicated {SKEW_K}x while the rest stays 1x",
