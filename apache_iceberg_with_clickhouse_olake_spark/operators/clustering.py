@@ -385,10 +385,11 @@ def _kmeans_profile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_kmeans_twolevel_profile",
-    oracle=f"""
-    {_kmeans_sql_prefix(k_sql=_K1_SQL)},
+# Level-2 CTE block shared by the two-level profile and the two-level
+# ANN probe: sub-seed selection, snapped-distance sub-assignment, and
+# the final fine assignment ``f`` (dv kept for the ANN's exact
+# scoring; the profile's rollup simply ignores it).
+_TWOLEVEL_CTES = f"""
     sz AS (SELECT cluster, COUNT(*) AS csz FROM {_FINAL} GROUP BY cluster),
     seeds2 AS (
       SELECT m.cluster,
@@ -402,14 +403,22 @@ def _kmeans_profile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                       // {_TARGET_CLUSTER_SIZE}
     ),
     a AS (
-      SELECT m.vec_id, m.cluster, s.sub, {_d2_sql('m.dv', 's.sv')} AS d2
+      SELECT m.vec_id, m.dv, m.cluster, s.sub,
+             {_d2_sql('m.dv', 's.sv')} AS d2
       FROM {_FINAL} m JOIN seeds2 s USING (cluster)
     ),
     f AS (
-      SELECT vec_id, cluster, sub, d2 FROM a
+      SELECT vec_id, dv, cluster, sub, d2 FROM a
       QUALIFY row_number() OVER (
         PARTITION BY vec_id ORDER BY d2, sub) = 1
-    )
+    )"""
+
+
+@query(
+    "embedding_kmeans_twolevel_profile",
+    oracle=f"""
+    {_kmeans_sql_prefix(k_sql=_K1_SQL)},
+    {_TWOLEVEL_CTES}
     SELECT cluster, sub,
            COUNT(*) AS n_vectors,
            {davg_sql('d2')} AS avg_dist2,
@@ -452,16 +461,17 @@ def embedding_kmeans_twolevel_profile(
     return _finalize(spark, _kmeans_twolevel_frame(spark, sf_dir))
 
 
-def _kmeans_twolevel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lazy two-level profile frame (plan tests pin its physical shape
-    BEFORE the materialization idiom collapses it to local rows)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec(F.col("embedding")).alias("dv")
-    )
-    # persisted: the coarse assignment feeds the seed window AND the
-    # refinement join -- without the cache the whole coarse Lloyd chain
-    # re-executes per consumer (the semantic_dedup_stats lesson).
-    assigned = _persist(_kmeans_assign_frames(emb, k_of=_k1_for))
+def _twolevel_state_frames(emb: DataFrame):
+    """(assigned, cent, seeds2, fine): the coarse Lloyd assignment and
+    its centroids, the per-cluster sub-seeds (cluster, sub, sv), and
+    the fine assignment (vec_id, dv, cluster, sub, d2). Shared by the
+    profile op and the two-level ANN probe.
+
+    The coarse assignment is persisted: it feeds the seed window AND
+    the refinement join -- without the cache the whole coarse Lloyd
+    chain re-executes per consumer (the semantic_dedup_stats lesson)."""
+    assigned, cent = _kmeans_state_frames(emb, k_of=_k1_for)
+    assigned = _persist(assigned)
     w_sz = Window.partitionBy("cluster")
     w_rk = Window.partitionBy("cluster").orderBy(
         F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
@@ -502,11 +512,22 @@ def _kmeans_twolevel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("b", best)
         .select(
             "vec_id",
+            "dv",
             "cluster",
             F.col("b.sub").alias("sub"),
             F.col("b.d2").alias("d2"),
         )
     )
+    return assigned, cent, seeds2, fine
+
+
+def _kmeans_twolevel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy two-level profile frame (plan tests pin its physical shape
+    BEFORE the materialization idiom collapses it to local rows)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("dv")
+    )
+    _, _, _, fine = _twolevel_state_frames(emb)
     return (
         fine.groupBy("cluster", "sub")
         .agg(
@@ -1019,6 +1040,115 @@ def _ann_ivf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "cluster",
+            dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-level IVF probe: the extreme-n ANN shape over the sqrt-k index
+# ---------------------------------------------------------------------------
+
+_N_SUB_PROBES = 2
+
+
+@query(
+    "ann_twolevel_ivf_topk",
+    oracle=f"""
+    {_kmeans_sql_prefix(k_sql=_K1_SQL)},
+    {_TWOLEVEL_CTES},
+    q AS (SELECT vec_id AS qid, dv AS qv FROM v ORDER BY vec_id LIMIT 1),
+    p1 AS (
+      SELECT c.cluster
+      FROM c{_ITERS - 1} c CROSS JOIN q
+      ORDER BY {dround_sql(_COS_SQL.format(a='c.cv', b='q.qv'), 6)}
+               DESC NULLS LAST, c.cluster
+      LIMIT {_N_PROBES}
+    ),
+    p2 AS (
+      SELECT s.cluster, s.sub
+      FROM seeds2 s JOIN p1 USING (cluster) CROSS JOIN q
+      QUALIFY row_number() OVER (
+        PARTITION BY s.cluster
+        ORDER BY {dround_sql(_COS_SQL.format(a='s.sv', b='q.qv'), 6)}
+                 DESC NULLS LAST, s.sub) <= {_N_SUB_PROBES}
+    )
+    SELECT f.vec_id, f.cluster, f.sub,
+           {dround_sql(_COS_SQL.format(a='f.dv', b='q.qv'), 6)} AS cos_sim
+    FROM f JOIN p2 USING (cluster, sub) CROSS JOIN q
+    WHERE f.vec_id <> q.qid
+    ORDER BY cos_sim DESC NULLS LAST, f.vec_id
+    LIMIT {_TOP_K}
+    """,
+    tags=("llm-similarity", "llm-clustering"),
+)
+@_scoped
+def ann_twolevel_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TWO-LEVEL probe the sqrt-k index exists for (completing the
+    ann_kmeans_ivf_topk discipline at extreme n): probe the _N_PROBES
+    nearest COARSE centroids, then within each probed coarse cluster
+    the _N_SUB_PROBES nearest sub-seeds, and exact-score only the
+    members of those (cluster, sub) leaf lists. Per query that is
+    k1 + probes*k2 centroid scores plus ~probes*sub_probes*target
+    exact scores -- at n = 1e9 the single-level probe must either
+    scan 4M centroids per query (k ~ n/target) or probe lists of
+    ~sqrt(n*target) vectors (k ~ sqrt); the two-level index needs only
+    ~2*sqrt(n/target) centroid scores for the same leaf granularity.
+    Engine-exact end-to-end like its single-level twin: unrolled
+    coarse Lloyd + sub-seeding oracle, snapped probe cosines at both
+    levels, fully tie-broken top-k.
+
+    Shape at scale: coarse centroids and the probed sub-seed rows ride
+    broadcasts (k1 and probes*k2 rows); the leaf-list fetch is a
+    keyed join on (cluster, sub); the top-k is TakeOrderedAndProject,
+    never a global sort."""
+    return _finalize(spark, _ann_twolevel_frame(spark, sf_dir))
+
+
+def _ann_twolevel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy two-level probe frame (plan tests pin the leaf-local scan
+    shape BEFORE the materialization idiom collapses it)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("dv")
+    )
+    _, cent, seeds2, fine = _twolevel_state_frames(emb)
+    q = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("qid"), F.col("dv").alias("qv"))
+    )
+    p1 = (
+        cent.join(F.broadcast(q))
+        .select(
+            "cluster",
+            dround(_cos(F.col("cv"), F.col("qv")), 6).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), "cluster")
+        .limit(_N_PROBES)
+        .select("cluster")
+    )
+    w_p = Window.partitionBy("cluster").orderBy(
+        F.col("scos").desc_nulls_last(), F.col("sub")
+    )
+    p2 = (
+        seeds2.join(F.broadcast(p1), "cluster")
+        .join(F.broadcast(q))
+        .withColumn(
+            "scos", dround(_cos(F.col("sv"), F.col("qv")), 6)
+        )
+        .withColumn("rk", F.row_number().over(w_p))
+        .filter(F.col("rk") <= _N_SUB_PROBES)
+        .select("cluster", "sub", "qid", "qv")
+    )
+    return (
+        fine.join(F.broadcast(p2), ["cluster", "sub"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "vec_id",
+            "cluster",
+            "sub",
             dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")

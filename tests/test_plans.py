@@ -768,6 +768,38 @@ def test_ann_ivf_probe_is_bucket_local_and_topk_take_ordered(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower(), plan
 
 
+def test_twolevel_kmeans_and_probe_plans_stay_keyed(spark, sf_dir):
+    """r14: the two-level family's physical contract. The profile's
+    level-2 work is ONE cluster-keyed shuffle shared by the seed
+    window, the seed-array attach is a keyed join (broadcast at
+    fixture scale -- at extreme n it degrades to a keyed hash join,
+    never a global broadcast of all n/target leaf centroids), and
+    nothing plans a CartesianProduct or a corpus-wide sort-merge. The
+    probe additionally ends in TakeOrderedAndProject with no
+    rangepartitioning (no global sort of scored candidates) -- same
+    contract as its single-level twin."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators._cache import (
+        release_caches,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _ann_twolevel_frame,
+        _kmeans_twolevel_frame,
+    )
+
+    try:
+        plan = physical_plan(_kmeans_twolevel_frame(spark, sf_dir))
+        assert "CartesianProduct" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "Exchange hashpartitioning(cluster" in plan, plan
+        probe_plan = physical_plan(_ann_twolevel_frame(spark, sf_dir))
+        assert "CartesianProduct" not in probe_plan, probe_plan
+        assert "SortMergeJoin" not in probe_plan, probe_plan
+        assert "TakeOrderedAndProject" in probe_plan, probe_plan
+        assert "rangepartitioning" not in probe_plan.lower(), probe_plan
+    finally:
+        release_caches()
+
+
 def test_bpe_iteration_frames_are_vocabulary_sized(spark, sf_dir):
     """r9 VERDICT item 7 (BPE half): every merge iteration operates on
     the word-TYPE table, never re-reading the corpus -- the documents
