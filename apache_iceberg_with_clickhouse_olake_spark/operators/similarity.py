@@ -413,6 +413,178 @@ def _embed_candidate_pairs(e: DataFrame, n_bands: int = _ND_BANDS) -> DataFrame:
     )
 
 
+# Deterministic embedding-probe split for the semantic decontamination
+# scan: every 16th vec_id serves as the held-out "eval" probe set (the
+# sandbox stand-in for an external eval-embedding table; production
+# swaps in a real probe table, same plan shape).
+_EPROBE_MOD = 16
+
+
+@query(
+    "embedding_decontamination_scan",
+    oracle=f"""
+    WITH {_embed_band_ctes('embeddings')},
+    candp AS (
+      SELECT DISTINCT x.vec_id AS cvec, y.vec_id AS pvec, x.label,
+             x.embedding AS ea, y.embedding AS eb
+      FROM bands x JOIN bands y
+        ON x.label = y.label AND x.band_id = y.band_id
+       AND x.band_val = y.band_val
+       AND x.vec_id % {_EPROBE_MOD} <> 0
+       AND y.vec_id % {_EPROBE_MOD} = 0
+    ),
+    ver AS (
+      SELECT DISTINCT cvec, label FROM candp
+      WHERE {_COS_SQL.format(a='ea', b='eb')} >= {_NEAR_DUP_COS}
+    ),
+    base AS (
+      SELECT label,
+             COUNT(CASE WHEN vec_id % {_EPROBE_MOD} <> 0 THEN 1 END)
+               AS n_corpus,
+             COUNT(CASE WHEN vec_id % {_EPROBE_MOD} = 0 THEN 1 END)
+               AS n_probes
+      FROM embeddings GROUP BY label
+    ),
+    cc AS (
+      SELECT label, COUNT(*) AS candidate_pairs FROM candp GROUP BY label
+    ),
+    ct AS (
+      SELECT label, COUNT(*) AS contaminated FROM ver GROUP BY label
+    )
+    SELECT b.label,
+           CAST(b.n_corpus AS BIGINT) AS n_corpus,
+           CAST(b.n_probes AS BIGINT) AS n_probes,
+           CAST(COALESCE(cc.candidate_pairs, 0) AS BIGINT)
+             AS candidate_pairs,
+           CAST(COALESCE(ct.contaminated, 0) AS BIGINT) AS contaminated,
+           {dround_sql(
+               'COALESCE(ct.contaminated, 0)'
+               ' / CAST(NULLIF(b.n_corpus, 0) AS DOUBLE)', 4
+           )} AS contamination_rate
+    FROM base b
+    LEFT JOIN cc USING (label)
+    LEFT JOIN ct USING (label)
+    ORDER BY b.label
+    """,
+    tags=("llm-similarity", "llm-dedup"),
+)
+def embedding_decontamination_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC decontamination -- the embedding-space twin of the
+    shingle-based decontamination_scan (curation.py): flag every
+    training vector whose cosine to ANY eval-probe vector clears the
+    near-dup threshold, so paraphrased or re-embedded eval content
+    that shares no n-gram still gets caught. Probes are the
+    deterministic 1/{mod} vec_id split (an external eval-embedding
+    table is a one-line swap -- the plan shape is identical). Emits
+    the per-label audit a pipeline alerts on: corpus/probe sizes, LSH
+    candidate pairs, contaminated-vector count (distinct corpus
+    vectors with >= 1 verified probe hit), contamination rate.
+
+    Shape at scale: rides the SAME multi-band hyperplane-LSH blocking
+    as embedding_near_dup_pairs, made asymmetric (corpus side x probe
+    side) -- never corpus x probes brute force. Band rows carry only
+    ids + band keys (vectors join back per surviving pair); the
+    probe side is 1/{mod} of the corpus and shrinks further to its
+    band rows; exactly-once per pair via the first-matching-band
+    filter (map-side, no distinct shuffle); the contaminated count is
+    a distinct over the bounded verified-pair stream. The oracle
+    re-derives the identical banding relationally, so the asymmetric
+    LSH path is value-checked end-to-end."""
+    from ._embed_lsh_udf import make_embed_bands_udf
+
+    bands_udf = make_embed_bands_udf()
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_probe = (F.col("vec_id") % _EPROBE_MOD) == 0
+    e = emb.select(
+        "vec_id",
+        "label",
+        _dvec(F.col("embedding")).alias("v"),
+        bands_udf(F.col("embedding")).alias("bands"),
+        is_probe.alias("is_probe"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    band_rows = e.select(
+        "vec_id",
+        "label",
+        "bands",
+        "is_probe",
+        F.posexplode("bands").alias("band_id", "band_val"),
+    ).repartition(par, "label", "band_id", "band_val")
+    x = band_rows.filter(~F.col("is_probe")).alias("x")
+    y = band_rows.filter(F.col("is_probe")).alias("y")
+    joined = x.join(
+        y,
+        (F.col("x.label") == F.col("y.label"))
+        & (F.col("x.band_id") == F.col("y.band_id"))
+        & (F.col("x.band_val") == F.col("y.band_val")),
+    )
+    earlier_match = F.lit(False)
+    for b in range(_ND_BANDS - 1):
+        earlier_match = earlier_match | (
+            (F.col("x.band_id") > b)
+            & (F.col("x.bands").getItem(b) == F.col("y.bands").getItem(b))
+        )
+    pairs = joined.filter(~earlier_match).select(
+        F.col("x.vec_id").alias("cvec"),
+        F.col("y.vec_id").alias("pvec"),
+        F.col("x.label").alias("label"),
+    )
+    vecs = e.select("vec_id", F.col("v").alias("vv"))
+    va, vb = vecs.alias("va"), vecs.alias("vb")
+    scored = (
+        pairs.join(va, pairs.cvec == F.col("va.vec_id"))
+        .join(vb, pairs.pvec == F.col("vb.vec_id"))
+        .select(
+            "cvec",
+            "label",
+            _cos(F.col("va.vv"), F.col("vb.vv")).alias("cos_raw"),
+        )
+    )
+    cc = pairs.groupBy("label").agg(F.count("*").alias("candidate_pairs"))
+    ct = (
+        scored.filter(F.col("cos_raw") >= _NEAR_DUP_COS)
+        .select("label", "cvec")
+        .distinct()
+        .groupBy("label")
+        .agg(F.count("*").alias("contaminated"))
+    )
+    base = e.groupBy("label").agg(
+        F.count(F.when(~F.col("is_probe"), 1)).alias("n_corpus"),
+        F.count(F.when(F.col("is_probe"), 1)).alias("n_probes"),
+    )
+    denom = (
+        F.when(F.col("n_corpus") == 0, F.lit(None))
+        .otherwise(F.col("n_corpus"))
+        .cast("double")
+    )
+    return (
+        base.join(cc, "label", "left")
+        .join(ct, "label", "left")
+        .select(
+            "label",
+            "n_corpus",
+            "n_probes",
+            F.coalesce("candidate_pairs", F.lit(0))
+            .cast("long")
+            .alias("candidate_pairs"),
+            F.coalesce("contaminated", F.lit(0))
+            .cast("long")
+            .alias("contaminated"),
+            dround(
+                F.coalesce("contaminated", F.lit(0)) / denom, 4
+            ).alias("contamination_rate"),
+        )
+        .orderBy("label")
+    )
+
+
+embedding_decontamination_scan.__doc__ = (
+    embedding_decontamination_scan.__doc__.replace("{mod}", str(_EPROBE_MOD))
+)
+
+
 def _vec_fp() -> Column:
     """Duplicate fingerprint for vectors: md5 of the comma-joined
     quantized components (same floor(x*2^20+0.5) quantization as the LSH

@@ -45,6 +45,36 @@ def test_twolevel_kmeans_conserves_and_bounds_leaves(spark, sf_dir):
         )
 
 
+def test_embedding_decontamination_agrees_with_pair_stream(spark, sf_dir):
+    """The semantic decontamination scan is the asymmetric re-grouping
+    of the SAME banded-LSH near-dup stream: per label, its contaminated
+    count must equal the number of distinct NON-probe endpoints among
+    embedding_near_dup_pairs rows with exactly one probe endpoint
+    (probe = vec_id % _EPROBE_MOD == 0). Corpus/probe sizes conserve;
+    contaminated is bounded by both its candidates and its corpus."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.similarity import (
+        _EPROBE_MOD,
+    )
+
+    rows = _Q["embedding_decontamination_scan"](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_corpus"] + r["n_probes"] for r in rows) == n
+    expected: dict[int, set[int]] = {}
+    for p in _Q["embedding_near_dup_pairs"](spark, sf_dir).collect():
+        pa = p["vec_a"] % _EPROBE_MOD == 0
+        pb = p["vec_b"] % _EPROBE_MOD == 0
+        if pa != pb:
+            corpus_end = p["vec_b"] if pa else p["vec_a"]
+            expected.setdefault(p["label"], set()).add(corpus_end)
+    for r in rows:
+        assert r["contaminated"] == len(expected.get(r["label"], set()))
+        assert 0 <= r["contaminated"] <= min(
+            r["n_corpus"], max(r["candidate_pairs"], 0)
+        ) or (r["contaminated"] == 0)
+        if r["n_corpus"] == 0:
+            assert r["contamination_rate"] is None
+
+
 def test_twolevel_kmeans_does_less_assignment_work(spark, sf_dir):
     """The refinement's raison d'etre, made executable: total distance
     folds (level-1 n*k1 + level-2 sum(cluster_size * n_subs_used))
