@@ -220,6 +220,14 @@ CORPUS_QUERIES = (
     # embedding_kmeans_profile's as n grows (authoring-time A/B in the
     # static section below; recurring row here keeps the claim honest)
     "embedding_kmeans_twolevel_profile",
+    # r14 addition: the semantic decontamination scan rides the
+    # asymmetric banded-LSH pair stream (corpus x probes); the
+    # fully-replicated corpus multiplies its band collisions like
+    # every pair op -- quadratic-INTERMEDIATE, bounded output
+    # (distinct contaminated ids). Authoring-time focused measurement:
+    # 1.99 -> 2.32 s, ratio 1.17 against the replica-quadratic
+    # candidate growth (the train_test_leakage_scan behavior class).
+    "embedding_decontamination_scan",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)
