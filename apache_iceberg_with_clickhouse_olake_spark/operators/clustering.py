@@ -1154,3 +1154,103 @@ def _ann_twolevel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_TOP_K)
     )
+
+
+@query(
+    "ann_twolevel_recall",
+    oracle=f"""
+    {_kmeans_sql_prefix(k_sql=_K1_SQL)},
+    {_TWOLEVEL_CTES},
+    q AS (SELECT vec_id AS qid, dv AS qv FROM v ORDER BY vec_id LIMIT 1),
+    p1 AS (
+      SELECT c.cluster
+      FROM c{_ITERS - 1} c CROSS JOIN q
+      ORDER BY {dround_sql(_COS_SQL.format(a='c.cv', b='q.qv'), 6)}
+               DESC NULLS LAST, c.cluster
+      LIMIT {_N_PROBES}
+    ),
+    p2 AS (
+      SELECT s.cluster, s.sub
+      FROM seeds2 s JOIN p1 USING (cluster) CROSS JOIN q
+      QUALIFY row_number() OVER (
+        PARTITION BY s.cluster
+        ORDER BY {dround_sql(_COS_SQL.format(a='s.sv', b='q.qv'), 6)}
+                 DESC NULLS LAST, s.sub) <= {_N_SUB_PROBES}
+    ),
+    approx AS (
+      SELECT f.vec_id, 1 AS hit
+      FROM f JOIN p2 USING (cluster, sub) CROSS JOIN q
+      WHERE f.vec_id <> q.qid
+      ORDER BY {dround_sql(_COS_SQL.format(a='f.dv', b='q.qv'), 6)}
+               DESC NULLS LAST, f.vec_id
+      LIMIT {_TOP_K}
+    ),
+    exact AS (
+      SELECT e.vec_id
+      FROM v e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+      ORDER BY {dround_sql(_COS_SQL.format(a='e.dv', b='q.qv'), 6)}
+               DESC NULLS LAST, e.vec_id
+      LIMIT {_TOP_K}
+    )
+    SELECT q.qid,
+           COUNT(*) AS exact_k,
+           CAST(COUNT(a.hit) AS BIGINT) AS probe_hits,
+           {dround_sql(f'COUNT(a.hit) / {_TOP_K}.0', 4)} AS recall_at_k
+    FROM exact x
+    LEFT JOIN approx a USING (vec_id)
+    CROSS JOIN q
+    GROUP BY q.qid
+    """,
+    tags=("llm-similarity", "llm-clustering"),
+)
+@_scoped
+def ann_twolevel_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the two-level probe against the exact brute-force
+    top-k (the same eval discipline every ANN variant here carries:
+    ann_dim_truncation_recall, the IVF recall evals -- an index whose
+    recall is not measured is not done). Both sides share the one
+    query vector and the fully tie-broken (snapped cosine, vec_id)
+    ordering, so the overlap count is engine-exact, not a tolerance
+    compare. The probed fraction is ~probes*sub_probes*target/n of the
+    corpus; recall prices what that skipping costs on THIS corpus --
+    the number a production tuner moves n_probes/_N_SUB_PROBES
+    against, exactly as the single-level IVF family documents.
+
+    Shape at scale: the exact side is one broadcast-query scan with a
+    TakeOrderedAndProject head (the cosine_topk baseline); the approx
+    side is the two-level probe's bounded leaf fetch; the final
+    rollup compares two <= k-row frames."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("dv")
+    )
+    q = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("qid"), F.col("dv").alias("qv"))
+    )
+    approx = _ann_twolevel_frame(spark, sf_dir).select(
+        "vec_id", F.lit(1).alias("hit")
+    )
+    exact = (
+        emb.join(F.broadcast(q), emb["vec_id"] != F.col("qid"))
+        .select(
+            "vec_id",
+            dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_TOP_K)
+        .select("vec_id")
+    )
+    return _finalize(spark, (
+        exact.join(approx, "vec_id", "left")
+        .crossJoin(F.broadcast(q.select("qid")))
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("exact_k"),
+            F.count("hit").cast("long").alias("probe_hits"),
+            dround(
+                F.count("hit") / F.lit(float(_TOP_K)), 4
+            ).alias("recall_at_k"),
+        )
+    ))

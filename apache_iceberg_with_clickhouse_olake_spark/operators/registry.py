@@ -67,16 +67,17 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # ~10 TPC-H-shaped relational names the greedy fill selected).
 # Accounting: round start was 213 registered / 194 ever driver-checked
 # (CORRECTNESS_r01..r13 union) / blind spot 19; this window's 17
-# first-driver rows land it at 2 when r14 closes, plus the three
-# r14-authored ops (the two-level k-means pair
-# embedding_kmeans_twolevel_profile + ann_twolevel_ivf_topk,
-# clustering.py — r13 VERDICT item 4's sqrt-k refinement moved from
-# prose to oracle-checked registrations, index build AND probe — and
-# embedding_decontamination_scan, similarity.py — the semantic twin
-# of the shingle decontamination) make the r15 queue 5: those three
-# plus bpe_pair_frequencies + bpe_heldout_compression, all in the
-# committed rotation_r15 proposal (r13 VERDICT item 3; blind spot 0
-# after r15). The new ops do NOT displace into
+# first-driver rows land it at 2 when r14 closes, plus the four
+# r14-authored ops (the two-level k-means trio
+# embedding_kmeans_twolevel_profile + ann_twolevel_ivf_topk +
+# ann_twolevel_recall, clustering.py — r13 VERDICT item 4's sqrt-k
+# refinement moved from prose to oracle-checked registrations: index
+# build, probe, AND recall eval — and embedding_decontamination_scan,
+# similarity.py — the semantic twin of the shingle decontamination)
+# make the r15 queue 6: those four plus bpe_pair_frequencies +
+# bpe_heldout_compression, all in the committed rotation_r15
+# proposal (r13 VERDICT item 3; blind spot 0 after r15). The new ops
+# do NOT displace into
 # this window: the only already-checked flex candidate
 # (corpus_build_pipeline) is the window's sole `multimodal` carrier
 # now that the r13 multimodal trio rotated out, and displacing one of

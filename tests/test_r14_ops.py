@@ -75,6 +75,21 @@ def test_embedding_decontamination_agrees_with_pair_stream(spark, sf_dir):
             assert r["contamination_rate"] is None
 
 
+def test_twolevel_recall_is_consistent(spark, sf_dir):
+    """One row; exact side always fills k; hits bounded by k and
+    consistent with the reported recall (count/k snapped to 4dp)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _TOP_K,
+    )
+
+    rows = _Q["ann_twolevel_recall"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["exact_k"] == _TOP_K
+    assert 0 <= r["probe_hits"] <= _TOP_K
+    assert abs(r["recall_at_k"] - r["probe_hits"] / _TOP_K) < 1e-9
+
+
 def test_twolevel_kmeans_does_less_assignment_work(spark, sf_dir):
     """The refinement's raison d'etre, made executable: total distance
     folds (level-1 n*k1 + level-2 sum(cluster_size * n_subs_used))
