@@ -1157,6 +1157,105 @@ def _ann_twolevel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_dedup_twolevel_stats",
+    oracle=f"""
+    {_kmeans_sql_prefix(k_sql=_K1_SQL)},
+    {_TWOLEVEL_CTES},
+    pairs AS (
+      SELECT a.cluster, a.sub, b.vec_id AS drop_id
+      FROM f a JOIN f b
+        ON a.cluster = b.cluster AND a.sub = b.sub
+       AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL.format(a='a.dv', b='b.dv')} >= {_SEMDEDUP_COS}
+    ),
+    dropped AS (SELECT DISTINCT cluster, sub, drop_id FROM pairs)
+    SELECT s.cluster, s.sub,
+           COUNT(*) AS n_members,
+           COUNT(d.drop_id) AS n_dropped,
+           COUNT(*) - COUNT(d.drop_id) AS n_kept,
+           {dround_sql(
+               '(COUNT(*) - COUNT(d.drop_id)) / CAST(COUNT(*) AS DOUBLE)', 4
+           )} AS kept_frac
+    FROM f s
+    LEFT JOIN dropped d
+      ON s.cluster = d.cluster AND s.sub = d.sub AND s.vec_id = d.drop_id
+    GROUP BY s.cluster, s.sub
+    ORDER BY s.cluster, s.sub
+    """,
+    tags=("llm-similarity", "llm-dedup", "llm-clustering"),
+)
+@_scoped
+def semantic_dedup_twolevel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup pruned within TWO-LEVEL LEAVES -- the shape that keeps
+    the whole pipeline feasible at extreme n: the pair join is keyed on
+    (cluster, sub), and a leaf is ~target vectors BY CONSTRUCTION
+    (level 2 seeds ceil(size/target) subs per coarse cluster), so
+    per-leaf pair work is bounded structurally without the
+    recall-trading hash cap the single-level production path needs
+    (semantic_dedup_capped_stats) -- and the index build itself is the
+    sqrt-k assignment, not the n*(n/target) linear-k one. Same
+    order-free keep-first rule (drop a vector iff a lower-id LEAF-mate
+    clears the cosine threshold), so the op stays hash-exact against
+    the unrolled oracle. The granularity trade is explicit: pruning
+    never crosses a leaf boundary, exactly as the single-level op
+    never crosses a cluster boundary -- one level finer blocking,
+    the SemDeDup recall knob every variant here documents.
+
+    Shape at scale: coarse Lloyd (broadcast centroids) + one
+    cluster-keyed shuffle for sub-seeding + a (cluster, sub)-keyed
+    pair join bounded at ~target^2/2 per leaf -- every stage linear in
+    n with broadcast/keyed joins only."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("dv")
+    )
+    _, _, _, fine = _twolevel_state_frames(emb)
+    # persisted: the fine assignment feeds the pair join twice plus
+    # the rollup (the semantic_dedup_stats discipline).
+    fine = _persist(fine.select("vec_id", "dv", "cluster", "sub"))
+    a, b = fine.alias("a"), fine.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(_cos(F.col("a.dv"), F.col("b.dv")) >= _SEMDEDUP_COS)
+        .select(
+            F.col("b.cluster").alias("cluster"),
+            F.col("b.sub").alias("sub"),
+            F.col("b.vec_id").alias("drop_id"),
+        )
+        .distinct()
+    )
+    return _finalize(spark, (
+        fine.join(
+            dropped,
+            (fine["cluster"] == dropped["cluster"])
+            & (fine["sub"] == dropped["sub"])
+            & (fine["vec_id"] == dropped["drop_id"]),
+            "left",
+        )
+        .groupBy(
+            fine["cluster"].alias("cluster"), fine["sub"].alias("sub")
+        )
+        .agg(
+            F.count("*").alias("n_members"),
+            F.count("drop_id").alias("n_dropped"),
+            (F.count("*") - F.count("drop_id")).alias("n_kept"),
+            dround(
+                (F.count("*") - F.count("drop_id"))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("kept_frac"),
+        )
+        .orderBy("cluster", "sub")
+    ))
+
+
+@query(
     "ann_twolevel_recall",
     oracle=f"""
     {_kmeans_sql_prefix(k_sql=_K1_SQL)},

@@ -67,17 +67,18 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # ~10 TPC-H-shaped relational names the greedy fill selected).
 # Accounting: round start was 213 registered / 194 ever driver-checked
 # (CORRECTNESS_r01..r13 union) / blind spot 19; this window's 17
-# first-driver rows land it at 2 when r14 closes, plus the four
-# r14-authored ops (the two-level k-means trio
+# first-driver rows land it at 2 when r14 closes, plus the five
+# r14-authored ops (the two-level k-means family
 # embedding_kmeans_twolevel_profile + ann_twolevel_ivf_topk +
-# ann_twolevel_recall, clustering.py — r13 VERDICT item 4's sqrt-k
-# refinement moved from prose to oracle-checked registrations: index
-# build, probe, AND recall eval — and embedding_decontamination_scan,
-# similarity.py — the semantic twin of the shingle decontamination)
-# make the r15 queue 6: those four plus bpe_pair_frequencies +
-# bpe_heldout_compression, all in the committed rotation_r15
-# proposal (r13 VERDICT item 3; blind spot 0 after r15). The new ops
-# do NOT displace into
+# ann_twolevel_recall + semantic_dedup_twolevel_stats, clustering.py
+# — r13 VERDICT item 4's sqrt-k refinement moved from prose to
+# oracle-checked registrations: index build, probe, recall eval, AND
+# the leaf-bounded SemDeDup that makes the whole pipeline feasible at
+# extreme n — and embedding_decontamination_scan, similarity.py — the
+# semantic twin of the shingle decontamination) make the r15 queue 7:
+# those five plus bpe_pair_frequencies + bpe_heldout_compression, all
+# in the committed rotation_r15 proposal (r13 VERDICT item 3; blind
+# spot 0 after r15). The new ops do NOT displace into
 # this window: the only already-checked flex candidate
 # (corpus_build_pipeline) is the window's sole `multimodal` carrier
 # now that the r13 multimodal trio rotated out, and displacing one of

@@ -75,6 +75,19 @@ def test_embedding_decontamination_agrees_with_pair_stream(spark, sf_dir):
             assert r["contamination_rate"] is None
 
 
+def test_twolevel_semdedup_accounting(spark, sf_dir):
+    """Per-leaf accounting closes (kept + dropped == members), every
+    leaf keeps its lowest-id member (keep-first can never drop it),
+    and members conserve to the corpus."""
+    rows = _Q["semantic_dedup_twolevel_stats"](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_members"]
+        assert r["n_kept"] >= 1
+        assert 0.0 < r["kept_frac"] <= 1.0
+
+
 def test_twolevel_recall_is_consistent(spark, sf_dir):
     """One row; exact side always fills k; hits bounded by k and
     consistent with the reported recall (count/k snapped to 4dp)."""
