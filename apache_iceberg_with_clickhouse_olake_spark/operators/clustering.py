@@ -507,6 +507,17 @@ def _twolevel_state_frames(emb: DataFrame):
         ),
         lambda acc, c: F.when(c["d2"] < acc["d2"], c).otherwise(acc),
     )
+    # Explicit AQE-exempt repartition on the leaf key (the
+    # _embed_candidate_pairs discipline): the seed-array join's output
+    # partitioning is whatever AQE leaves behind, and at fixture scale
+    # it coalesces the tiny shuffle to ONE partition -- which would
+    # serialize every fine-frame consumer (the leaf pair scoring, the
+    # profile rollup, the probe's leaf fetch) onto one core: measured
+    # 12.7 s vs 1.3 s for the same 268k-pair cos stage (r14; the r12
+    # k-means cache bug class in AQE-coalesced-join clothing). Keying
+    # by (cluster, sub) co-partitions exactly what the consumers
+    # join/group on. Pinned by tests/test_plans.py.
+    par = emb.sparkSession.sparkContext.defaultParallelism
     fine = (
         assigned.join(sarr, "cluster")
         .withColumn("b", best)
@@ -517,6 +528,7 @@ def _twolevel_state_frames(emb: DataFrame):
             F.col("b.sub").alias("sub"),
             F.col("b.d2").alias("d2"),
         )
+        .repartition(par, "cluster", "sub")
     )
     return assigned, cent, seeds2, fine
 
@@ -1189,24 +1201,29 @@ def semantic_dedup_twolevel_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """SemDeDup pruned within TWO-LEVEL LEAVES -- the shape that keeps
-    the whole pipeline feasible at extreme n: the pair join is keyed on
-    (cluster, sub), and a leaf is ~target vectors BY CONSTRUCTION
-    (level 2 seeds ceil(size/target) subs per coarse cluster), so
-    per-leaf pair work is bounded structurally without the
-    recall-trading hash cap the single-level production path needs
-    (semantic_dedup_capped_stats) -- and the index build itself is the
-    sqrt-k assignment, not the n*(n/target) linear-k one. Same
-    order-free keep-first rule (drop a vector iff a lower-id LEAF-mate
-    clears the cosine threshold), so the op stays hash-exact against
-    the unrolled oracle. The granularity trade is explicit: pruning
-    never crosses a leaf boundary, exactly as the single-level op
-    never crosses a cluster boundary -- one level finer blocking,
-    the SemDeDup recall knob every variant here documents.
+    the whole cluster-then-prune pipeline feasible at extreme n: the
+    pair join is keyed on (cluster, sub), leaf COUNT tracks n/target
+    by construction (level 2 seeds ceil(size/target) subs per coarse
+    cluster, seeds drawn md5-uniformly so they track density), and the
+    index build is the sqrt-k assignment, not the n*(n/target)
+    linear-k one. On spread-out data leaves sit near target and
+    per-leaf pair work near target^2/2; the bound is DENSITY-TRACKING,
+    not worst-case -- an exact-duplicate clique ties every replica to
+    the same lowest-sub seed and still concentrates into one leaf,
+    the same adversarial case every SemDeDup variant here documents.
+    Production discipline is unchanged: run the exact-collapse cascade
+    first (semantic_dedup_cascade_stats), or add the hash cap
+    (semantic_dedup_capped_stats) when a hard per-block bound is
+    required. Same order-free keep-first rule (drop a vector iff a
+    lower-id LEAF-mate clears the cosine threshold), so the op stays
+    hash-exact against the unrolled oracle; pruning never crosses a
+    leaf boundary -- one level finer blocking than the single-level
+    op, the SemDeDup recall knob every variant documents.
 
     Shape at scale: coarse Lloyd (broadcast centroids) + one
     cluster-keyed shuffle for sub-seeding + a (cluster, sub)-keyed
-    pair join bounded at ~target^2/2 per leaf -- every stage linear in
-    n with broadcast/keyed joins only."""
+    pair join -- every stage linear in n with broadcast/keyed joins
+    only when leaves stay near target."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("dv")
     )

@@ -786,11 +786,32 @@ def test_twolevel_kmeans_and_probe_plans_stay_keyed(spark, sf_dir):
         _kmeans_twolevel_frame,
     )
 
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _twolevel_state_frames,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.operators.similarity import (
+        _dvec,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
     try:
         plan = physical_plan(_kmeans_twolevel_frame(spark, sf_dir))
         assert "CartesianProduct" not in plan, plan
         assert "SortMergeJoin" not in plan, plan
         assert "Exchange hashpartitioning(cluster" in plan, plan
+        # the fine frame must carry full parallelism regardless of how
+        # AQE plans the seed-array join (r14: an AQE-coalesced join
+        # output serialized the 268k-pair cos stage onto one task --
+        # the r12 cache bug class in new clothing)
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _dvec(F.col("embedding")).alias("dv")
+        )
+        fine = _twolevel_state_frames(emb)[3]
+        par = spark.sparkContext.defaultParallelism
+        assert fine.rdd.getNumPartitions() >= par
         probe_plan = physical_plan(_ann_twolevel_frame(spark, sf_dir))
         assert "CartesianProduct" not in probe_plan, probe_plan
         assert "SortMergeJoin" not in probe_plan, probe_plan
