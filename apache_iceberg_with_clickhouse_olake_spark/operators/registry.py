@@ -59,39 +59,28 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # first-driver rows, blind spot 55 -> 47; r12: 17 first-driver rows
 # incl. the three seeded r02-FAIL retests, blind spot 47 -> 32) lives
 # in git — see this block's history at tags r07..r12.
-# r14 rotation (r13 VERDICT item 1): adopts the committed
-# scripts/rotation_r14_proposal.txt — 17 first-driver rows (the
-# r13-authored leakage-safe split + cross-source matrix dedup pair,
-# bpe_learn_merges + bpe_tokenize_corpus_stats swapped into the two
-# double-covered flex slots, the session-window/funnel pair, and the
-# ~10 TPC-H-shaped relational names the greedy fill selected).
-# Accounting: round start was 213 registered / 194 ever driver-checked
-# (CORRECTNESS_r01..r13 union) / blind spot 19; this window's 17
-# first-driver rows land it at 2 when r14 closes, plus the five
-# r14-authored ops (the two-level k-means family
-# embedding_kmeans_twolevel_profile + ann_twolevel_ivf_topk +
-# ann_twolevel_recall + semantic_dedup_twolevel_stats, clustering.py
-# — r13 VERDICT item 4's sqrt-k refinement moved from prose to
-# oracle-checked registrations: index build, probe, recall eval, AND
-# the leaf-bounded SemDeDup that makes the whole pipeline feasible at
-# extreme n — and embedding_decontamination_scan, similarity.py — the
-# semantic twin of the shingle decontamination) make the r15 queue 7:
-# those five plus bpe_pair_frequencies + bpe_heldout_compression, all
-# in the committed rotation_r15 proposal (r13 VERDICT item 3; blind
-# spot 0 after r15). The new ops do NOT displace into
-# this window: the only already-checked flex candidate
-# (corpus_build_pipeline) is the window's sole `multimodal` carrier
-# now that the r13 multimodal trio rotated out, and displacing one of
-# the 17 first-driver names would trade one blind-spot name for
-# another — the proposal is adopted verbatim instead, exactly as the
-# r13 VERDICT item 1 done-criterion asks. Every already-checked name
-# kept in the window is a sole carrier of some op-id/family tag per
-# the recompose script's greedy cover.
+# r15 rotation (r14 VERDICT item 1): adopts the committed
+# scripts/rotation_r15_proposal.txt verbatim — 7 first-driver rows,
+# the FINAL blind-spot burn: bpe_pair_frequencies +
+# bpe_heldout_compression (the last two names never driver-checked
+# after r14) plus the five r14-authored ops (the two-level k-means
+# family embedding_kmeans_twolevel_profile / ann_twolevel_ivf_topk /
+# ann_twolevel_recall / semantic_dedup_twolevel_stats, clustering.py,
+# and embedding_decontamination_scan, similarity.py).
+# Accounting: round start is 218 registered / 211 ever driver-checked
+# (CORRECTNESS_r01..r14 union) / blind spot 7; this window's 7
+# first-driver rows land it at 0 when r15 closes — every registered
+# query driver-verified at least once. lonely_late_supplier and
+# order_part_lookup (displaced in r14 for the first two BPE ops)
+# return as already-checked tag carriers. From r16 onward the rotation
+# question becomes STALENESS, not coverage: scripts/next_rotation.py
+# prioritizes by rounds-since-last-green-row under the same per-op-id
+# cover invariant (r14 VERDICT item 3).
 _PRIORITY = (
     "scalar_functions",
     "high_value_orders",
     "medallion_readback",
-    "bpe_learn_merges",  # first driver row (displaces lonely_late_supplier, all tags double-covered)
+    "lonely_late_supplier",
     "revenue_mom_growth",
     "corpus_build_pipeline",
     "datagen_users",
@@ -103,7 +92,7 @@ _PRIORITY = (
     "streaming_vector_assign",
     "unique_customers",
     "silver_projection",
-    "bpe_tokenize_corpus_stats",  # first driver row (displaces order_part_lookup; J3/P9 carried by datagen_orders_by_status/bucket_index_lookup)
+    "order_part_lookup",
     "current_date_sanity",
     "parquet_layout_roundtrip",
     "partition_pruning_roundtrip",
@@ -123,21 +112,21 @@ _PRIORITY = (
     "bucket_index_lookup",
     "session_event_bigrams",
     "streaming_restart_state",
-    "leakage_safe_split_stats",  # first driver row
-    "cross_source_dup_matrix",  # first driver row
-    "large_quantity_orders",  # first driver row
-    "intra_region_revenue",  # first driver row
-    "nation_trade_volume",  # first driver row
-    "brand_size_supplier_counts",  # first driver row
-    "forecast_revenue_change",  # first driver row
-    "product_profit_by_nation",  # first driver row
-    "ship_lag_priority_counts",  # first driver row
-    "custdist_histogram",  # first driver row
-    "small_qty_part_revenue",  # first driver row
-    "important_part_share",  # first driver row
-    "heavy_red_part_suppliers",  # first driver row
-    "session_window_rollup",  # first driver row
-    "funnel_signup_click_purchase",  # first driver row
+    "embedding_decontamination_scan",  # first driver row
+    "embedding_kmeans_twolevel_profile",  # first driver row
+    "ann_twolevel_ivf_topk",  # first driver row
+    "semantic_dedup_twolevel_stats",  # first driver row
+    "ann_twolevel_recall",  # first driver row
+    "bpe_pair_frequencies",  # first driver row
+    "bpe_heldout_compression",  # first driver row
+    "bpe_learn_merges",
+    "bpe_tokenize_corpus_stats",
+    "leakage_safe_split_stats",
+    "cross_source_dup_matrix",
+    "large_quantity_orders",
+    "intra_region_revenue",
+    "nation_trade_volume",
+    "brand_size_supplier_counts",
 )
 
 
