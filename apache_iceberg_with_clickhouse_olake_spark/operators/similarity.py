@@ -41,6 +41,9 @@ from pyspark.sql import functions as F
 
 from ..functions import davg, davg_sql, dround, dround_sql
 from ..sources.parquet import load_table
+from ._cache import finalize as _finalize
+from ._cache import persist_tracked as _persist
+from ._cache import scoped as _scoped
 from .registry import query
 
 _DIM = 64
@@ -468,6 +471,7 @@ _EPROBE_MOD = 16
     """,
     tags=("llm-similarity", "llm-dedup"),
 )
+@_scoped
 def embedding_decontamination_scan(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -497,14 +501,21 @@ def embedding_decontamination_scan(
     bands_udf = make_embed_bands_udf()
     emb = load_table(spark, sf_dir, "embeddings")
     is_probe = (F.col("vec_id") % _EPROBE_MOD) == 0
-    e = emb.select(
-        "vec_id",
-        "label",
-        _dvec(F.col("embedding")).alias("v"),
-        bands_udf(F.col("embedding")).alias("bands"),
-        is_probe.alias("is_probe"),
-    )
     par = spark.sparkContext.defaultParallelism
+    # Persisted (r14 ADVICE): `e` evaluates the Arrow LSH UDF per row
+    # and feeds FOUR consumers (band_rows, both vector-join sides, the
+    # per-label base counts) -- without the cache the corpus scan and
+    # UDF re-execute per consumer (the semantic_dedup_stats lesson).
+    # Repartition-born partitioning per the raw-scan persist rule.
+    e = _persist(
+        emb.select(
+            "vec_id",
+            "label",
+            _dvec(F.col("embedding")).alias("v"),
+            bands_udf(F.col("embedding")).alias("bands"),
+            is_probe.alias("is_probe"),
+        ).repartition(par, "vec_id")
+    )
     band_rows = e.select(
         "vec_id",
         "label",
@@ -559,7 +570,7 @@ def embedding_decontamination_scan(
         .otherwise(F.col("n_corpus"))
         .cast("double")
     )
-    return (
+    out = (
         base.join(cc, "label", "left")
         .join(ct, "label", "left")
         .select(
@@ -578,6 +589,7 @@ def embedding_decontamination_scan(
         )
         .orderBy("label")
     )
+    return _finalize(spark, out)
 
 
 embedding_decontamination_scan.__doc__ = (

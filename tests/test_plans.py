@@ -1152,33 +1152,24 @@ def test_persisted_corpus_frames_run_at_full_parallelism(spark, sf_dir):
         release_caches()
 
 
-def test_no_operator_persists_a_raw_scan():
-    """Structural guard for the file-count-partitioning bug class (r12
-    k-means, r13 PI/PCA/cascade-fingerprint): persisting a frame built
-    directly on load_table() inherits however many files the fixture
-    has (1 at sf0.1 = 1 task for every no-shuffle consumer). Any new
-    persist must take its partitioning from an explicit repartition or
-    a shuffle-born frame.
+def _persist_raw_scan_hits(source: str, fname: str) -> list[str]:
+    """The persist-of-a-raw-scan linter (see
+    test_no_operator_persists_a_raw_scan for the bug class): within
+    each function, a local name is TAINTED when its assignment is a
+    METHOD CHAIN rooted at load_table() or at an already-tainted name,
+    without a .repartition/.repartitionByRange anywhere in the chain;
+    `_persist(arg)` is flagged when the arg is tainted by the same
+    rule. Taint stops at free-function boundaries on purpose
+    (``_persist(helper(docs))`` is clean even when docs is a raw scan:
+    helpers like _word_symbols_from or _kmeans_assign_frames reshuffle
+    internally, and flagging them would indict every audited-OK site
+    in the r13 sweep).
 
-    AST-based (r13 ADVICE: the earlier regex matched only
-    ``_persist(load_table(...))`` and would have missed the historical
-    cascade-fingerprint shape ``g = emb.select(...); _persist(g)``):
-    within each function, a local name is TAINTED when its assignment
-    is a METHOD CHAIN rooted at load_table() or at an already-tainted
-    name, without a .repartition/.repartitionByRange anywhere in the
-    chain; `_persist(arg)` is flagged when the arg is tainted by the
-    same rule. This covers all three historical shapes. Taint stops at
-    free-function boundaries on purpose (``_persist(helper(docs))`` is
-    clean even when docs is a raw scan: helpers like
-    _word_symbols_from or _kmeans_assign_frames reshuffle internally,
-    and flagging them would indict every audited-OK site in the r13
-    sweep) -- the plan-level
-    test_persisted_corpus_frames_run_at_full_parallelism is the
-    backstop that checks the REAL builders' partition counts."""
+    Module-level so test_persist_raw_scan_lint_self_check can feed it
+    synthetic sources (r14 ADVICE: the old ast.walk traversal was
+    breadth-first, not source order, and never cleared taint on
+    rebind)."""
     import ast
-    import pathlib
-
-    from apache_iceberg_with_clickhouse_olake_spark import operators
 
     _REPART = {"repartition", "repartitionByRange"}
 
@@ -1215,29 +1206,149 @@ def test_no_operator_persists_a_raw_scan():
         return False
 
     hits: list[str] = []
+
+    def _own_exprs(stmt: ast.stmt) -> list[ast.AST]:
+        """The statement's OWN expressions (header only for compound
+        statements -- their bodies are walked separately, in source
+        order, so taint state is right at every _persist site)."""
+        if isinstance(stmt, (ast.If, ast.While)):
+            return [stmt.test]
+        if isinstance(stmt, (ast.For, ast.AsyncFor)):
+            return [stmt.iter]
+        if isinstance(stmt, (ast.With, ast.AsyncWith)):
+            return [i.context_expr for i in stmt.items]
+        if isinstance(stmt, ast.Try):
+            return []
+        return [stmt]
+
+    def _scan(body: list[ast.stmt], taint: set[str], fn_name: str,
+              fname: str) -> None:
+        """Source-order walk (r14 ADVICE: ast.walk is breadth-first,
+        so an assignment nested in a control-flow block was visited
+        AFTER a later top-level _persist it should taint, and a name
+        rebound through .repartition stayed tainted forever). Each
+        Assign now either ADDS or REMOVES its targets from the taint
+        set based on the RHS, at the point it executes."""
+        for stmt in body:
+            if isinstance(stmt, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue  # own scope; the outer loop visits it fresh
+            for expr in _own_exprs(stmt):
+                for n in ast.walk(expr):
+                    if (
+                        isinstance(n, ast.Call)
+                        and isinstance(n.func, ast.Name)
+                        and n.func.id == "_persist"
+                        and n.args
+                        and _tainted(n.args[0], taint)
+                    ):
+                        hits.append(f"{fname}:{n.lineno} in {fn_name}")
+            if isinstance(stmt, ast.Assign):
+                names = {
+                    t.id for t in stmt.targets if isinstance(t, ast.Name)
+                }
+                if _tainted(stmt.value, taint):
+                    taint |= names
+                else:
+                    taint -= names
+            elif (
+                isinstance(stmt, ast.AnnAssign)
+                and stmt.value is not None
+                and isinstance(stmt.target, ast.Name)
+            ):
+                if _tainted(stmt.value, taint):
+                    taint.add(stmt.target.id)
+                else:
+                    taint.discard(stmt.target.id)
+            for field in ("body", "orelse", "finalbody"):
+                sub = getattr(stmt, field, None)
+                if sub:
+                    _scan(sub, taint, fn_name, fname)
+            for h in getattr(stmt, "handlers", []) or []:
+                _scan(h.body, taint, fn_name, fname)
+
+    tree = ast.parse(source)
+    for fn in ast.walk(tree):
+        if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        _scan(fn.body, set(), fn.name, fname)
+    return hits
+
+
+def test_no_operator_persists_a_raw_scan():
+    """Structural guard for the file-count-partitioning bug class (r12
+    k-means, r13 PI/PCA/cascade-fingerprint): persisting a frame built
+    directly on load_table() inherits however many files the fixture
+    has (1 at sf0.1 = 1 task for every no-shuffle consumer). Any new
+    persist must take its partitioning from an explicit repartition or
+    a shuffle-born frame. Machinery in _persist_raw_scan_hits; the
+    plan-level test_persisted_corpus_frames_run_at_full_parallelism is
+    the backstop that checks the REAL builders' partition counts."""
+    import pathlib
+
+    from apache_iceberg_with_clickhouse_olake_spark import operators
+
+    hits: list[str] = []
     pkg = pathlib.Path(operators.__file__).parent
     for path in sorted(pkg.glob("*.py")):
-        tree = ast.parse(path.read_text())
-        for fn in ast.walk(tree):
-            if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
-                continue
-            taint: set[str] = set()
-            for stmt in ast.walk(fn):
-                if isinstance(stmt, ast.Assign):
-                    if _tainted(stmt.value, taint):
-                        taint.update(
-                            t.id
-                            for t in stmt.targets
-                            if isinstance(t, ast.Name)
-                        )
-                elif (
-                    isinstance(stmt, ast.Call)
-                    and isinstance(stmt.func, ast.Name)
-                    and stmt.func.id == "_persist"
-                    and stmt.args
-                    and _tainted(stmt.args[0], taint)
-                ):
-                    hits.append(
-                        f"{path.name}:{stmt.lineno} in {fn.name}"
-                    )
+        hits += _persist_raw_scan_hits(path.read_text(), path.name)
     assert not hits, f"persist of a raw scan (file-count partitions): {hits}"
+
+
+def test_persist_raw_scan_lint_self_check():
+    """The r14 ADVICE failure shapes, run against the linter itself:
+    (a) an assignment nested in a control-flow block must taint a
+    LATER top-level _persist (the breadth-first walk missed it);
+    (b) a name rebound through .repartition after a raw-scan
+    assignment must be CLEARED (the old pass kept it tainted);
+    (c) the historical cascade-fingerprint shape stays caught."""
+    import textwrap
+
+    nested = textwrap.dedent(
+        """
+        def op(spark, sf_dir):
+            if spark:
+                docs = load_table(spark, sf_dir, "documents")
+            _persist(docs)
+        """
+    )
+    assert _persist_raw_scan_hits(nested, "x.py"), (
+        "nested raw-scan assignment must taint the later persist"
+    )
+
+    rebound = textwrap.dedent(
+        """
+        def op(spark, sf_dir):
+            docs = load_table(spark, sf_dir, "documents")
+            docs = docs.repartition(8, "doc_id")
+            _persist(docs)
+        """
+    )
+    assert not _persist_raw_scan_hits(rebound, "x.py"), (
+        "rebind through .repartition must clear the taint"
+    )
+
+    plain = textwrap.dedent(
+        """
+        def op(spark, sf_dir):
+            docs = load_table(spark, sf_dir, "documents")
+            g = docs.select("a")
+            _persist(g)
+        """
+    )
+    assert _persist_raw_scan_hits(plain, "x.py"), (
+        "the historical intermediate-variable shape must stay caught"
+    )
+
+    inline_ok = textwrap.dedent(
+        """
+        def op(spark, sf_dir):
+            e = _persist(
+                load_table(spark, sf_dir, "embeddings")
+                .select("vec_id")
+                .repartition(8, "vec_id")
+            )
+        """
+    )
+    assert not _persist_raw_scan_hits(inline_ok, "x.py"), (
+        "repartition inside the persisted chain is clean"
+    )

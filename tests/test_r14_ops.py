@@ -68,9 +68,12 @@ def test_embedding_decontamination_agrees_with_pair_stream(spark, sf_dir):
             expected.setdefault(p["label"], set()).add(corpus_end)
     for r in rows:
         assert r["contaminated"] == len(expected.get(r["label"], set()))
+        # r14 ADVICE: assert the bound directly (the old `or
+        # contaminated == 0` clause swallowed it whenever 0, and
+        # candidate_pairs can never be negative).
         assert 0 <= r["contaminated"] <= min(
-            r["n_corpus"], max(r["candidate_pairs"], 0)
-        ) or (r["contaminated"] == 0)
+            r["n_corpus"], r["candidate_pairs"]
+        )
         if r["n_corpus"] == 0:
             assert r["contamination_rate"] is None
 
