@@ -153,6 +153,22 @@ def _load_prev_artifact(here: str) -> tuple[dict | None, str | None]:
     return None, None
 
 
+# Wide-band ops (r14 VERDICT item 4): names whose SAME-CODE envelope
+# span exceeds ~25% of their median, applied from the measured
+# envelope data (BENCH_NOTES.md). The dual gate judges these
+# "wide_band" instead of regression/improvement -- cross-round deltas
+# on them are resolvable only from interleaved whole-process repeats
+# (scripts/ab_dsir.py shape), never from one in-probe sample. Value =
+# the measurement that earned the tag.
+WIDE_BAND = {
+    "embedding_near_dup_pairs": (
+        "r13 same-code envelope +-0.4s on a ~1.4s median (~57%)"
+    ),
+    "leakage_safe_split_stats": (
+        "r14 same-code envelope 3.09-4.43s, median 3.78 (~35%)"
+    ),
+}
+
 HEADLINE = (
     "orders_by_status",       # Test 1: raw group-by (the 2-5 s band shape)
     "monthly_revenue",        # Test 2: month x status rollup
@@ -345,6 +361,12 @@ def main() -> None:
         # split over the cascade core; straddle structurally 0) -- new
         # name, intersection-skip on its first round
         "leakage_safe_split_stats",
+        # r15 (r14 VERDICT item 5): the production-scale answer to the
+        # suite's most expensive op (semantic_dedup_cascade_stats) --
+        # leaf-bounded SemDeDup over the two-level sqrt-k index; until
+        # now only the sporadic scaling suite measured it -- new name,
+        # intersection-skip on its first round
+        "semantic_dedup_twolevel_stats",
     )
     llm_timings: dict[str, float] = {}
     llm_iqrs: dict[str, float] = {}
@@ -463,7 +485,21 @@ def main() -> None:
                 "norm": round(now_t * (ratio if ratio else 1.0) - prev_t, 4),
             }
 
-        def judge(now_t, prev_t, iqr_now, iqr_prev):
+        def judge(now_t, prev_t, iqr_now, iqr_prev, name=None):
+            # r15 (r14 VERDICT item 4): ops whose SAME-CODE envelope
+            # span exceeds ~25% of their median are judged only on
+            # process-repeat medians -- a single in-probe sample's
+            # delta is noise BY MEASUREMENT and kept generating
+            # llm_regressions flags that then needed manual A/B
+            # exoneration (embedding_near_dup_pairs r13,
+            # leakage_safe_split_stats r14). The raw/norm delta pair
+            # still publishes in the sidecar for every row.
+            if name in WIDE_BAND:
+                raw = now_t - prev_t
+                return (
+                    f"wide_band (raw {raw:+.3f}s; process-repeat-only:"
+                    f" {WIDE_BAND[name]})"
+                )
             raw = now_t - prev_t
             norm = now_t * (ratio if ratio else 1.0) - prev_t
             gate = max(iqr_now, iqr_prev, 0.01)
@@ -482,7 +518,7 @@ def main() -> None:
         verdicts = {
             n: judge(
                 timings[n], prev_q[n],
-                iqrs.get(n, 0.0), prev_iqr.get(n, 0.0),
+                iqrs.get(n, 0.0), prev_iqr.get(n, 0.0), name=n,
             )
             for n in shared
         }
@@ -496,7 +532,7 @@ def main() -> None:
         llm_verdicts = {
             n: judge(
                 llm_timings[n], prev_llm[n],
-                llm_iqrs.get(n, 0.0), prev_llm_iqr.get(n, 0.0),
+                llm_iqrs.get(n, 0.0), prev_llm_iqr.get(n, 0.0), name=n,
             )
             for n in llm_shared
         }
