@@ -1,0 +1,113 @@
+"""Steady-state rotation policy (r14 VERDICT item 3): once every
+registered query has a driver row, scripts/next_rotation.py must keep
+staleness BOUNDED -- fill slots go to the stalest names first, under
+the same per-op-id/family cover invariant the window has always
+carried. These tests pin the structural properties of the emitted
+window (the bound itself, ceil(N/F) rounds, follows from
+stalest-first filling and is asserted as the policy's arithmetic)."""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import os
+import sys
+
+_SCRIPT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scripts",
+    "next_rotation.py",
+)
+_spec = importlib.util.spec_from_file_location("next_rotation", _SCRIPT)
+next_rotation = importlib.util.module_from_spec(_spec)
+sys.modules.setdefault("next_rotation", next_rotation)
+_spec.loader.exec_module(next_rotation)
+
+
+def test_window_shape_and_invariant():
+    window, meta = next_rotation.propose()
+    assert len(window) == next_rotation.WINDOW
+    assert len(set(window)) == len(window)
+    assert meta["missing"] == [], (
+        f"op-ids/families uncovered by the proposed window: "
+        f"{meta['missing']}"
+    )
+
+
+def test_fill_is_stalest_first():
+    """No omitted name may be staler than any fill-stage member: the
+    fill takes names in descending staleness, so the freshest fill
+    member bounds every omitted name's staleness from above."""
+    window, meta = next_rotation.propose()
+    last, cur = meta["last_checked"], meta["cur_round"]
+
+    def staleness(n: str) -> float:
+        return math.inf if n not in last else float(cur - last[n])
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators import (
+        registry,
+    )
+
+    registry._load_all()
+    omitted = [n for n in registry.REGISTRY if n not in window]
+    if not omitted or not meta["fill"]:
+        return  # registry fits in one window; nothing to bound
+    freshest_fill = min(staleness(n) for n in meta["fill"])
+    stalest_omitted = max(staleness(n) for n in omitted)
+    assert stalest_omitted <= freshest_fill, (
+        f"a name staler ({stalest_omitted} rounds) than a fill member "
+        f"({freshest_fill}) was left out of the window"
+    )
+
+
+def test_staleness_bound_arithmetic():
+    """The printed guaranteed bound is ceil(N / F) with F = fill slots
+    (window members that are NOT sole tag carriers). It is
+    deliberately conservative -- cover carriers also rotate toward the
+    stalest candidate per tag -- so the EMPIRICAL bound below is the
+    one that matters."""
+    window, meta = next_rotation.propose()
+    f_slots = max(1, len(meta["fill"]))
+    assert meta["staleness_bound_rounds"] == math.ceil(
+        meta["registry_size"] / f_slots
+    )
+
+
+def test_simulated_steady_state_staleness_is_bounded():
+    """Run the policy forward 30 rounds from the repo's real
+    CORRECTNESS history (each simulated round stamps its window as
+    checked, exactly what a driver round does) and assert every
+    registered name is re-checked within 10 rounds of the end state --
+    the bounded-staleness done-criterion of r14 VERDICT item 3,
+    asserted empirically rather than from the loose closed form.
+    (Measured 9 at r15 with 218 names / ~39 sole carriers; the +1 is
+    slack for registry growth within a round.)"""
+    from apache_iceberg_with_clickhouse_olake_spark.operators import (
+        registry,
+    )
+
+    registry._load_all()
+    last, cur = next_rotation.last_checked_rounds()
+    last = dict(last)
+    for _ in range(30):
+        window, meta = next_rotation.propose(last=last, cur_round=cur)
+        assert meta["missing"] == [], (
+            f"simulated round {cur} broke the cover invariant: "
+            f"{meta['missing']}"
+        )
+        for n in window:
+            last[n] = cur
+        cur += 1
+    worst = max(
+        (cur - 1 - last.get(n, 0), n) for n in registry.REGISTRY
+    )
+    assert worst[0] <= 10, (
+        f"steady-state staleness exceeded the bound: {worst[1]} went "
+        f"{worst[0]} rounds without a driver row"
+    )
+
+
+def test_forced_names_lead_the_window():
+    window, meta = next_rotation.propose(("scalar_functions",))
+    assert window[0] == "scalar_functions"
+    assert meta["missing"] == []
