@@ -1370,3 +1370,325 @@ def ann_twolevel_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     ))
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN: metadata predicate + IVF probe (the production pattern)
+# ---------------------------------------------------------------------------
+
+# Filtered search probes MORE lists than unfiltered (the filter thins
+# each probed list, so the same recall needs more candidates) -- the
+# n_probes-vs-selectivity trade every production vector store tunes.
+# 3 vs the unfiltered op's 2 documents the knob without a sweep.
+_N_FILTERED_PROBES = 3
+
+
+@query(
+    "ann_filtered_topk",
+    oracle=f"""
+    {_kmeans_sql_prefix()},
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS qlabel
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    probe AS (
+      SELECT c.cluster
+      FROM c{_ITERS - 1} c CROSS JOIN q
+      ORDER BY {dround_sql(_COS_SQL.format(a='c.cv', b='q.qv'), 6)}
+               DESC NULLS LAST, c.cluster
+      LIMIT {_N_FILTERED_PROBES}
+    )
+    SELECT s.vec_id, s.cluster, e.label,
+           {dround_sql(_COS_SQL.format(a='s.dv', b='q.qv'), 6)} AS cos_sim
+    FROM {_FINAL} s
+    JOIN probe USING (cluster)
+    JOIN embeddings e ON e.vec_id = s.vec_id
+    CROSS JOIN q
+    WHERE s.vec_id <> q.qid AND e.label = q.qlabel
+    ORDER BY cos_sim DESC NULLS LAST, s.vec_id
+    LIMIT {_TOP_K}
+    """,
+    tags=("llm-similarity", "llm-clustering"),
+)
+@_scoped
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search -- the production ANN pattern the plain
+    probes skip: a metadata predicate (here: the query vector's own
+    label, i.e. "similar items from the same domain") applied DURING
+    the inverted-list scan, not to its output. Post-filtering a plain
+    top-k under-fills whenever fewer than k of the k nearest pass the
+    predicate; filtering the candidate lists keeps the top-k semantics
+    exact over the filtered corpus slice.
+
+    Shape at scale: the filter column is joined into the inverted-list
+    entries ONCE at index-build time (production stores list payloads,
+    not bare ids -- the join is vec_id-keyed and amortizes over every
+    query), so query time touches only n_probes/k of the corpus with
+    the predicate evaluated map-side during the list scan; the top-k
+    stays TakeOrderedAndProject. Probe width is
+    _N_FILTERED_PROBES > _N_PROBES: selectivity thins each list, so
+    filtered search probes wider for the same recall -- the trade
+    ann_filtered_recall measures."""
+    return _finalize(spark, _ann_filtered_frame(spark, sf_dir))
+
+
+def _ann_filtered_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy filtered-probe frame (plan tests pin the payload-join and
+    bucket-local scan shape BEFORE the materialization idiom collapses
+    it to local rows)."""
+    emb_full = load_table(spark, sf_dir, "embeddings")
+    emb = emb_full.select("vec_id", _dvec(F.col("embedding")).alias("dv"))
+    assigned, cent = _kmeans_state_frames(emb)
+    # Index-build-time payload join: the inverted lists carry the
+    # filter column with them (vec_id-keyed, amortized over queries).
+    lists = assigned.join(emb_full.select("vec_id", "label"), "vec_id")
+    q = (
+        emb_full.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("qid"),
+            _dvec(F.col("embedding")).alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    probe = (
+        cent.join(F.broadcast(q))
+        .select(
+            "cluster",
+            "qid",
+            "qv",
+            "qlabel",
+            dround(_cos(F.col("cv"), F.col("qv")), 6).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), "cluster")
+        .limit(_N_FILTERED_PROBES)
+        .select("cluster", "qid", "qv", "qlabel")
+    )
+    return (
+        lists.join(F.broadcast(probe), "cluster")
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("label") == F.col("qlabel"))
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            "label",
+            dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_TOP_K)
+    )
+
+
+@query(
+    "ann_filtered_recall",
+    oracle=f"""
+    {_kmeans_sql_prefix()},
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS qlabel
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    probe AS (
+      SELECT c.cluster
+      FROM c{_ITERS - 1} c CROSS JOIN q
+      ORDER BY {dround_sql(_COS_SQL.format(a='c.cv', b='q.qv'), 6)}
+               DESC NULLS LAST, c.cluster
+      LIMIT {_N_FILTERED_PROBES}
+    ),
+    approx AS (
+      SELECT s.vec_id, 1 AS hit
+      FROM {_FINAL} s
+      JOIN probe USING (cluster)
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      CROSS JOIN q
+      WHERE s.vec_id <> q.qid AND e.label = q.qlabel
+      ORDER BY {dround_sql(_COS_SQL.format(a='s.dv', b='q.qv'), 6)}
+               DESC NULLS LAST, s.vec_id
+      LIMIT {_TOP_K}
+    ),
+    exact AS (
+      SELECT e.vec_id
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid AND e.label = q.qlabel
+      ORDER BY {dround_sql(
+          _COS_SQL.format(a='CAST(e.embedding AS DOUBLE[])', b='q.qv'), 6
+      )} DESC NULLS LAST, e.vec_id
+      LIMIT {_TOP_K}
+    )
+    SELECT q.qid,
+           COUNT(*) AS exact_k,
+           CAST(COUNT(a.hit) AS BIGINT) AS probe_hits,
+           {dround_sql(f'COUNT(a.hit) / {_TOP_K}.0', 4)} AS recall_at_k
+    FROM exact x
+    LEFT JOIN approx a USING (vec_id)
+    CROSS JOIN q
+    GROUP BY q.qid
+    """,
+    tags=("llm-similarity", "llm-clustering"),
+)
+@_scoped
+def ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the FILTERED probe against exact brute force over
+    the same filtered corpus slice -- the number that prices the
+    probe-width/selectivity trade (_N_FILTERED_PROBES): widen the
+    probe and recall rises at linear candidate cost; a selective
+    filter thins the probed lists and drags recall down first. Same
+    engine-exact discipline as ann_twolevel_recall (snapped cosines,
+    full tie-breaks on both sides).
+
+    Shape at scale: the exact side is one broadcast-query scan over
+    the filtered slice with a TakeOrderedAndProject head; the approx
+    side is the bounded filtered-list fetch; the rollup compares two
+    <= k-row frames."""
+    emb_full = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb_full.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("qid"),
+            _dvec(F.col("embedding")).alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    approx = _ann_filtered_frame(spark, sf_dir).select(
+        "vec_id", F.lit(1).alias("hit")
+    )
+    exact = (
+        emb_full.select(
+            "vec_id", "label", _dvec(F.col("embedding")).alias("dv")
+        )
+        .join(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("label") == F.col("qlabel"))
+        )
+        .select(
+            "vec_id",
+            dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_TOP_K)
+        .select("vec_id")
+    )
+    return _finalize(spark, (
+        exact.join(approx, "vec_id", "left")
+        .crossJoin(F.broadcast(q.select("qid")))
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("exact_k"),
+            F.count("hit").cast("long").alias("probe_hits"),
+            dround(
+                F.count("hit") / F.lit(float(_TOP_K)), 4
+            ).alias("recall_at_k"),
+        )
+    ))
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced sampling: coreset selection over the two-level index
+# ---------------------------------------------------------------------------
+
+# Keep ceil(1/_SAMPLE_DEN) of every leaf -- per-LEAF quotas make the
+# sample cluster-balanced by construction (uniform hash sampling
+# over-represents dense regions; per-leaf quotas keep every mode of
+# the distribution present at the same rate).
+_SAMPLE_DEN = 4
+
+
+@query(
+    "cluster_balanced_sample_stats",
+    oracle=f"""
+    {_kmeans_sql_prefix(k_sql=_K1_SQL)},
+    {_TWOLEVEL_CTES},
+    ranked AS (
+      SELECT cluster, sub, vec_id, d2,
+             row_number() OVER (
+               PARTITION BY cluster, sub
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk,
+             COUNT(*) OVER (PARTITION BY cluster, sub) AS lsz
+      FROM f
+    )
+    SELECT cluster,
+           CAST(COUNT(DISTINCT sub) AS BIGINT) AS n_leaves,
+           COUNT(*) AS n_members,
+           CAST(SUM(CASE WHEN rk <= (lsz + {_SAMPLE_DEN - 1})
+                                      // {_SAMPLE_DEN}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           {dround_sql(
+               f'SUM(CASE WHEN rk <= (lsz + {_SAMPLE_DEN - 1})'
+               f' // {_SAMPLE_DEN} THEN 1 ELSE 0 END)'
+               ' / CAST(COUNT(*) AS DOUBLE)', 4
+           )} AS sampled_frac,
+           {davg_sql('d2')} AS avg_dist2_all,
+           {davg_sql(
+               f'CASE WHEN rk <= (lsz + {_SAMPLE_DEN - 1})'
+               f' // {_SAMPLE_DEN} THEN d2 END'
+           )} AS avg_dist2_sampled
+    FROM ranked
+    GROUP BY cluster
+    ORDER BY cluster
+    """,
+    tags=("llm-similarity", "llm-clustering", "llm-sampling"),
+)
+@_scoped
+def cluster_balanced_sample_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLUSTER-BALANCED data selection (coreset sampling) over the
+    two-level index: keep a deterministic md5-ranked ceil(1/4) of
+    EVERY leaf, so every mode of the embedding distribution survives
+    selection at the same rate -- uniform hash sampling (the
+    uniform_hash_sample op) over-draws dense regions and starves rare
+    ones, which is exactly what a training-data curator does NOT want
+    when shrinking a 100 TB corpus. Emits the per-cluster audit: leaf
+    and member counts, kept counts/fraction, and the sampled-vs-all
+    mean distance-to-sub-seed (a geometry-preservation check -- a
+    representative sample leaves avg_dist2 nearly unchanged, a skewed
+    one drags it).
+
+    Shape at scale: rides the two-level index (sqrt-k coarse Lloyd +
+    per-cluster sub-seeding, see embedding_kmeans_twolevel_profile);
+    the quota rank is ONE window over (cluster, sub) -- leaves are
+    ~_TARGET_CLUSTER_SIZE rows by construction, so no window partition
+    ever exceeds a task; the rollup is one hash aggregation. No
+    global sort, no driver-side state."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("dv")
+    )
+    _, _, _, fine = _twolevel_state_frames(emb)
+    w_rk = Window.partitionBy("cluster", "sub").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    w_sz = Window.partitionBy("cluster", "sub")
+    ranked = fine.select(
+        "cluster",
+        "sub",
+        "vec_id",
+        "d2",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count("*").over(w_sz).alias("lsz"),
+    )
+    cap = F.expr(f"(lsz + {_SAMPLE_DEN - 1}) DIV {_SAMPLE_DEN}")
+    is_sampled = F.col("rk") <= cap
+    out = (
+        ranked.groupBy("cluster")
+        .agg(
+            F.countDistinct("sub").alias("n_leaves"),
+            F.count("*").alias("n_members"),
+            F.sum(F.when(is_sampled, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sampled"),
+            dround(
+                F.sum(F.when(is_sampled, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("sampled_frac"),
+            davg("d2", "avg_dist2_all"),
+            davg(F.when(is_sampled, F.col("d2")), "avg_dist2_sampled"),
+        )
+        .orderBy("cluster")
+    )
+    return _finalize(spark, out)

@@ -31,6 +31,8 @@ from ..functions import (
     davg_sql,
     dround,
     dround_sql,
+    dsum,
+    dsum_sql,
     md5_int60,
     md5_int60_sql,
     norm_text,
@@ -2548,4 +2550,95 @@ def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
         .orderBy("degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: duplicate-count down-weighting instead of removal
+# ---------------------------------------------------------------------------
+
+@query(
+    "soft_dedup_weights_stats",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, source, n_chars,
+             COUNT(*) OVER (PARTITION BY md5({_NORM})) AS grp_n
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS docs,
+           CAST(SUM(CASE WHEN grp_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_docs,
+           {dsum_sql('1.0 / grp_n')} AS effective_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           {dsum_sql('CAST(n_chars AS DOUBLE) / grp_n')}
+             AS effective_chars,
+           {dround_sql(
+               dsum_sql('CAST(n_chars AS DOUBLE) / grp_n')
+               + ' / CAST(SUM(n_chars) AS DOUBLE)', 4
+           )} AS char_retention
+    FROM g
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm-dedup", "llm-sampling"),
+)
+def soft_dedup_weights_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SOFT dedup: weight every document by 1/n where n is its exact
+    duplicate-group size, instead of dropping n-1 copies -- repeated
+    content contributes ONE document's worth of training signal spread
+    over its copies. Removal changes the epoch-order and sharding of
+    everything downstream; down-weighting composes with any sampler
+    (feed effective_docs/effective_chars into corpus_mixture_weights'
+    per-source budgets) and never risks dropping the one copy whose
+    context was better. Emits the per-source weighting audit: raw vs
+    effective doc and char masses, and char_retention = the fraction
+    of the source's raw characters that survives as training signal
+    (1.0 = duplicate-free).
+
+    Shape at scale: one window keyed by the canonical md5 fingerprint
+    (uniform key, no skew) computes group sizes WITHOUT collapsing
+    rows -- same single-shuffle cost class as dedup_exact_stats'
+    groupBy, then one hash re-aggregation by source. Never
+    materializes pairs; weights are exact decimal-snapped sums so the
+    per-source masses are engine-exact."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_fp = Window.partitionBy(F.md5(norm_text(F.col("text"))))
+    g = docs.select(
+        "source",
+        "n_chars",
+        F.count("*").over(w_fp).alias("grp_n"),
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.when(F.col("grp_n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_docs"),
+            dsum(F.lit(1.0) / F.col("grp_n"), "effective_docs"),
+            F.sum("n_chars").alias("chars_total"),
+            dsum(
+                F.col("n_chars").cast("double") / F.col("grp_n"),
+                "effective_chars",
+            ),
+        )
+        .select(
+            "source",
+            "docs",
+            "dup_docs",
+            "effective_docs",
+            "chars_total",
+            "effective_chars",
+            dround(
+                F.col("effective_chars")
+                / F.col("chars_total").cast("double"),
+                4,
+            ).alias("char_retention"),
+        )
+        .orderBy("source")
     )
