@@ -1655,6 +1655,13 @@ def cluster_balanced_sample_stats(
     ~_TARGET_CLUSTER_SIZE rows by construction, so no window partition
     ever exceeds a task; the rollup is one hash aggregation. No
     global sort, no driver-side state."""
+    return _finalize(spark, _balanced_sample_frame(spark, sf_dir))
+
+
+def _balanced_sample_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy per-cluster sample-audit frame (plan tests pin the
+    leaf-keyed window shape BEFORE the materialization idiom collapses
+    it to local rows)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("dv")
     )
@@ -1691,4 +1698,4 @@ def cluster_balanced_sample_stats(
         )
         .orderBy("cluster")
     )
-    return _finalize(spark, out)
+    return out

@@ -821,6 +821,50 @@ def test_twolevel_kmeans_and_probe_plans_stay_keyed(spark, sf_dir):
         release_caches()
 
 
+def test_filtered_ann_and_balanced_sample_plans_stay_keyed(spark, sf_dir):
+    """r15: the filtered-ANN probe's physical contract -- probe lists
+    attach by a cluster-keyed broadcast, the label payload joins by
+    vec_id (index-build-time, keyed -- never a cartesian), the head is
+    TakeOrderedAndProject with no corpus-wide sort; the balanced
+    sample's quota window is leaf-keyed (cluster, sub) over the fine
+    frame and nothing plans a CartesianProduct."""
+    import re
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators._cache import (
+        release_caches,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _ann_filtered_frame,
+        _balanced_sample_frame,
+    )
+
+    try:
+        plan = physical_plan(_ann_filtered_frame(spark, sf_dir))
+        assert "CartesianProduct" not in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "rangepartitioning" not in plan.lower(), plan
+        # every equi-join keys on cluster/label (probe attach --
+        # Catalyst folds the label = qlabel predicate INTO the hash
+        # join keys, so the filter is applied by the join itself) or
+        # vec_id (label payload attach at index-build time)
+        keys = re.findall(r"BroadcastHashJoin \[(\w+)#", plan)
+        assert keys and all(
+            k in ("cluster", "vec_id", "label") for k in keys
+        ), (keys, plan)
+        sample_plan = physical_plan(_balanced_sample_frame(spark, sf_dir))
+        assert "CartesianProduct" not in sample_plan, sample_plan
+        # the quota window partitions by the full leaf key -- its sort
+        # is leaf-local (~target rows), never corpus-global
+        assert re.search(
+            r"Exchange hashpartitioning\(cluster#\d+L?, sub#\d+", sample_plan
+        ), sample_plan
+        # (the plan's one rangepartitioning is the orderBy on the
+        # k1-row RESULT -- a result sort, not a corpus sort, so it is
+        # not asserted away here)
+    finally:
+        release_caches()
+
+
 def test_bpe_iteration_frames_are_vocabulary_sized(spark, sf_dir):
     """r9 VERDICT item 7 (BPE half): every merge iteration operates on
     the word-TYPE table, never re-reading the corpus -- the documents
