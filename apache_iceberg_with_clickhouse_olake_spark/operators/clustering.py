@@ -1699,3 +1699,106 @@ def _balanced_sample_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cluster")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental index update: assign arrivals to a frozen index
+# ---------------------------------------------------------------------------
+
+# Arrivals = the deterministic 1/8 vec_id slice (an external delta
+# table is a one-line swap); the index is built on the other 7/8.
+_ARRIVAL_MOD = 8
+_BASE_SOURCE = (
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings"
+    f" WHERE vec_id % {_ARRIVAL_MOD} <> 0"
+)
+
+
+@query(
+    "ann_index_incremental_assign",
+    oracle=f"""
+    {_kmeans_sql_prefix(source=_BASE_SOURCE)},
+    arr AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+      FROM embeddings WHERE vec_id % {_ARRIVAL_MOD} = 0
+    ),
+    aa AS (
+      SELECT arr.vec_id, c.cluster, {_d2_sql('arr.dv', 'c.cv')} AS d2
+      FROM arr CROSS JOIN c{_ITERS - 1} c
+    ),
+    sa AS (
+      SELECT vec_id, cluster, d2 FROM aa
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY d2, cluster) = 1
+    ),
+    u AS (
+      SELECT cluster, d2, 0 AS is_new FROM {_FINAL}
+      UNION ALL
+      SELECT cluster, d2, 1 AS is_new FROM sa
+    )
+    SELECT cluster,
+           CAST(SUM(1 - is_new) AS BIGINT) AS n_base,
+           CAST(SUM(is_new) AS BIGINT) AS n_added,
+           {davg_sql('CASE WHEN is_new = 0 THEN d2 END')}
+             AS avg_dist2_base,
+           {davg_sql('CASE WHEN is_new = 1 THEN d2 END')}
+             AS avg_dist2_added,
+           {dround_sql(
+               davg_sql('CASE WHEN is_new = 1 THEN d2 END')
+               + ' / NULLIF('
+               + davg_sql('CASE WHEN is_new = 0 THEN d2 END')
+               + ', 0.0)', 4
+           )} AS drift_ratio
+    FROM u
+    GROUP BY cluster
+    ORDER BY cluster
+    """,
+    tags=("llm-similarity", "llm-clustering"),
+)
+@_scoped
+def ann_index_incremental_assign(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL index maintenance -- the production pattern between
+    full re-clusterings: new vectors are assigned to the nearest
+    centroid of the FROZEN index (one broadcast-centroid pass, no
+    Lloyd update, no reshuffle of the existing lists), and the
+    per-cluster drift audit tells the operator when the index has
+    staled out. avg_dist2_added/avg_dist2_base > 1 means arrivals fit
+    the old geometry worse than the data the index was trained on;
+    a sustained climb is the re-cluster trigger. n_added skew shows
+    distribution shift (arrivals piling into few clusters).
+
+    Shape at scale: re-clustering a 100 TB index per delta batch is
+    I full-corpus passes; the incremental assign touches ONLY the
+    arrivals (|delta| * k * dim flops, centroids ride the existing
+    broadcast) and appends to the keyed lists in place. The audit is
+    one union + hash aggregation over (cluster, is_new) -- no pairs,
+    no corpus rescan."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("dv")
+    )
+    is_arrival = (F.col("vec_id") % _ARRIVAL_MOD) == 0
+    assigned, cent = _kmeans_state_frames(emb.filter(~is_arrival))
+    added = _assign(emb.filter(is_arrival), cent)
+    u = assigned.select(
+        "cluster", "d2", F.lit(0).alias("is_new")
+    ).unionByName(added.select("cluster", "d2", F.lit(1).alias("is_new")))
+    base_avg = davg(F.when(F.col("is_new") == 0, F.col("d2")))
+    added_avg = davg(F.when(F.col("is_new") == 1, F.col("d2")))
+    out = (
+        u.groupBy("cluster")
+        .agg(
+            F.sum(1 - F.col("is_new")).cast("long").alias("n_base"),
+            F.sum("is_new").cast("long").alias("n_added"),
+            base_avg.alias("avg_dist2_base"),
+            added_avg.alias("avg_dist2_added"),
+            dround(
+                added_avg
+                / F.when(base_avg == 0, F.lit(None)).otherwise(base_avg),
+                4,
+            ).alias("drift_ratio"),
+        )
+        .orderBy("cluster")
+    )
+    return _finalize(spark, out)

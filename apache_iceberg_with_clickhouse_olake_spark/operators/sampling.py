@@ -733,3 +733,107 @@ def dsir_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang")
     )
     return finalize(spark, out)
+
+
+# ---------------------------------------------------------------------------
+# Mixture temperature sweep: the recipe designer's knob, priced per tau
+# ---------------------------------------------------------------------------
+
+# The sweep grid brackets published LLM recipes: 1.0 = natural
+# sampling, 0.7 = the corpus_mixture_weights default, 0.5/0.3 =
+# aggressive flattening toward uniform-per-source.
+_TAU_GRID = (0.3, 0.5, 0.7, 1.0)
+
+
+@query(
+    "mixture_temperature_sweep",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(tau AS DOUBLE) AS tau
+      FROM (VALUES {", ".join(f"({x})" for x in _TAU_GRID)}) v(tau)
+    ),
+    w AS (
+      SELECT t.tau, g.source,
+             POWER(CAST(g.toks AS DOUBLE), t.tau)
+               / NULLIF(SUM(POWER(CAST(g.toks AS DOUBLE), t.tau))
+                          OVER (PARTITION BY t.tau), 0.0) AS w,
+             CAST(g.toks AS DOUBLE)
+               / NULLIF(SUM(CAST(g.toks AS DOUBLE))
+                          OVER (PARTITION BY t.tau), 0.0) AS nat
+      FROM g CROSS JOIN t
+    )
+    SELECT tau,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           {dround_sql('MAX(w)', 6)} AS max_weight,
+           {dround_sql('MIN(w)', 6)} AS min_weight,
+           {dround_sql(f"1.0 / NULLIF({dsum_sql('w * w')}, 0.0)", 4)}
+             AS effective_sources,
+           {dround_sql('MAX(w / NULLIF(nat, 0.0))', 4)} AS max_upsample
+    FROM w
+    GROUP BY tau
+    ORDER BY tau
+    """,
+    tags=("llm-sampling",),
+)
+def mixture_temperature_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sweep the mixture TEMPERATURE (w_s proportional to tokens^tau)
+    across the grid a recipe designer actually compares, and emit the
+    per-tau design summary: weight extremes, effective source count
+    (inverse Simpson 1/sum(w^2) -- arithmetic-exact, unlike an
+    entropy exponential whose libm exp/ln differ across engines), and
+    the largest implied upsample factor (max w/natural -- the repeat
+    count of the most-boosted source; a low tau that implies a 40x
+    repeat of a tiny source is an overfit flag, which is exactly what
+    this row makes visible before any sampling runs).
+
+    Shape at scale: ONE corpus tokenize pass rolls up to per-source
+    token masses (cardinality = #sources, tiny); the sweep is a cross
+    join of that rollup against a literal tau grid -- #sources x
+    #taus rows -- so adding grid points costs nothing corpus-side.
+    Same normalization-window discipline as corpus_mixture_weights
+    (the window's single partition holds one row per source, a
+    cardinality that does not scale with data)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("toks")
+    )
+    taus = F.explode(
+        F.array(*[F.lit(float(x)) for x in _TAU_GRID])
+    ).alias("tau")
+    w_tau = Window.partitionBy("tau")
+    pw = F.pow(F.col("toks").cast("double"), F.col("tau"))
+    wgt = pw / F.nullif(F.sum(pw).over(w_tau), F.lit(0.0))
+    nat = F.col("toks").cast("double") / F.nullif(
+        F.sum(F.col("toks").cast("double")).over(w_tau), F.lit(0.0)
+    )
+    w = g.select("source", "toks", taus).select(
+        "tau", wgt.alias("w"), nat.alias("nat")
+    )
+    return (
+        w.groupBy("tau")
+        .agg(
+            F.count("*").alias("n_sources"),
+            dround(F.max("w"), 6).alias("max_weight"),
+            dround(F.min("w"), 6).alias("min_weight"),
+            dround(
+                F.lit(1.0)
+                / F.nullif(
+                    dsum(F.col("w") * F.col("w")), F.lit(0.0)
+                ),
+                4,
+            ).alias("effective_sources"),
+            dround(
+                F.max(
+                    F.col("w") / F.nullif(F.col("nat"), F.lit(0.0))
+                ),
+                4,
+            ).alias("max_upsample"),
+        )
+        .orderBy("tau")
+    )

@@ -116,3 +116,60 @@ def test_soft_dedup_weights_conserve(spark, sf_dir):
             # a source with no duplicated doc anywhere keeps full mass
             assert r["effective_docs"] == r["docs"]
             assert r["char_retention"] == 1.0
+
+
+def test_incremental_assign_conserves_and_flags_drift(spark, sf_dir):
+    """Base + added counts conserve to the corpus with the arrival
+    slice sized exactly |vec_id % MOD == 0|; cluster ids stay under
+    the BASE-derived k; drift_ratio recomputes from the two averages
+    wherever both exist."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _ARRIVAL_MOD,
+        _k_for,
+    )
+
+    rows = _Q["ann_index_incremental_assign"](spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_arrivals = emb.filter(
+        (emb["vec_id"] % _ARRIVAL_MOD) == 0
+    ).count()
+    assert sum(r["n_base"] + r["n_added"] for r in rows) == n
+    assert sum(r["n_added"] for r in rows) == n_arrivals
+    k = _k_for(n - n_arrivals)
+    for r in rows:
+        assert 0 <= r["cluster"] < k
+        if r["avg_dist2_base"] and r["avg_dist2_added"] is not None:
+            assert (
+                abs(
+                    r["drift_ratio"]
+                    - round(
+                        r["avg_dist2_added"] / r["avg_dist2_base"], 4
+                    )
+                )
+                <= 1e-4
+            )
+
+
+def test_mixture_temperature_sweep_properties(spark, sf_dir):
+    """tau = 1.0 is natural sampling (max_upsample exactly 1);
+    diversity (effective source count) never increases as tau rises
+    toward natural on a skewed corpus; weights are a distribution
+    (bounded extremes, effective count within [1, n_sources])."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.sampling import (
+        _TAU_GRID,
+    )
+
+    rows = _Q["mixture_temperature_sweep"](spark, sf_dir).collect()
+    assert [r["tau"] for r in rows] == sorted(_TAU_GRID)
+    by_tau = {r["tau"]: r for r in rows}
+    assert by_tau[1.0]["max_upsample"] == 1.0
+    eff = [by_tau[t]["effective_sources"] for t in sorted(_TAU_GRID)]
+    for a, b in zip(eff, eff[1:]):
+        assert b <= a + 1e-9, (
+            "flattening (lower tau) must not reduce diversity"
+        )
+    for r in rows:
+        assert 0.0 < r["min_weight"] <= r["max_weight"] <= 1.0
+        assert 1.0 - 1e-4 <= r["effective_sources"] <= r["n_sources"] + 1e-4
+        assert r["max_upsample"] >= 1.0 - 1e-4
