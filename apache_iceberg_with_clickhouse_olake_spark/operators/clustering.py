@@ -1802,3 +1802,197 @@ def ann_index_incremental_assign(
         .orderBy("cluster")
     )
     return _finalize(spark, out)
+
+
+# ---------------------------------------------------------------------------
+# Filtered-probe width sweep: the selectivity/recall dial, priced
+# ---------------------------------------------------------------------------
+
+_SWEEP_PROBE_WIDTHS = (1, 2, 3, 4)
+
+
+@query(
+    "ann_filtered_probe_sweep",
+    oracle=f"""
+    {_kmeans_sql_prefix()},
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS qlabel
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    pr AS (
+      SELECT cluster,
+             row_number() OVER (ORDER BY ccos DESC NULLS LAST, cluster)
+               AS prank
+      FROM (
+        SELECT c.cluster,
+               {dround_sql(_COS_SQL.format(a='c.cv', b='q.qv'), 6)}
+                 AS ccos
+        FROM c{_ITERS - 1} c CROSS JOIN q
+        ORDER BY ccos DESC NULLS LAST, cluster
+        LIMIT {max(_SWEEP_PROBE_WIDTHS)}
+      )
+    ),
+    wg AS (
+      SELECT CAST(w AS BIGINT) AS n_probes
+      FROM (VALUES {", ".join(f"({x})" for x in _SWEEP_PROBE_WIDTHS)}) v(w)
+    ),
+    cand AS (
+      SELECT g.n_probes, s.vec_id,
+             {dround_sql(_COS_SQL.format(a='s.dv', b='q.qv'), 6)}
+               AS cos_sim
+      FROM {_FINAL} s
+      JOIN pr USING (cluster)
+      JOIN wg g ON pr.prank <= g.n_probes
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      CROSS JOIN q
+      WHERE s.vec_id <> q.qid AND e.label = q.qlabel
+    ),
+    approx AS (
+      SELECT n_probes, vec_id FROM cand
+      QUALIFY row_number() OVER (
+        PARTITION BY n_probes
+        ORDER BY cos_sim DESC NULLS LAST, vec_id) <= {_TOP_K}
+    ),
+    exact AS (
+      SELECT e.vec_id
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid AND e.label = q.qlabel
+      ORDER BY {dround_sql(
+          _COS_SQL.format(a='CAST(e.embedding AS DOUBLE[])', b='q.qv'), 6
+      )} DESC NULLS LAST, e.vec_id
+      LIMIT {_TOP_K}
+    ),
+    cost AS (
+      SELECT n_probes, COUNT(*) AS n_candidates FROM cand
+      GROUP BY n_probes
+    )
+    SELECT g.n_probes,
+           CAST(COALESCE(MAX(c.n_candidates), 0) AS BIGINT)
+             AS n_candidates,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS probe_hits,
+           {dround_sql(f'COUNT(a.vec_id) / {_TOP_K}.0', 4)} AS recall_at_k
+    FROM wg g
+    CROSS JOIN exact x
+    LEFT JOIN approx a ON a.n_probes = g.n_probes AND a.vec_id = x.vec_id
+    LEFT JOIN cost c ON c.n_probes = g.n_probes
+    GROUP BY g.n_probes
+    ORDER BY g.n_probes
+    """,
+    tags=("llm-similarity", "llm-clustering"),
+)
+@_scoped
+def ann_filtered_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price the FILTERED-search probe-width dial with data instead of
+    the docstring argument: for widths 1..4, the filtered candidate
+    count (the cost axis -- work grows linearly with probes) and
+    recall@k against exact filtered brute force (the accuracy axis).
+    This is the sweep that justifies ann_filtered_topk's
+    _N_FILTERED_PROBES choice: a selective predicate thins each probed
+    list, so filtered search needs MORE probes than unfiltered for the
+    same recall -- here the curve is a table a pipeline owner reads
+    before setting the knob.
+
+    Shape at scale: ONE index build and ONE probed-list pass serve
+    every width (the width grid joins the prank <= w predicate against
+    a <= max-width-row broadcast, so sweeping costs the widest probe,
+    not the sum); candidates persist once and feed both the recall and
+    the cost rollups. Exact side is the bounded filtered brute-force
+    baseline; everything tie-broken and snapped as usual."""
+    emb_full = load_table(spark, sf_dir, "embeddings")
+    emb = emb_full.select("vec_id", _dvec(F.col("embedding")).alias("dv"))
+    assigned, cent = _kmeans_state_frames(emb)
+    lists = assigned.join(emb_full.select("vec_id", "label"), "vec_id")
+    q = (
+        emb_full.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("qid"),
+            _dvec(F.col("embedding")).alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    probe_top = (
+        cent.join(F.broadcast(q))
+        .select(
+            "cluster",
+            dround(_cos(F.col("cv"), F.col("qv")), 6).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), "cluster")
+        .limit(max(_SWEEP_PROBE_WIDTHS))
+    )
+    w_pr = Window.orderBy(F.col("ccos").desc(), "cluster")
+    pr = probe_top.withColumn("prank", F.row_number().over(w_pr)).select(
+        "cluster", "prank"
+    )
+    widths = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[F.lit(x).cast("long") for x in _SWEEP_PROBE_WIDTHS]
+            )
+        ).alias("n_probes")
+    )
+    cand = _persist(
+        lists.join(F.broadcast(pr), "cluster")
+        .join(F.broadcast(widths), F.col("prank") <= F.col("n_probes"))
+        .join(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("label") == F.col("qlabel"))
+        )
+        .select(
+            "n_probes",
+            "vec_id",
+            dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    w_rk = Window.partitionBy("n_probes").orderBy(
+        F.col("cos_sim").desc_nulls_last(), F.col("vec_id")
+    )
+    approx = (
+        cand.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("n_probes", "vec_id", F.lit(1).alias("hit"))
+    )
+    exact = (
+        emb_full.select(
+            "vec_id", "label", _dvec(F.col("embedding")).alias("dv")
+        )
+        .join(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("label") == F.col("qlabel"))
+        )
+        .select(
+            "vec_id",
+            dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_TOP_K)
+        .select("vec_id")
+    )
+    cost = cand.groupBy("n_probes").agg(
+        F.count("*").alias("n_candidates")
+    )
+    out = (
+        widths.crossJoin(exact)
+        .join(approx, ["n_probes", "vec_id"], "left")
+        .groupBy("n_probes")
+        .agg(
+            F.count("hit").cast("long").alias("probe_hits"),
+            dround(
+                F.count("hit") / F.lit(float(_TOP_K)), 4
+            ).alias("recall_at_k"),
+        )
+        .join(cost, "n_probes", "left")
+        .select(
+            "n_probes",
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            "probe_hits",
+            "recall_at_k",
+        )
+        .orderBy("n_probes")
+    )
+    return _finalize(spark, out)

@@ -837,3 +837,143 @@ def mixture_temperature_sweep(
         )
         .orderBy("tau")
     )
+
+
+# ---------------------------------------------------------------------------
+# Packing-budget sweep: tail waste vs sequence length, priced
+# ---------------------------------------------------------------------------
+
+# Grid brackets common training sequence lengths around the
+# sequence_packing_stats default (2048).
+_PACK_BUDGET_GRID = (512, 1024, 2048, 4096)
+
+
+@query(
+    "packing_efficiency_sweep",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST({_PACK_SHARD} % {_N_PACK_SHARDS} AS BIGINT) AS shard,
+             len({_TOKS}) AS n_toks
+      FROM documents
+    ),
+    b AS (
+      SELECT CAST(budget AS BIGINT) AS budget
+      FROM (VALUES {", ".join(f"({x})" for x in _PACK_BUDGET_GRID)})
+           v(budget)
+    ),
+    packed AS (
+      SELECT b.budget, s.shard, s.n_toks,
+             CAST(FLOOR(
+               (SUM(s.n_toks) OVER (PARTITION BY b.budget, s.shard
+                  ORDER BY s.doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - s.n_toks) / CAST(b.budget AS DOUBLE)) AS BIGINT) AS bin
+      FROM sized s CROSS JOIN b
+    )
+    SELECT budget,
+           COUNT(*) AS docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT (shard, bin)) AS bins,
+           {dround_sql(
+               'CAST(SUM(n_toks) AS DOUBLE)'
+               ' / (COUNT(DISTINCT (shard, bin)) * budget)', 4)}
+             AS fill_ratio,
+           CAST(SUM(CASE WHEN n_toks > budget THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_over_budget,
+           CAST(SUM(GREATEST(n_toks - budget, 0)) AS BIGINT)
+             AS trunc_tokens_lost,
+           {dround_sql(
+               'CAST(SUM(GREATEST(n_toks - budget, 0)) AS DOUBLE)'
+               ' / CAST(SUM(n_toks) AS DOUBLE)', 4)}
+             AS trunc_loss_frac
+    FROM packed
+    GROUP BY budget
+    ORDER BY budget
+    """,
+    tags=("llm-sampling", "llm-text"),
+)
+def packing_efficiency_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sweep the packing BUDGET (training sequence length) across the
+    grid a pipeline owner actually compares, reusing the
+    concat-and-split discipline of sequence_packing_stats: per budget,
+    total bins and the global fill ratio, PLUS the
+    truncate-instead-of-pack alternative's price (docs over budget,
+    tokens a hard truncation would lose, loss fraction) -- one table
+    is the whole pack-vs-truncate decision at every candidate
+    sequence length. Concat-and-split wastes only each shard's final
+    partial bin, so fill ratio rises toward 1 as the corpus grows and
+    falls as the budget grows; truncation loss moves the OPPOSITE way
+    (shorter budgets chop more), which is exactly the tension the
+    table prices BEFORE anyone re-tokenizes a corpus at the wrong
+    length.
+
+    Shape at scale: the budget grid cross-joins the SIZED frame
+    (doc_id + two longs per doc -- never the text), so sweeping 4
+    budgets costs 4x a 3-column frame, not 4 corpus scans; each
+    (budget, shard) window is an independent narrow cumsum exactly
+    like the single-budget op."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        md5_int60(F.concat(F.lit("pack-"), F.col("doc_id").cast("string")))
+        % _N_PACK_SHARDS
+    ).cast("long")
+    sized = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    budgets = F.explode(
+        F.array(*[F.lit(x).cast("long") for x in _PACK_BUDGET_GRID])
+    ).alias("budget")
+    g = sized.select("doc_id", "shard", "n_toks", budgets)
+    w = (
+        Window.partitionBy("budget", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = g.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_toks").over(w) - F.col("n_toks"))
+            / F.col("budget").cast("double")
+        ),
+    )
+    over = F.when(F.col("n_toks") > F.col("budget"), 1).otherwise(0)
+    lost = F.greatest(F.col("n_toks") - F.col("budget"), F.lit(0))
+    return (
+        packed.groupBy("budget")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.countDistinct("shard", "bin").alias("bins"),
+            F.sum(over).cast("long").alias("docs_over_budget"),
+            F.sum(lost).cast("long").alias("trunc_tokens_lost"),
+            dround(
+                F.sum(lost).cast("double")
+                / F.sum("n_toks").cast("double"),
+                4,
+            ).alias("trunc_loss_frac"),
+        )
+        .withColumn(
+            "fill_ratio",
+            dround(
+                F.col("total_tokens").cast("double")
+                / (F.col("bins") * F.col("budget")),
+                4,
+            ),
+        )
+        .select(
+            "budget",
+            "docs",
+            "total_tokens",
+            "bins",
+            "fill_ratio",
+            "docs_over_budget",
+            "trunc_tokens_lost",
+            "trunc_loss_frac",
+        )
+        .orderBy("budget")
+    )

@@ -971,9 +971,10 @@ def main() -> None:
         " source-cardinality frame, never the corpus |",
         "",
         "All six track the corpus pass (or the index build whose k",
-        "grows by the linear-k rule), never a pair square: the worst",
-        "ratio on 8x data is 1.68x wall. Recurring rows above keep",
-        "these claims re-measured.",
+        "grows by the linear-k rule), never a pair square: worst",
+        "authoring-time ratio 1.68x wall on 8x data (the recurring",
+        "rows above re-measure each round; the full r15 sweep read",
+        "1.8 for the filtered top-k -- same class, same epoch).",
         "",
         "## Skew suite — zipf-hot key, per-task straggler ratio",
         "",

@@ -201,6 +201,29 @@ def main() -> int:
             f"naive straddle {split_rows[0].naive_clusters_straddling}"
         )
 
+        # 13. Extension (r15): selection + serving -- shrink the
+        # corpus without collapsing modes (cluster-balanced coreset),
+        # downweight duplicates instead of deleting them, pick the
+        # packing budget from the pack-vs-truncate table, and serve a
+        # label-filtered similarity query over the trained index.
+        step(13, "selection + serving (coreset, soft dedup, filtered ANN)")
+        core = qs["cluster_balanced_sample_stats"](spark, sf_dir).collect()
+        assert core and all(r.n_sampled >= r.n_leaves for r in core)
+        soft = qs["soft_dedup_weights_stats"](spark, sf_dir).collect()
+        assert soft and all(r.effective_docs <= r.docs for r in soft)
+        pack = qs["packing_efficiency_sweep"](spark, sf_dir).collect()
+        assert pack and all(0.0 < r.fill_ratio <= 1.0 for r in pack)
+        hits = qs["ann_filtered_topk"](spark, sf_dir).collect()
+        assert hits and len({r.label for r in hits}) == 1
+        print(
+            f"   coreset kept {sum(r.n_sampled for r in core)}"
+            f"/{sum(r.n_members for r in core)} vectors; "
+            f"soft-dedup retention "
+            f"{round(sum(r.effective_docs for r in soft) / max(1, sum(r.docs for r in soft)), 3)}; "
+            f"packing grid {[(r.budget, r.fill_ratio) for r in pack]}; "
+            f"filtered top-k: {len(hits)} same-label hits"
+        )
+
         print("\nall walkthrough checkpoints passed")
         return 0
     finally:

@@ -173,3 +173,68 @@ def test_mixture_temperature_sweep_properties(spark, sf_dir):
         assert 0.0 < r["min_weight"] <= r["max_weight"] <= 1.0
         assert 1.0 - 1e-4 <= r["effective_sources"] <= r["n_sources"] + 1e-4
         assert r["max_upsample"] >= 1.0 - 1e-4
+
+
+def test_filtered_probe_sweep_is_monotone_and_consistent(spark, sf_dir):
+    """Widening the probe can only add candidates and hits (monotone
+    cost and recall); the width-3 row must agree exactly with
+    ann_filtered_recall (same machinery at _N_FILTERED_PROBES=3)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _N_FILTERED_PROBES,
+        _SWEEP_PROBE_WIDTHS,
+    )
+
+    rows = _Q["ann_filtered_probe_sweep"](spark, sf_dir).collect()
+    assert [r["n_probes"] for r in rows] == sorted(_SWEEP_PROBE_WIDTHS)
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_candidates"] >= a["n_candidates"]
+        assert b["probe_hits"] >= a["probe_hits"]
+        assert b["recall_at_k"] >= a["recall_at_k"]
+    for r in rows:
+        assert 0 <= r["probe_hits"] <= _TOP_K
+        assert (
+            abs(r["recall_at_k"] - round(r["probe_hits"] / _TOP_K, 4))
+            < 1e-9
+        )
+    by_w = {r["n_probes"]: r for r in rows}
+    rec = _Q["ann_filtered_recall"](spark, sf_dir).collect()[0]
+    assert by_w[_N_FILTERED_PROBES]["probe_hits"] == rec["probe_hits"]
+    assert by_w[_N_FILTERED_PROBES]["recall_at_k"] == rec["recall_at_k"]
+
+
+def test_packing_sweep_is_monotone_and_matches_single_budget(spark, sf_dir):
+    """Token/doc masses are budget-invariant; a larger budget never
+    needs more bins; the 2048 row must agree exactly with
+    sequence_packing_stats' shard rollup (same discipline, same
+    budget)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.sampling import (
+        _PACK_BUDGET_GRID,
+        _SEQ_BUDGET,
+    )
+
+    rows = _Q["packing_efficiency_sweep"](spark, sf_dir).collect()
+    assert [r["budget"] for r in rows] == sorted(_PACK_BUDGET_GRID)
+    docs0, toks0 = rows[0]["docs"], rows[0]["total_tokens"]
+    n = load_table(spark, sf_dir, "documents").count()
+    assert docs0 == n
+    for r in rows:
+        assert r["docs"] == docs0 and r["total_tokens"] == toks0
+        assert 0.0 < r["fill_ratio"] <= 1.0
+        # bins can never undercut the tokens/budget lower bound
+        assert r["bins"] >= -(-toks0 // r["budget"])
+    for a, b in zip(rows, rows[1:]):
+        assert b["bins"] <= a["bins"]
+        # truncation loss moves the opposite way: longer budgets chop
+        # less
+        assert b["docs_over_budget"] <= a["docs_over_budget"]
+        assert b["trunc_tokens_lost"] <= a["trunc_tokens_lost"]
+        assert b["trunc_loss_frac"] <= a["trunc_loss_frac"] + 1e-9
+    for r in rows:
+        assert 0 <= r["trunc_tokens_lost"] <= r["total_tokens"]
+        assert 0 <= r["docs_over_budget"] <= r["docs"]
+    single = _Q["sequence_packing_stats"](spark, sf_dir).collect()
+    by_b = {r["budget"]: r for r in rows}
+    assert by_b[_SEQ_BUDGET]["bins"] == sum(r["bins"] for r in single)
+    assert by_b[_SEQ_BUDGET]["total_tokens"] == sum(
+        r["total_tokens"] for r in single
+    )
