@@ -111,3 +111,65 @@ def test_forced_names_lead_the_window():
     window, meta = next_rotation.propose(("scalar_functions",))
     assert window[0] == "scalar_functions"
     assert meta["missing"] == []
+
+
+# ---------------------------------------------------------------------------
+# Property-based: the policy's invariants hold for ARBITRARY histories,
+# not just the repo's real one (the policy is load-bearing for every
+# future round's driver window, so fuzz the history shape).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _registry_names():
+    from apache_iceberg_with_clickhouse_olake_spark.operators import (
+        registry,
+    )
+
+    registry._load_all()
+    return sorted(registry.REGISTRY)
+
+
+_NAMES = _registry_names()
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    data=st.data(),
+    cur=st.integers(min_value=1, max_value=40),
+)
+def test_propose_invariants_for_random_histories(data, cur):
+    """For any subset of checked names with any round stamps <= cur:
+    the window holds exactly 50 unique registered names, covers every
+    required tag, and leaves no name staler than the freshest
+    fill-slot member (never-checked names count as infinitely
+    stale)."""
+    import math
+
+    checked = data.draw(
+        st.dictionaries(
+            st.sampled_from(_NAMES),
+            st.integers(min_value=1, max_value=cur),
+            max_size=len(_NAMES),
+        )
+    )
+    window, meta = next_rotation.propose(last=checked, cur_round=cur)
+    assert len(window) == next_rotation.WINDOW
+    assert len(set(window)) == len(window)
+    assert all(n in _NAMES for n in window)
+    assert meta["missing"] == []
+
+    def staleness(n):
+        return math.inf if n not in checked else float(cur - checked[n])
+
+    omitted = [n for n in _NAMES if n not in window]
+    if omitted and meta["fill"]:
+        assert max(staleness(n) for n in omitted) <= min(
+            staleness(n) for n in meta["fill"]
+        )
