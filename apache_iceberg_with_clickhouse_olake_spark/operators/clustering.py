@@ -1433,15 +1433,17 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(spark, _ann_filtered_frame(spark, sf_dir))
 
 
-def _ann_filtered_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lazy filtered-probe frame (plan tests pin the payload-join and
-    bucket-local scan shape BEFORE the materialization idiom collapses
-    it to local rows)."""
+def _filtered_search_parts(spark: SparkSession, sf_dir: str):
+    """(emb_full, lists, q, cent): the state every filtered-search op
+    shares -- the raw table, the inverted lists with the label payload
+    joined at index-build time (vec_id-keyed, amortized over queries),
+    the lowest-vec_id query row (qid, qv, qlabel), and the centroid
+    frame. ONE definition so the probe tie-break / payload join can
+    never de-synchronize across the topk / recall / sweep ops (they
+    pin each other's values by test)."""
     emb_full = load_table(spark, sf_dir, "embeddings")
     emb = emb_full.select("vec_id", _dvec(F.col("embedding")).alias("dv"))
     assigned, cent = _kmeans_state_frames(emb)
-    # Index-build-time payload join: the inverted lists carry the
-    # filter column with them (vec_id-keyed, amortized over queries).
     lists = assigned.join(emb_full.select("vec_id", "label"), "vec_id")
     q = (
         emb_full.orderBy("vec_id")
@@ -1452,7 +1454,13 @@ def _ann_filtered_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("qlabel"),
         )
     )
-    probe = (
+    return emb_full, lists, q, cent
+
+
+def _filtered_probe(cent: DataFrame, q: DataFrame, width: int) -> DataFrame:
+    """The `width` centroids nearest the query, with the snapped probe
+    cosine retained (the sweep ranks on it; the topk path drops it)."""
+    return (
         cent.join(F.broadcast(q))
         .select(
             "cluster",
@@ -1462,11 +1470,17 @@ def _ann_filtered_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(_cos(F.col("cv"), F.col("qv")), 6).alias("ccos"),
         )
         .orderBy(F.col("ccos").desc(), "cluster")
-        .limit(_N_FILTERED_PROBES)
-        .select("cluster", "qid", "qv", "qlabel")
+        .limit(width)
     )
+
+
+def _filtered_topk(lists: DataFrame, probe: DataFrame) -> DataFrame:
+    """Exact-score the probed, label-filtered list entries; top-k."""
     return (
-        lists.join(F.broadcast(probe), "cluster")
+        lists.join(
+            F.broadcast(probe.select("cluster", "qid", "qv", "qlabel")),
+            "cluster",
+        )
         .filter(
             (F.col("vec_id") != F.col("qid"))
             & (F.col("label") == F.col("qlabel"))
@@ -1480,6 +1494,36 @@ def _ann_filtered_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_TOP_K)
     )
+
+
+def _filtered_exact_topk(emb_full: DataFrame, q: DataFrame) -> DataFrame:
+    """Brute-force top-k over the label-filtered corpus slice (the
+    recall baselines' shared exact side)."""
+    return (
+        emb_full.select(
+            "vec_id", "label", _dvec(F.col("embedding")).alias("dv")
+        )
+        .join(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("label") == F.col("qlabel"))
+        )
+        .select(
+            "vec_id",
+            dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_TOP_K)
+        .select("vec_id")
+    )
+
+
+def _ann_filtered_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy filtered-probe frame (plan tests pin the payload-join and
+    bucket-local scan shape BEFORE the materialization idiom collapses
+    it to local rows)."""
+    _, lists, q, cent = _filtered_search_parts(spark, sf_dir)
+    return _filtered_topk(lists, _filtered_probe(cent, q, _N_FILTERED_PROBES))
 
 
 @query(
@@ -1543,36 +1587,11 @@ def ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filtered slice with a TakeOrderedAndProject head; the approx
     side is the bounded filtered-list fetch; the rollup compares two
     <= k-row frames."""
-    emb_full = load_table(spark, sf_dir, "embeddings")
-    q = (
-        emb_full.orderBy("vec_id")
-        .limit(1)
-        .select(
-            F.col("vec_id").alias("qid"),
-            _dvec(F.col("embedding")).alias("qv"),
-            F.col("label").alias("qlabel"),
-        )
-    )
-    approx = _ann_filtered_frame(spark, sf_dir).select(
-        "vec_id", F.lit(1).alias("hit")
-    )
-    exact = (
-        emb_full.select(
-            "vec_id", "label", _dvec(F.col("embedding")).alias("dv")
-        )
-        .join(F.broadcast(q))
-        .filter(
-            (F.col("vec_id") != F.col("qid"))
-            & (F.col("label") == F.col("qlabel"))
-        )
-        .select(
-            "vec_id",
-            dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), "vec_id")
-        .limit(_TOP_K)
-        .select("vec_id")
-    )
+    emb_full, lists, q, cent = _filtered_search_parts(spark, sf_dir)
+    approx = _filtered_topk(
+        lists, _filtered_probe(cent, q, _N_FILTERED_PROBES)
+    ).select("vec_id", F.lit(1).alias("hit"))
+    exact = _filtered_exact_topk(emb_full, q)
     return _finalize(spark, (
         exact.join(approx, "vec_id", "left")
         .crossJoin(F.broadcast(q.select("qid")))
@@ -1899,28 +1918,8 @@ def ann_filtered_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the sum); candidates persist once and feed both the recall and
     the cost rollups. Exact side is the bounded filtered brute-force
     baseline; everything tie-broken and snapped as usual."""
-    emb_full = load_table(spark, sf_dir, "embeddings")
-    emb = emb_full.select("vec_id", _dvec(F.col("embedding")).alias("dv"))
-    assigned, cent = _kmeans_state_frames(emb)
-    lists = assigned.join(emb_full.select("vec_id", "label"), "vec_id")
-    q = (
-        emb_full.orderBy("vec_id")
-        .limit(1)
-        .select(
-            F.col("vec_id").alias("qid"),
-            _dvec(F.col("embedding")).alias("qv"),
-            F.col("label").alias("qlabel"),
-        )
-    )
-    probe_top = (
-        cent.join(F.broadcast(q))
-        .select(
-            "cluster",
-            dround(_cos(F.col("cv"), F.col("qv")), 6).alias("ccos"),
-        )
-        .orderBy(F.col("ccos").desc(), "cluster")
-        .limit(max(_SWEEP_PROBE_WIDTHS))
-    )
+    emb_full, lists, q, cent = _filtered_search_parts(spark, sf_dir)
+    probe_top = _filtered_probe(cent, q, max(_SWEEP_PROBE_WIDTHS))
     w_pr = Window.orderBy(F.col("ccos").desc(), "cluster")
     pr = probe_top.withColumn("prank", F.row_number().over(w_pr)).select(
         "cluster", "prank"
@@ -1954,23 +1953,7 @@ def ann_filtered_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_K)
         .select("n_probes", "vec_id", F.lit(1).alias("hit"))
     )
-    exact = (
-        emb_full.select(
-            "vec_id", "label", _dvec(F.col("embedding")).alias("dv")
-        )
-        .join(F.broadcast(q))
-        .filter(
-            (F.col("vec_id") != F.col("qid"))
-            & (F.col("label") == F.col("qlabel"))
-        )
-        .select(
-            "vec_id",
-            dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), "vec_id")
-        .limit(_TOP_K)
-        .select("vec_id")
-    )
+    exact = _filtered_exact_topk(emb_full, q)
     cost = cand.groupBy("n_probes").agg(
         F.count("*").alias("n_candidates")
     )

@@ -374,15 +374,6 @@ _DOC_SHINGLES_SQL = (
     kept AS (
       SELECT *, is_rep AND NOT contaminated AND sampled AS final_kept
       FROM flagged
-    ),
-    packed AS (
-      SELECT *,
-             CASE WHEN final_kept THEN CAST(FLOOR(
-               (SUM(CASE WHEN final_kept THEN n_toks ELSE 0 END) OVER (
-                  PARTITION BY shard ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                - n_toks) / {_SEQ_BUDGET}.0) AS BIGINT) END AS bin
-      FROM kept
     )
     SELECT shard,
            COUNT(*) AS quality_docs,
@@ -394,13 +385,16 @@ _DOC_SHINGLES_SQL = (
              AS sampled_docs,
            CAST(SUM(CASE WHEN final_kept THEN n_toks ELSE 0 END) AS BIGINT)
              AS packed_tokens,
-           COUNT(DISTINCT CASE WHEN final_kept THEN bin END) AS sequences,
+           CAST((SUM(CASE WHEN final_kept THEN n_toks ELSE 0 END)
+                 + {_SEQ_BUDGET - 1}) // {_SEQ_BUDGET} AS BIGINT)
+             AS sequences,
            {dround_sql(
                f'CAST(SUM(CASE WHEN final_kept THEN n_toks ELSE 0 END)'
-               f' AS DOUBLE) / (NULLIF(COUNT(DISTINCT CASE WHEN final_kept'
-               f' THEN bin END), 0) * {_SEQ_BUDGET})', 4)}
+               f' AS DOUBLE) / (NULLIF((SUM(CASE WHEN final_kept THEN'
+               f' n_toks ELSE 0 END) + {_SEQ_BUDGET - 1})'
+               f' // {_SEQ_BUDGET}, 0) * {_SEQ_BUDGET})', 4)}
              AS fill_ratio
-    FROM packed
+    FROM kept
     GROUP BY shard
     ORDER BY shard
     """.replace("{PROBE_H}", _PROBE_SHINGLE_H).replace(
@@ -509,25 +503,13 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("final_kept"),
     )
 
-    # Stage 5: sequence packing -- per-shard running token count over
-    # surviving docs; a doc's bin is its start offset div the budget.
-    w_shard = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum(
-        F.when(F.col("final_kept"), F.col("n_toks")).otherwise(F.lit(0))
-    ).over(w_shard)
-    packed = kept.withColumn(
-        "bin",
-        F.when(
-            F.col("final_kept"),
-            F.floor((cum - F.col("n_toks")) / _SEQ_BUDGET),
-        ),
-    )
+    # Stage 5: sequence packing -- concat-and-split consumes EXACTLY
+    # ceil(kept_tokens / budget) sequences per shard, computed as that
+    # closed form (r15 review: the earlier distinct-starting-bin count
+    # undercounted whenever one doc spanned an entire bin), so the
+    # packing stage is a plain rollup -- no window needed.
     return (
-        packed.groupBy("shard")
+        kept.groupBy("shard")
         .agg(
             F.count("*").alias("quality_docs"),
             F.sum(F.col("is_rep").cast("long")).alias("representatives"),
@@ -540,9 +522,12 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(0)
                 )
             ).cast("long").alias("packed_tokens"),
-            F.countDistinct(
-                F.when(F.col("final_kept"), F.col("bin"))
-            ).alias("sequences"),
+        )
+        .withColumn(
+            "sequences",
+            F.expr(
+                f"(packed_tokens + {_SEQ_BUDGET - 1}) DIV {_SEQ_BUDGET}"
+            ),
         )
         .withColumn(
             "fill_ratio",

@@ -139,24 +139,18 @@ _PACK_SHARD = md5_int60_sql("concat('pack-', CAST(doc_id AS VARCHAR))")
              CAST({_PACK_SHARD} % {_N_PACK_SHARDS} AS BIGINT) AS shard,
              len({_TOKS}) AS n_toks
       FROM documents
-    ),
-    packed AS (
-      SELECT shard, n_toks,
-             CAST(FLOOR(
-               (SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                - n_toks) / {_SEQ_BUDGET}.0) AS BIGINT) AS bin
-      FROM sized
     )
     SELECT shard,
            COUNT(*) AS docs,
            CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-           COUNT(DISTINCT bin) AS bins,
+           CAST((SUM(n_toks) + {_SEQ_BUDGET - 1}) // {_SEQ_BUDGET}
+                AS BIGINT) AS bins,
            {dround_sql(
                f'CAST(SUM(n_toks) AS DOUBLE) '
-               f'/ (COUNT(DISTINCT bin) * {_SEQ_BUDGET})', 4)}
+               f'/ (NULLIF((SUM(n_toks) + {_SEQ_BUDGET - 1})'
+               f' // {_SEQ_BUDGET}, 0) * {_SEQ_BUDGET})', 4)}
              AS fill_ratio
-    FROM packed
+    FROM sized
     GROUP BY shard
     ORDER BY shard
     """,
@@ -164,12 +158,17 @@ _PACK_SHARD = md5_int60_sql("concat('pack-', CAST(doc_id AS VARCHAR))")
 )
 def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-split sequence packing: within each hash shard, docs
-    (in stable doc_id order) fill {2048}-token training sequences; a
-    doc's bin is its running-token offset div the budget. Per-shard
-    window cumsum = one narrow shuffle keyed by shard; shards are
-    independent, so packing parallelizes to any cluster size while
-    staying byte-reproducible. Reports bins and fill ratio per shard
-    (the packing-efficiency metric a data pipeline monitors)."""
+    (in stable doc_id order) concatenate into one token stream that is
+    split into {2048}-token training sequences, so a shard of T tokens
+    consumes EXACTLY ceil(T / budget) sequences -- computed as that
+    closed form (r15 review: the earlier distinct-starting-bin count
+    undercounted whenever one doc spanned an entire bin, letting
+    fill_ratio exceed 1 on long-doc corpora). Per-shard rollup = one
+    narrow shuffle keyed by shard; shards are independent, so packing
+    parallelizes to any cluster size while staying byte-reproducible.
+    Reports bins and fill ratio per shard (the packing-efficiency
+    metric a data pipeline monitors); fill_ratio <= 1 by construction,
+    the deficit being each shard's final partial sequence."""
     docs = load_table(spark, sf_dir, "documents")
     shard = (
         md5_int60(F.concat(F.lit("pack-"), F.col("doc_id").cast("string")))
@@ -180,27 +179,25 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
     )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = sized.withColumn(
-        "bin",
-        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / _SEQ_BUDGET),
-    )
     return (
-        packed.groupBy("shard")
+        sized.groupBy("shard")
         .agg(
             F.count("*").alias("docs"),
             F.sum("n_toks").cast("long").alias("total_tokens"),
-            F.countDistinct("bin").alias("bins"),
+        )
+        .withColumn(
+            "bins",
+            F.expr(
+                f"(total_tokens + {_SEQ_BUDGET - 1}) DIV {_SEQ_BUDGET}"
+            ),
         )
         .withColumn(
             "fill_ratio",
+            # an all-empty shard consumes 0 sequences -> fill undefined
+            # (NULL), not a divide-by-zero (ANSI) nor a fake 0.0
             dround(
                 F.col("total_tokens").cast("double")
-                / (F.col("bins") * F.lit(_SEQ_BUDGET)),
+                / (F.nullif(F.col("bins"), F.lit(0)) * F.lit(_SEQ_BUDGET)),
                 4,
             ),
         )
@@ -844,8 +841,13 @@ def mixture_temperature_sweep(
 # ---------------------------------------------------------------------------
 
 # Grid brackets common training sequence lengths around the
-# sequence_packing_stats default (2048).
-_PACK_BUDGET_GRID = (512, 1024, 2048, 4096)
+# sequence_packing_stats default (2048). The 64 row sits BELOW the
+# fixture's longest document (~100 whitespace tokens) on purpose: it
+# keeps the truncation columns genuinely non-zero at every SF (the
+# _SEMDEDUP_CAP non-degenerate-operating-point discipline -- pinned by
+# tests/test_r15_ops.py), and it is a real regime (embedding models
+# with short max_position windows).
+_PACK_BUDGET_GRID = (64, 512, 1024, 2048, 4096)
 
 
 @query(
@@ -862,32 +864,32 @@ _PACK_BUDGET_GRID = (512, 1024, 2048, 4096)
       FROM (VALUES {", ".join(f"({x})" for x in _PACK_BUDGET_GRID)})
            v(budget)
     ),
-    packed AS (
-      SELECT b.budget, s.shard, s.n_toks,
-             CAST(FLOOR(
-               (SUM(s.n_toks) OVER (PARTITION BY b.budget, s.shard
-                  ORDER BY s.doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                - s.n_toks) / CAST(b.budget AS DOUBLE)) AS BIGINT) AS bin
+    per_shard AS (
+      SELECT b.budget, s.shard,
+             COUNT(*) AS docs,
+             SUM(s.n_toks) AS toks,
+             (SUM(s.n_toks) + b.budget - 1) // b.budget AS bins,
+             SUM(CASE WHEN s.n_toks > b.budget THEN 1 ELSE 0 END)
+               AS over_docs,
+             SUM(GREATEST(s.n_toks - b.budget, 0)) AS lost
       FROM sized s CROSS JOIN b
+      GROUP BY b.budget, s.shard
     )
     SELECT budget,
-           COUNT(*) AS docs,
-           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-           COUNT(DISTINCT (shard, bin)) AS bins,
+           CAST(SUM(docs) AS BIGINT) AS docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(bins) AS BIGINT) AS bins,
            {dround_sql(
-               'CAST(SUM(n_toks) AS DOUBLE)'
-               ' / (COUNT(DISTINCT (shard, bin)) * budget)', 4)}
+               'CAST(SUM(toks) AS DOUBLE)'
+               ' / (NULLIF(SUM(bins), 0) * budget)', 4)}
              AS fill_ratio,
-           CAST(SUM(CASE WHEN n_toks > budget THEN 1 ELSE 0 END)
-                AS BIGINT) AS docs_over_budget,
-           CAST(SUM(GREATEST(n_toks - budget, 0)) AS BIGINT)
-             AS trunc_tokens_lost,
+           CAST(SUM(over_docs) AS BIGINT) AS docs_over_budget,
+           CAST(SUM(lost) AS BIGINT) AS trunc_tokens_lost,
            {dround_sql(
-               'CAST(SUM(GREATEST(n_toks - budget, 0)) AS DOUBLE)'
-               ' / CAST(SUM(n_toks) AS DOUBLE)', 4)}
+               'CAST(SUM(lost) AS DOUBLE)'
+               ' / NULLIF(CAST(SUM(toks) AS DOUBLE), 0.0)', 4)}
              AS trunc_loss_frac
-    FROM packed
+    FROM per_shard
     GROUP BY budget
     ORDER BY budget
     """,
@@ -911,49 +913,49 @@ def packing_efficiency_sweep(
     length.
 
     Shape at scale: the budget grid cross-joins the SIZED frame
-    (doc_id + two longs per doc -- never the text), so sweeping 4
-    budgets costs 4x a 3-column frame, not 4 corpus scans; each
-    (budget, shard) window is an independent narrow cumsum exactly
-    like the single-budget op."""
+    (shard + one long per doc -- never the text), so sweeping the
+    grid costs |grid|x a 2-column frame, not |grid| corpus scans;
+    bins per (budget, shard) is the concat-and-split closed form
+    ceil(shard_tokens / budget) (r15 review: counting distinct
+    starting bins undercounted whenever one doc spanned an entire
+    bin -- guaranteed at the 64 row, where docs exceed the budget),
+    so the whole sweep is two hash rollups, no window at all."""
     docs = load_table(spark, sf_dir, "documents")
     shard = (
         md5_int60(F.concat(F.lit("pack-"), F.col("doc_id").cast("string")))
         % _N_PACK_SHARDS
     ).cast("long")
     sized = docs.select(
-        "doc_id",
         shard.alias("shard"),
         F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
     )
     budgets = F.explode(
         F.array(*[F.lit(x).cast("long") for x in _PACK_BUDGET_GRID])
     ).alias("budget")
-    g = sized.select("doc_id", "shard", "n_toks", budgets)
-    w = (
-        Window.partitionBy("budget", "shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = g.withColumn(
-        "bin",
-        F.floor(
-            (F.sum("n_toks").over(w) - F.col("n_toks"))
-            / F.col("budget").cast("double")
-        ),
-    )
+    g = sized.select("shard", "n_toks", budgets)
     over = F.when(F.col("n_toks") > F.col("budget"), 1).otherwise(0)
     lost = F.greatest(F.col("n_toks") - F.col("budget"), F.lit(0))
-    return (
-        packed.groupBy("budget")
+    per_shard = (
+        g.groupBy("budget", "shard")
         .agg(
             F.count("*").alias("docs"),
-            F.sum("n_toks").cast("long").alias("total_tokens"),
-            F.countDistinct("shard", "bin").alias("bins"),
-            F.sum(over).cast("long").alias("docs_over_budget"),
-            F.sum(lost).cast("long").alias("trunc_tokens_lost"),
+            F.sum("n_toks").alias("toks"),
+            F.sum(over).alias("over_docs"),
+            F.sum(lost).alias("lost"),
+        )
+        .withColumn("bins", F.expr("(toks + budget - 1) DIV budget"))
+    )
+    return (
+        per_shard.groupBy("budget")
+        .agg(
+            F.sum("docs").cast("long").alias("docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.sum("bins").cast("long").alias("bins"),
+            F.sum("over_docs").cast("long").alias("docs_over_budget"),
+            F.sum("lost").cast("long").alias("trunc_tokens_lost"),
             dround(
-                F.sum(lost).cast("double")
-                / F.sum("n_toks").cast("double"),
+                F.sum("lost").cast("double")
+                / F.nullif(F.sum("toks").cast("double"), F.lit(0.0)),
                 4,
             ).alias("trunc_loss_frac"),
         )
@@ -961,7 +963,7 @@ def packing_efficiency_sweep(
             "fill_ratio",
             dround(
                 F.col("total_tokens").cast("double")
-                / (F.col("bins") * F.col("budget")),
+                / (F.nullif(F.col("bins"), F.lit(0)) * F.col("budget")),
                 4,
             ),
         )

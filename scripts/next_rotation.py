@@ -116,6 +116,14 @@ def propose(
     unknown = [n for n in forced if n not in reg]
     if unknown:
         raise ValueError(f"unknown forced names: {unknown}")
+    # Dedupe forced names (preserving order) and refuse an overfull
+    # request outright -- silently truncating explicitly requested
+    # retest slots is worse than erroring.
+    forced = tuple(dict.fromkeys(forced))
+    if len(forced) > WINDOW:
+        raise ValueError(
+            f"{len(forced)} forced names exceed the {WINDOW}-slot window"
+        )
     # Fill EVERY free slot stalest-first, then REPAIR tag coverage by
     # evicting the freshest members (fill-first beats cover-first: the
     # r15-draft cover-first order consumed 35 slots on the greedy

@@ -121,12 +121,27 @@ def test_replica_clique_collapses_in_cascade(spark, crafted_dir):
 # Pathological text: empty docs, no-word docs, same-char runs
 # ---------------------------------------------------------------------------
 
+_LONG_TEXT = " ".join(f"w{i:02d}" for i in range(100))
+
 _CRAFTED_DOCS = [
     (1, "aaa aaa aaa", "en", "web", 11),        # one word type, (a,a) overlap runs
     (2, "", "en", "web", 0),                     # empty text
     (3, "123 456 !!!", "zz", "junk", 11),        # no [a-z] word at all
     (4, "a", "en", "web", 1),                    # single 1-char word
     (5, "abab abab baba", "de", "web", 14),      # alternating pairs
+    # r15: duplicate GROUPS -- the real fixtures contain zero duplicate
+    # normalized texts, so soft dedup's 1/n weighting (and any op keyed
+    # on exact-dup group size) was never exercised on the branch it
+    # exists for. One cross-source group of 3 and one within-source
+    # pair:
+    (6, "dup dup text", "en", "web", 12),
+    (7, "dup dup text", "en", "web", 12),
+    (8, "dup dup text", "en", "news", 12),
+    (9, "twin pair", "de", "news", 9),
+    (10, "twin pair", "de", "news", 9),
+    # a 100-token doc: longer than the packing sweep's smallest budget,
+    # so concat-and-split bin spanning and truncation loss engage
+    (11, _LONG_TEXT, "en", "web", len(_LONG_TEXT)),
 ]
 
 _DOC_QUERIES = (
@@ -187,7 +202,36 @@ _DOC_QUERIES = (
     "cross_source_dup_matrix",
     "neardup_degree_histogram",
     "quality_source_fair_threshold",
+    # r15: the duplicate groups above make the 1/n weighting real; the
+    # long doc makes the packing sweep's truncation/bin-spanning
+    # branches real; the temperature sweep sees a 3-source corpus
+    "soft_dedup_weights_stats",
+    "packing_efficiency_sweep",
+    "mixture_temperature_sweep",
 )
+
+
+def test_soft_dedup_weights_on_crafted_duplicates(spark, crafted_docs_dir):
+    """Hand-computed 1/n masses on the known duplicate groups: the
+    'dup dup text' clique (n=3, split 2 web + 1 news) and the 'twin
+    pair' (n=2, news). web = 5 uniques + 2/3; news = 1/3 + 1/2 + 1/2;
+    junk = 1 unique. A wrong weighting expression (n*grp instead of
+    n/grp, wrong fingerprint key) cannot pass these."""
+    rows = {
+        r["source"]: r
+        for r in registry.REGISTRY["soft_dedup_weights_stats"]
+        .fn(spark, crafted_docs_dir)
+        .collect()
+    }
+    web, news, junk = rows["web"], rows["news"], rows["junk"]
+    assert web["docs"] == 7 and web["dup_docs"] == 2
+    assert abs(web["effective_docs"] - (5 + 2 * 0.333333)) < 1e-9
+    assert news["docs"] == 3 and news["dup_docs"] == 3
+    assert abs(news["effective_docs"] - (0.333333 + 0.5 + 0.5)) < 1e-9
+    assert junk["docs"] == 1 and junk["dup_docs"] == 0
+    assert junk["effective_docs"] == 1.0 and junk["char_retention"] == 1.0
+    assert 0.0 < web["char_retention"] < 1.0
+    assert 0.0 < news["char_retention"] < 1.0
 
 
 @pytest.fixture(scope="module")

@@ -232,6 +232,15 @@ def test_packing_sweep_is_monotone_and_matches_single_budget(spark, sf_dir):
     for r in rows:
         assert 0 <= r["trunc_tokens_lost"] <= r["total_tokens"]
         assert 0 <= r["docs_over_budget"] <= r["docs"]
+    # non-degenerate operating point (r15 review): the smallest grid
+    # budget sits below the fixture's longest document, so the
+    # truncation branch is GENUINELY exercised -- a wrong loss
+    # expression can no longer hide behind all-zeros
+    smallest = min(r["budget"] for r in rows)
+    engaged = next(r for r in rows if r["budget"] == smallest)
+    assert engaged["docs_over_budget"] > 0
+    assert engaged["trunc_tokens_lost"] > 0
+    assert engaged["trunc_loss_frac"] > 0.0
     single = _Q["sequence_packing_stats"](spark, sf_dir).collect()
     by_b = {r["budget"]: r for r in rows}
     assert by_b[_SEQ_BUDGET]["bins"] == sum(r["bins"] for r in single)
