@@ -162,10 +162,25 @@ def _load_prev_artifact(here: str) -> tuple[dict | None, str | None]:
 # the measurement that earned the tag.
 WIDE_BAND = {
     "embedding_near_dup_pairs": (
-        "r13 same-code envelope +-0.4s on a ~1.4s median (~57%)"
+        "r13 envelope +-0.4s on ~1.4s median (~57%); r15 sessions 27%/26%"
     ),
     "leakage_safe_split_stats": (
-        "r14 same-code envelope 3.09-4.43s, median 3.78 (~35%)"
+        "r14 envelope 3.09-4.43s, median 3.78 (~35%); r15 33%/19%"
+    ),
+    # r15 close-out: the two-observation rule (BENCH_NOTES) admitted
+    # three more from the round's TWO same-code 8-run envelope
+    # sessions (identical headline/LLM code, two hours apart):
+    "semantic_dedup_cascade_stats": (
+        "r15 same-code sessions 84% and 55% of median"
+    ),
+    "doc_contamination_fraction": (
+        "r15 same-code sessions 45% and 45% of median"
+    ),
+    "dedup_cascade_stats": (
+        "r15 same-code sessions 33% and 38% of median"
+    ),
+    "source_unigram_kl": (
+        "r15 sessions 45% and 25%, plus one spurious in-probe flag"
     ),
 }
 
