@@ -59,6 +59,22 @@ _EMB_QUERIES = (
     "embedding_sign_hamming_topk",
     "knn_label_purity",
     "label_centroid_outliers",
+    # r15: the two-level family and the filtered/incremental/balanced
+    # ops on the degenerate corpus -- 7 vectors < k floor, a zero-norm
+    # row inside a probed list, a query whose label slice holds fewer
+    # than k candidates (filtered exact_k underfills), and ZERO
+    # arrivals for the incremental assign (no vec_id % 8 == 0 here):
+    # every branch must stay hash-exact on both engines
+    "embedding_kmeans_twolevel_profile",
+    "ann_twolevel_ivf_topk",
+    "ann_twolevel_recall",
+    "semantic_dedup_twolevel_stats",
+    "embedding_decontamination_scan",
+    "ann_filtered_topk",
+    "ann_filtered_recall",
+    "ann_filtered_probe_sweep",
+    "cluster_balanced_sample_stats",
+    "ann_index_incremental_assign",
 )
 
 
