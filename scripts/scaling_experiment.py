@@ -272,6 +272,13 @@ SKEW_QUERIES = (
     # is exactly what spreads a hot label across reducers; measured,
     # not asserted.
     "label_centroid_outliers",
+    # r15: filtered search keys its probe fetch on cluster and its
+    # predicate on label -- the hot label (49% of rows after 8x) is
+    # the worst case for the label-filtered list scan; the balanced
+    # sample's leaf windows must survive one coarse cluster holding
+    # half the corpus (leaves still cap at ~target by construction).
+    "ann_filtered_topk",
+    "cluster_balanced_sample_stats",
 )
 SKEW_K = 8
 
