@@ -892,3 +892,113 @@ def pareto_frontier(base: DataFrame) -> DataFrame:
         )
         .drop("gm", "rk", "hi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level (paragraph-granularity) exact dedup: the boilerplate audit
+# ---------------------------------------------------------------------------
+
+# DISJOINT windows (stride == width, unlike document_chunks' overlapped
+# retrieval windows): overlapping units would count the same repeated
+# span multiple times and inflate the dup rate.
+_DEDUP_CHUNK_TOKENS = 64
+
+
+@query(
+    "chunk_dedup_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               toks[k * {_DEDUP_CHUNK_TOKENS} + 1
+                    : k * {_DEDUP_CHUNK_TOKENS} + {_DEDUP_CHUNK_TOKENS}],
+               ' ')) AS fp
+      FROM t, LATERAL unnest(range(0,
+        (len(toks) + {_DEDUP_CHUNK_TOKENS - 1}) // {_DEDUP_CHUNK_TOKENS}
+      )) AS u(k)
+      WHERE len(toks) > 0
+    ),
+    g AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY fp) AS grp_n FROM c
+    )
+    SELECT source,
+           COUNT(*) AS chunks,
+           CAST(SUM(CASE WHEN grp_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
+           {dround_sql(
+               'SUM(CASE WHEN grp_n > 1 THEN 1 ELSE 0 END)'
+               ' / CAST(COUNT(*) AS DOUBLE)', 4)} AS chunk_dup_rate,
+           CAST(COUNT(DISTINCT CASE WHEN grp_n > 1 THEN doc_id END)
+                AS BIGINT) AS docs_with_dup_chunk
+    FROM g
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm-dedup", "llm-text"),
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-granularity exact dedup audit: split every document
+    into disjoint {64}-token chunks, fingerprint each, and count
+    chunks whose fingerprint repeats ANYWHERE in the corpus -- the
+    signal that catches boilerplate (shared headers, footers, license
+    blocks, templated spans) that whole-document dedup structurally
+    misses because the surrounding text differs. Emits the per-source
+    audit a curation pipeline alerts on: chunk counts, repeated-chunk
+    counts and rate, and how many documents carry at least one
+    repeated chunk. (Whole-document duplicates show up here too: all
+    their chunks repeat.)
+
+    Shape at scale: the explode multiplies rows by ~tokens/{64}
+    carrying only (doc_id, source, 32-byte fp) -- never the text; the
+    group-size pass is ONE window keyed by the uniform fingerprint (no
+    skew, no pairs, no collapse), then a source rollup. This is the
+    exact-dedup cost class applied at chunk granularity, linear in
+    corpus tokens at any size."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    n_chunks = F.expr(
+        f"(size(toks) + {_DEDUP_CHUNK_TOKENS - 1})"
+        f" DIV {_DEDUP_CHUNK_TOKENS}"
+    )
+    c = t.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("k"),
+        "toks",
+    ).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("toks"),
+                    F.col("k") * _DEDUP_CHUNK_TOKENS + 1,
+                    _DEDUP_CHUNK_TOKENS,
+                ),
+            )
+        ).alias("fp"),
+    )
+    g = c.withColumn("grp_n", F.count("*").over(Window.partitionBy("fp")))
+    dup = F.when(F.col("grp_n") > 1, 1).otherwise(0)
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count("*").alias("chunks"),
+            F.sum(dup).cast("long").alias("dup_chunks"),
+            dround(
+                F.sum(dup) / F.count("*").cast("double"), 4
+            ).alias("chunk_dup_rate"),
+            F.countDistinct(
+                F.when(F.col("grp_n") > 1, F.col("doc_id"))
+            ).alias("docs_with_dup_chunk"),
+        )
+        .orderBy("source")
+    )

@@ -224,7 +224,29 @@ _DOC_QUERIES = (
     "soft_dedup_weights_stats",
     "packing_efficiency_sweep",
     "mixture_temperature_sweep",
+    "chunk_dedup_stats",
 )
+
+
+def test_chunk_dedup_counts_on_crafted_duplicates(spark, crafted_docs_dir):
+    """Hand-computed chunk-dup accounting: every crafted doc is <= 64
+    tokens except the 100-token one (2 chunks, both unique), so the
+    dup chunks are exactly the duplicate-GROUP members -- web carries
+    the two 'dup dup text' copies, news carries its one copy plus the
+    'twin pair' pair; the empty doc contributes no chunk."""
+    rows = {
+        r["source"]: r
+        for r in registry.REGISTRY["chunk_dedup_stats"]
+        .fn(spark, crafted_docs_dir)
+        .collect()
+    }
+    web, news, junk = rows["web"], rows["news"], rows["junk"]
+    assert web["chunks"] == 7  # docs 1,4,5,6,7 (1 each) + doc 11 (2)
+    assert web["dup_chunks"] == 2 and web["docs_with_dup_chunk"] == 2
+    assert news["chunks"] == 3
+    assert news["dup_chunks"] == 3 and news["docs_with_dup_chunk"] == 3
+    assert junk["chunks"] == 1 and junk["dup_chunks"] == 0
+    assert junk["chunk_dup_rate"] == 0.0
 
 
 def test_soft_dedup_weights_on_crafted_duplicates(spark, crafted_docs_dir):
