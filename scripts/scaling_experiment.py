@@ -251,6 +251,11 @@ CORPUS_QUERIES = (
     "soft_dedup_weights_stats",
     "ann_index_incremental_assign",
     "mixture_temperature_sweep",
+    # r15 late: chunk-level exact dedup -- one fingerprint-keyed window
+    # over (doc_id, source, fp) rows, linear in corpus tokens
+    # (authoring-time focused: 1.03 -> 0.82 s at 8x, ratio 0.8 --
+    # sub-second fixed overheads dominate at this scale)
+    "chunk_dedup_stats",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)
