@@ -1979,3 +1979,117 @@ def ann_filtered_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("n_probes")
     )
     return _finalize(spark, out)
+
+
+# ---------------------------------------------------------------------------
+# Filtered two-level probe: the extreme-n FILTERED serving shape
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_twolevel_filtered_topk",
+    oracle=f"""
+    {_kmeans_sql_prefix(k_sql=_K1_SQL)},
+    {_TWOLEVEL_CTES},
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS qlabel
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    p1 AS (
+      SELECT c.cluster
+      FROM c{_ITERS - 1} c CROSS JOIN q
+      ORDER BY {dround_sql(_COS_SQL.format(a='c.cv', b='q.qv'), 6)}
+               DESC NULLS LAST, c.cluster
+      LIMIT {_N_FILTERED_PROBES}
+    ),
+    p2 AS (
+      SELECT s.cluster, s.sub
+      FROM seeds2 s JOIN p1 USING (cluster) CROSS JOIN q
+      QUALIFY row_number() OVER (
+        PARTITION BY s.cluster
+        ORDER BY {dround_sql(_COS_SQL.format(a='s.sv', b='q.qv'), 6)}
+                 DESC NULLS LAST, s.sub) <= {_N_SUB_PROBES}
+    )
+    SELECT f.vec_id, f.cluster, f.sub, e.label,
+           {dround_sql(_COS_SQL.format(a='f.dv', b='q.qv'), 6)} AS cos_sim
+    FROM f
+    JOIN p2 USING (cluster, sub)
+    JOIN embeddings e ON e.vec_id = f.vec_id
+    CROSS JOIN q
+    WHERE f.vec_id <> q.qid AND e.label = q.qlabel
+    ORDER BY cos_sim DESC NULLS LAST, f.vec_id
+    LIMIT {_TOP_K}
+    """,
+    tags=("llm-similarity", "llm-clustering"),
+)
+@_scoped
+def ann_twolevel_filtered_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The two r15 serving themes composed: a metadata predicate
+    applied DURING the leaf-list scan of the TWO-LEVEL sqrt-k index --
+    the shape a 100 TB filtered vector search actually runs, where the
+    linear-k index is infeasible (4M broadcast centroids at n = 1e9)
+    and post-filtering under-fills. Probe _N_FILTERED_PROBES coarse
+    centroids (wider than the unfiltered two-level probe, same
+    selectivity argument as ann_filtered_topk), then _N_SUB_PROBES
+    sub-seeds within each, and exact-score only the label-matching
+    members of those (cluster, sub) leaves.
+
+    Shape at scale: the label payload joins into the leaf lists once
+    at index-build time; query time touches ~probes*sub_probes*target
+    list entries with the predicate evaluated map-side; coarse
+    centroids and probed sub-seed rows ride broadcasts; the top-k is
+    TakeOrderedAndProject. Engine-exact end-to-end like every sibling
+    (unrolled coarse Lloyd + sub-seeding oracle, snapped cosines,
+    full tie-breaks)."""
+    emb_full = load_table(spark, sf_dir, "embeddings")
+    emb = emb_full.select("vec_id", _dvec(F.col("embedding")).alias("dv"))
+    _, cent, seeds2, fine = _twolevel_state_frames(emb)
+    lists = fine.join(emb_full.select("vec_id", "label"), "vec_id")
+    q = (
+        emb_full.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("qid"),
+            _dvec(F.col("embedding")).alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    p1 = (
+        cent.join(F.broadcast(q))
+        .select(
+            "cluster",
+            dround(_cos(F.col("cv"), F.col("qv")), 6).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), "cluster")
+        .limit(_N_FILTERED_PROBES)
+        .select("cluster")
+    )
+    w_p = Window.partitionBy("cluster").orderBy(
+        F.col("scos").desc_nulls_last(), F.col("sub")
+    )
+    p2 = (
+        seeds2.join(F.broadcast(p1), "cluster")
+        .join(F.broadcast(q))
+        .withColumn("scos", dround(_cos(F.col("sv"), F.col("qv")), 6))
+        .withColumn("rk", F.row_number().over(w_p))
+        .filter(F.col("rk") <= _N_SUB_PROBES)
+        .select("cluster", "sub", "qid", "qv", "qlabel")
+    )
+    return _finalize(spark, (
+        lists.join(F.broadcast(p2), ["cluster", "sub"])
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("label") == F.col("qlabel"))
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            "sub",
+            "label",
+            dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_TOP_K)
+    ))

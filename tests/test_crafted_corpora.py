@@ -75,6 +75,7 @@ _EMB_QUERIES = (
     "ann_filtered_probe_sweep",
     "cluster_balanced_sample_stats",
     "ann_index_incremental_assign",
+    "ann_twolevel_filtered_topk",
 )
 
 

@@ -247,3 +247,19 @@ def test_packing_sweep_is_monotone_and_matches_single_budget(spark, sf_dir):
     assert by_b[_SEQ_BUDGET]["total_tokens"] == sum(
         r["total_tokens"] for r in single
     )
+
+
+def test_twolevel_filtered_topk_respects_the_predicate(spark, sf_dir):
+    """Same contract as the linear-index filtered search, over the
+    two-level leaves: every hit carries the query's label, never the
+    query itself, no duplicate hits, at most k rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    rows = _Q["ann_twolevel_filtered_topk"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= _TOP_K
+    seen = set()
+    for r in rows:
+        assert r["label"] == qrow["label"]
+        assert r["vec_id"] != qrow["vec_id"]
+        seen.add(r["vec_id"])
+    assert len(seen) == len(rows)
