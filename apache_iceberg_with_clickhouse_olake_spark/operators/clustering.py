@@ -1119,6 +1119,37 @@ def ann_twolevel_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(spark, _ann_twolevel_frame(spark, sf_dir))
 
 
+def _twolevel_probe(
+    cent: DataFrame, seeds2: DataFrame, q: DataFrame, n_coarse: int
+) -> DataFrame:
+    """The probed (cluster, sub) leaf keys for query row ``q`` (whose
+    columns ride along): the ``n_coarse`` nearest coarse centroids,
+    then the _N_SUB_PROBES nearest sub-seeds within each -- the ONE
+    probe definition the unfiltered and filtered two-level ops share
+    (probe tie-breaks can never de-synchronize them)."""
+    p1 = (
+        cent.join(F.broadcast(q))
+        .select(
+            "cluster",
+            dround(_cos(F.col("cv"), F.col("qv")), 6).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), "cluster")
+        .limit(n_coarse)
+        .select("cluster")
+    )
+    w_p = Window.partitionBy("cluster").orderBy(
+        F.col("scos").desc_nulls_last(), F.col("sub")
+    )
+    return (
+        seeds2.join(F.broadcast(p1), "cluster")
+        .join(F.broadcast(q))
+        .withColumn("scos", dround(_cos(F.col("sv"), F.col("qv")), 6))
+        .withColumn("rk", F.row_number().over(w_p))
+        .filter(F.col("rk") <= _N_SUB_PROBES)
+        .drop("scos", "rk", "sv")
+    )
+
+
 def _ann_twolevel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lazy two-level probe frame (plan tests pin the leaf-local scan
     shape BEFORE the materialization idiom collapses it)."""
@@ -1131,28 +1162,8 @@ def _ann_twolevel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("vec_id").alias("qid"), F.col("dv").alias("qv"))
     )
-    p1 = (
-        cent.join(F.broadcast(q))
-        .select(
-            "cluster",
-            dround(_cos(F.col("cv"), F.col("qv")), 6).alias("ccos"),
-        )
-        .orderBy(F.col("ccos").desc(), "cluster")
-        .limit(_N_PROBES)
-        .select("cluster")
-    )
-    w_p = Window.partitionBy("cluster").orderBy(
-        F.col("scos").desc_nulls_last(), F.col("sub")
-    )
-    p2 = (
-        seeds2.join(F.broadcast(p1), "cluster")
-        .join(F.broadcast(q))
-        .withColumn(
-            "scos", dround(_cos(F.col("sv"), F.col("qv")), 6)
-        )
-        .withColumn("rk", F.row_number().over(w_p))
-        .filter(F.col("rk") <= _N_SUB_PROBES)
-        .select("cluster", "sub", "qid", "qv")
+    p2 = _twolevel_probe(cent, seeds2, q, _N_PROBES).select(
+        "cluster", "sub", "qid", "qv"
     )
     return (
         fine.join(F.broadcast(p2), ["cluster", "sub"])
@@ -1445,7 +1456,14 @@ def _filtered_search_parts(spark: SparkSession, sf_dir: str):
     emb = emb_full.select("vec_id", _dvec(F.col("embedding")).alias("dv"))
     assigned, cent = _kmeans_state_frames(emb)
     lists = assigned.join(emb_full.select("vec_id", "label"), "vec_id")
-    q = (
+    return emb_full, lists, _filtered_query_row(emb_full), cent
+
+
+def _filtered_query_row(emb_full: DataFrame) -> DataFrame:
+    """The lowest-vec_id query row with its label payload (qid, qv,
+    qlabel) -- the ONE query-selection definition every filtered op
+    (linear-k and two-level) shares."""
+    return (
         emb_full.orderBy("vec_id")
         .limit(1)
         .select(
@@ -1454,7 +1472,6 @@ def _filtered_search_parts(spark: SparkSession, sf_dir: str):
             F.col("label").alias("qlabel"),
         )
     )
-    return emb_full, lists, q, cent
 
 
 def _filtered_probe(cent: DataFrame, q: DataFrame, width: int) -> DataFrame:
@@ -2043,41 +2060,26 @@ def ann_twolevel_filtered_topk(
     TakeOrderedAndProject. Engine-exact end-to-end like every sibling
     (unrolled coarse Lloyd + sub-seeding oracle, snapped cosines,
     full tie-breaks)."""
+    return _finalize(spark, _ann_twolevel_filtered_frame(spark, sf_dir))
+
+
+def _ann_twolevel_filtered_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lazy filtered two-level probe frame (plan tests pin the
+    leaf-keyed payload scan shape BEFORE the materialization idiom
+    collapses it), composed from the shared builders: the two-level
+    probe (shared with the unfiltered twin) over the filtered query
+    row (shared with the linear-k filtered ops)."""
     emb_full = load_table(spark, sf_dir, "embeddings")
     emb = emb_full.select("vec_id", _dvec(F.col("embedding")).alias("dv"))
     _, cent, seeds2, fine = _twolevel_state_frames(emb)
     lists = fine.join(emb_full.select("vec_id", "label"), "vec_id")
-    q = (
-        emb_full.orderBy("vec_id")
-        .limit(1)
-        .select(
-            F.col("vec_id").alias("qid"),
-            _dvec(F.col("embedding")).alias("qv"),
-            F.col("label").alias("qlabel"),
-        )
+    q = _filtered_query_row(emb_full)
+    p2 = _twolevel_probe(cent, seeds2, q, _N_FILTERED_PROBES).select(
+        "cluster", "sub", "qid", "qv", "qlabel"
     )
-    p1 = (
-        cent.join(F.broadcast(q))
-        .select(
-            "cluster",
-            dround(_cos(F.col("cv"), F.col("qv")), 6).alias("ccos"),
-        )
-        .orderBy(F.col("ccos").desc(), "cluster")
-        .limit(_N_FILTERED_PROBES)
-        .select("cluster")
-    )
-    w_p = Window.partitionBy("cluster").orderBy(
-        F.col("scos").desc_nulls_last(), F.col("sub")
-    )
-    p2 = (
-        seeds2.join(F.broadcast(p1), "cluster")
-        .join(F.broadcast(q))
-        .withColumn("scos", dround(_cos(F.col("sv"), F.col("qv")), 6))
-        .withColumn("rk", F.row_number().over(w_p))
-        .filter(F.col("rk") <= _N_SUB_PROBES)
-        .select("cluster", "sub", "qid", "qv", "qlabel")
-    )
-    return _finalize(spark, (
+    return (
         lists.join(F.broadcast(p2), ["cluster", "sub"])
         .filter(
             (F.col("vec_id") != F.col("qid"))
@@ -2092,4 +2094,4 @@ def ann_twolevel_filtered_topk(
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_TOP_K)
-    ))
+    )

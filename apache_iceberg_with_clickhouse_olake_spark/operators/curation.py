@@ -941,7 +941,7 @@ _DEDUP_CHUNK_TOKENS = 64
 )
 def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARAGRAPH-granularity exact dedup audit: split every document
-    into disjoint {64}-token chunks, fingerprint each, and count
+    into disjoint 64-token chunks, fingerprint each, and count
     chunks whose fingerprint repeats ANYWHERE in the corpus -- the
     signal that catches boilerplate (shared headers, footers, license
     blocks, templated spans) that whole-document dedup structurally
@@ -951,14 +951,12 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated chunk. (Whole-document duplicates show up here too: all
     their chunks repeat.)
 
-    Shape at scale: the explode multiplies rows by ~tokens/{64}
+    Shape at scale: the explode multiplies rows by ~tokens/64
     carrying only (doc_id, source, 32-byte fp) -- never the text; the
     group-size pass is ONE window keyed by the uniform fingerprint (no
     skew, no pairs, no collapse), then a source rollup. This is the
     exact-dedup cost class applied at chunk granularity, linear in
     corpus tokens at any size."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "source", tokens(F.col("text")).alias("toks")

@@ -168,7 +168,7 @@ WIDE_BAND = {
         "r14 envelope 3.09-4.43s, median 3.78 (~35%); r15 33%/19%"
     ),
     # r15 close-out: the two-observation rule (BENCH_NOTES) admitted
-    # three more from the round's TWO same-code 8-run envelope
+    # four more from the round's TWO same-code 8-run envelope
     # sessions (identical headline/LLM code, two hours apart):
     "semantic_dedup_cascade_stats": (
         "r15 same-code sessions 84% and 55% of median"

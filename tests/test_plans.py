@@ -861,6 +861,16 @@ def test_filtered_ann_and_balanced_sample_plans_stay_keyed(spark, sf_dir):
         # (the plan's one rangepartitioning is the orderBy on the
         # k1-row RESULT -- a result sort, not a corpus sort, so it is
         # not asserted away here)
+        # r15 late: the filtered TWO-LEVEL probe keeps the same
+        # contract -- bounded leaf fetch, top-k head, no corpus sort
+        from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (  # noqa: E501
+            _ann_twolevel_filtered_frame,
+        )
+
+        tlf_plan = physical_plan(_ann_twolevel_filtered_frame(spark, sf_dir))
+        assert "CartesianProduct" not in tlf_plan, tlf_plan
+        assert "TakeOrderedAndProject" in tlf_plan, tlf_plan
+        assert "rangepartitioning" not in tlf_plan.lower(), tlf_plan
     finally:
         release_caches()
 

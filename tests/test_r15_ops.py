@@ -21,13 +21,20 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def test_filtered_topk_respects_the_predicate(spark, sf_dir):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "op", ["ann_filtered_topk", "ann_twolevel_filtered_topk"]
+)
+def test_filtered_topk_respects_the_predicate(spark, sf_dir, op):
     """Every hit carries the query vector's own label (the filter is
     applied during the list scan, so nothing else can leak through),
-    never the query itself, and at most k rows come back."""
+    never the query itself, and at most k rows come back -- the shared
+    contract of BOTH filtered indexes (linear-k and two-level)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.orderBy("vec_id").limit(1).collect()[0]
-    rows = _Q["ann_filtered_topk"](spark, sf_dir).collect()
+    rows = _Q[op](spark, sf_dir).collect()
     assert 0 < len(rows) <= _TOP_K
     seen = set()
     for r in rows:
@@ -249,17 +256,5 @@ def test_packing_sweep_is_monotone_and_matches_single_budget(spark, sf_dir):
     )
 
 
-def test_twolevel_filtered_topk_respects_the_predicate(spark, sf_dir):
-    """Same contract as the linear-index filtered search, over the
-    two-level leaves: every hit carries the query's label, never the
-    query itself, no duplicate hits, at most k rows."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
-    rows = _Q["ann_twolevel_filtered_topk"](spark, sf_dir).collect()
-    assert 0 < len(rows) <= _TOP_K
-    seen = set()
-    for r in rows:
-        assert r["label"] == qrow["label"]
-        assert r["vec_id"] != qrow["vec_id"]
-        seen.add(r["vec_id"])
-    assert len(seen) == len(rows)
+# (the two-level filtered probe shares
+# test_filtered_topk_respects_the_predicate via its parametrization)
