@@ -67,66 +67,66 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # family embedding_kmeans_twolevel_profile / ann_twolevel_ivf_topk /
 # ann_twolevel_recall / semantic_dedup_twolevel_stats, clustering.py,
 # and embedding_decontamination_scan, similarity.py).
-# Accounting: round start is 218 registered / 211 ever driver-checked
-# (CORRECTNESS_r01..r14 union) / blind spot 7; this window's 7
-# first-driver rows land it at 0 when r15 closes — every registered
-# query driver-verified at least once. lonely_late_supplier and
-# order_part_lookup (displaced in r14 for the first two BPE ops)
-# return as already-checked tag carriers. From r16 onward the rotation
-# question becomes STALENESS, not coverage: scripts/next_rotation.py
-# prioritizes by rounds-since-last-green-row under the same per-op-id
-# cover invariant (r14 VERDICT item 3).
+# Accounting: r16 adopts scripts/rotation_r16_proposal.txt verbatim —
+# 50 names, 10 first-driver rows (the full r15-authored batch: four
+# filtered-ANN ops, incremental assign, balanced sampling, chunk/soft
+# dedup, and the two sweeps), closing the blind spot re-opened by r15's
+# new ops back to 0 for everything registered at r16 start. Selection
+# is staleness-first (scripts/next_rotation.py) under the per-op-id
+# cover invariant; at adoption the registry held 228 names, staleness
+# bound ceil(228/40) = 6 effective rounds for the non-new slots,
+# stalest in-window 13, stalest omitted 13.
 _PRIORITY = (
+    "ann_filtered_probe_sweep",  # first driver row
+    "ann_filtered_recall",  # first driver row
+    "ann_filtered_topk",  # first driver row
+    "ann_index_incremental_assign",  # first driver row
+    "ann_twolevel_filtered_topk",  # first driver row
+    "chunk_dedup_stats",  # first driver row
+    "cluster_balanced_sample_stats",  # first driver row
+    "mixture_temperature_sweep",  # first driver row
+    "packing_efficiency_sweep",  # first driver row
+    "soft_dedup_weights_stats",  # first driver row
+    "cdc_state_rollup",
+    "month_set_operations",
+    "order_price_quantiles",
+    "orders_status_rollup",
+    "revenue_by_region",
+    "salted_status_rollup",
+    "segment_lineitem_revenue",
+    "curation_pipeline",
+    "asof_click_to_purchase",
+    "gold_order_metrics",
+    "lake_update_where",
+    "events_sliding_windows",
     "scalar_functions",
     "high_value_orders",
-    "medallion_readback",
-    "lonely_late_supplier",
-    "revenue_mom_growth",
-    "corpus_build_pipeline",
-    "datagen_users",
+    "shipping_priority_topk",
     "schema_evolution_merge",
-    "table_counts",
     "cdc_change_log",
-    "cdc_upsert_state",
-    "ddl_roundtrip",
-    "streaming_vector_assign",
-    "unique_customers",
+    "monthly_revenue",
+    "time_travel_counts",
+    "table_counts",
     "silver_projection",
-    "order_part_lookup",
-    "current_date_sanity",
-    "parquet_layout_roundtrip",
+    "seed_literal_insert",
     "partition_pruning_roundtrip",
-    "session_length_distribution",
-    "order_date_range",
-    "distinct_status",
-    "daily_active_users",
+    "parquet_layout_roundtrip",
+    "ddl_roundtrip",
+    "current_date_sanity",
+    "dedup_removal_apply",
+    "streaming_dedup_exactly_once",
+    "event_props_json_stats",
+    "idle_rich_customers",
+    "session_settings_roundtrip",
+    "session_epoch_stats",
     "max_key_bootstrap",
+    "lake_compaction_stats",
+    "datagen_users",
     "datagen_products",
     "datagen_orders_by_status",
-    "session_epoch_stats",
     "datagen_ecommerce_counts",
-    "time_travel_counts",
-    "session_settings_roundtrip",
-    "lake_compaction_stats",
-    "seed_literal_insert",
+    "daily_active_users",
     "bucket_index_lookup",
-    "session_event_bigrams",
-    "streaming_restart_state",
-    "embedding_decontamination_scan",  # first driver row
-    "embedding_kmeans_twolevel_profile",  # first driver row
-    "ann_twolevel_ivf_topk",  # first driver row
-    "semantic_dedup_twolevel_stats",  # first driver row
-    "ann_twolevel_recall",  # first driver row
-    "bpe_pair_frequencies",  # first driver row
-    "bpe_heldout_compression",  # first driver row
-    "bpe_learn_merges",
-    "bpe_tokenize_corpus_stats",
-    "leakage_safe_split_stats",
-    "cross_source_dup_matrix",
-    "large_quantity_orders",
-    "intra_region_revenue",
-    "nation_trade_volume",
-    "brand_size_supplier_counts",
 )
 
 
