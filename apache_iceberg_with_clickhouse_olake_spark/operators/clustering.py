@@ -2095,3 +2095,111 @@ def _ann_twolevel_filtered_frame(
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_TOP_K)
     )
+
+
+@query(
+    "ann_twolevel_filtered_recall",
+    oracle=f"""
+    {_kmeans_sql_prefix(k_sql=_K1_SQL)},
+    {_TWOLEVEL_CTES},
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS qlabel
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    p1 AS (
+      SELECT c.cluster
+      FROM c{_ITERS - 1} c CROSS JOIN q
+      ORDER BY {dround_sql(_COS_SQL.format(a='c.cv', b='q.qv'), 6)}
+               DESC NULLS LAST, c.cluster
+      LIMIT {_N_FILTERED_PROBES}
+    ),
+    p2 AS (
+      SELECT s.cluster, s.sub
+      FROM seeds2 s JOIN p1 USING (cluster) CROSS JOIN q
+      QUALIFY row_number() OVER (
+        PARTITION BY s.cluster
+        ORDER BY {dround_sql(_COS_SQL.format(a='s.sv', b='q.qv'), 6)}
+                 DESC NULLS LAST, s.sub) <= {_N_SUB_PROBES}
+    ),
+    approx AS (
+      SELECT f.vec_id, 1 AS hit
+      FROM f
+      JOIN p2 USING (cluster, sub)
+      JOIN embeddings e ON e.vec_id = f.vec_id
+      CROSS JOIN q
+      WHERE f.vec_id <> q.qid AND e.label = q.qlabel
+      ORDER BY {dround_sql(_COS_SQL.format(a='f.dv', b='q.qv'), 6)}
+               DESC NULLS LAST, f.vec_id
+      LIMIT {_TOP_K}
+    ),
+    exact AS (
+      SELECT e.vec_id
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid AND e.label = q.qlabel
+      ORDER BY {dround_sql(
+          _COS_SQL.format(a='CAST(e.embedding AS DOUBLE[])', b='q.qv'), 6
+      )} DESC NULLS LAST, e.vec_id
+      LIMIT {_TOP_K}
+    )
+    SELECT q.qid,
+           COUNT(*) AS exact_k,
+           CAST(COUNT(a.hit) AS BIGINT) AS probe_hits,
+           {dround_sql(f'COUNT(a.hit) / {_TOP_K}.0', 4)} AS recall_at_k
+    FROM exact x
+    LEFT JOIN approx a USING (vec_id)
+    CROSS JOIN q
+    GROUP BY q.qid
+    """,
+    tags=("llm-similarity", "llm-clustering"),
+)
+@_scoped
+def ann_twolevel_filtered_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """recall@k of the FILTERED TWO-LEVEL probe against exact brute
+    force over the same label-filtered slice -- the missing eval for
+    the self-declared production serving shape (r15 shipped
+    ann_twolevel_filtered_topk without it; every other probe family
+    carries one). This prices _N_FILTERED_PROBES on the TWO-LEVEL
+    index specifically: the width was inherited from the linear-k
+    sweep, but the sqrt-k leaf fetch probes far fewer vectors per
+    list, so the selectivity penalty lands differently -- this row is
+    the number a tuner would move the width against. Same engine-exact
+    discipline as every sibling recall eval (snapped cosines, full
+    (cos, vec_id) tie-breaks on both sides, shared exact-side builder
+    _filtered_exact_topk and shared approx frame).
+
+    Shape at scale: the exact side is one broadcast-query scan over
+    the filtered slice with a TakeOrderedAndProject head; the approx
+    side is the bounded two-level leaf fetch with the predicate
+    evaluated map-side; the rollup compares two <= k-row frames."""
+    return _finalize(
+        spark, _ann_twolevel_filtered_recall_frame(spark, sf_dir)
+    )
+
+
+def _ann_twolevel_filtered_recall_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lazy recall-eval frame (plan tests pin the exact side's top-k
+    head and the <= k-row rollup joins BEFORE the materialization
+    idiom collapses them), composed entirely from shared builders."""
+    emb_full = load_table(spark, sf_dir, "embeddings")
+    q = _filtered_query_row(emb_full)
+    approx = _ann_twolevel_filtered_frame(spark, sf_dir).select(
+        "vec_id", F.lit(1).alias("hit")
+    )
+    exact = _filtered_exact_topk(emb_full, q)
+    return (
+        exact.join(approx, "vec_id", "left")
+        .crossJoin(F.broadcast(q.select("qid")))
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("exact_k"),
+            F.count("hit").cast("long").alias("probe_hits"),
+            dround(
+                F.count("hit") / F.lit(float(_TOP_K)), 4
+            ).alias("recall_at_k"),
+        )
+    )

@@ -76,6 +76,10 @@ _EMB_QUERIES = (
     "cluster_balanced_sample_stats",
     "ann_index_incremental_assign",
     "ann_twolevel_filtered_topk",
+    # r16: the filtered two-level recall eval on the degenerate corpus
+    # (query's label slice holds fewer than k candidates, so exact_k
+    # underfills and both engines must agree on the short set)
+    "ann_twolevel_filtered_recall",
 )
 
 

@@ -871,6 +871,21 @@ def test_filtered_ann_and_balanced_sample_plans_stay_keyed(spark, sf_dir):
         assert "CartesianProduct" not in tlf_plan, tlf_plan
         assert "TakeOrderedAndProject" in tlf_plan, tlf_plan
         assert "rangepartitioning" not in tlf_plan.lower(), tlf_plan
+        # r16: the filtered two-level RECALL eval keeps the contract on
+        # its exact side too -- brute force over the filtered slice is
+        # a broadcast-query scan with a top-k head, never a corpus
+        # sort; the rollup joins two <= k-row frames (broadcast hash)
+        from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (  # noqa: E501
+            _ann_twolevel_filtered_recall_frame,
+        )
+
+        rec_plan = physical_plan(
+            _ann_twolevel_filtered_recall_frame(spark, sf_dir)
+        )
+        assert "CartesianProduct" not in rec_plan, rec_plan
+        assert "TakeOrderedAndProject" in rec_plan, rec_plan
+        assert "rangepartitioning" not in rec_plan.lower(), rec_plan
+        assert "SortMergeJoin" not in rec_plan, rec_plan
     finally:
         release_caches()
 

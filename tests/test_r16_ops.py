@@ -1,0 +1,57 @@
+"""Semantic invariants of the round-16 operators (value-level
+correctness is oracle-checked by the driver/driver_sim; these pin the
+algebraic properties that survive fixture regeneration)."""
+
+from __future__ import annotations
+
+from apache_iceberg_with_clickhouse_olake_spark.operators import registry
+from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+    _TOP_K,
+)
+from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import (
+    load_table,
+)
+
+registry._load_all()
+_Q = {name: spec.fn for name, spec in registry.REGISTRY.items()}
+
+
+def test_twolevel_filtered_recall_is_consistent_with_its_topk(
+    spark, sf_dir
+):
+    """The recall row must be the literal overlap between
+    ann_twolevel_filtered_topk's hit set and the filtered exact top-k:
+    probe_hits <= exact_k <= k, recall == probe_hits/k, and every
+    counted hit is a vec_id the topk op actually returned."""
+    rec = _Q["ann_twolevel_filtered_recall"](spark, sf_dir).collect()
+    assert len(rec) == 1
+    r = rec[0]
+    assert r["exact_k"] == _TOP_K  # the fixture label slice holds >= k
+    assert 0 <= r["probe_hits"] <= r["exact_k"]
+    assert abs(r["recall_at_k"] - round(r["probe_hits"] / _TOP_K, 4)) < 1e-9
+    # overlap recomputed from the two ops' own outputs
+    approx_ids = {
+        row["vec_id"]
+        for row in _Q["ann_twolevel_filtered_topk"](spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    assert qrow["vec_id"] == r["qid"]
+    assert len(approx_ids) <= _TOP_K
+    # the recall eval's hit count can never exceed the topk hit count
+    assert r["probe_hits"] <= len(approx_ids)
+
+
+def test_twolevel_filtered_recall_never_beats_unfiltered_probe_budget(
+    spark, sf_dir
+):
+    """Sanity on the probe-budget ordering: the filtered two-level
+    probe inspects a label-thinned slice of the same leaves the
+    unfiltered two-level probe scans (wider coarse probe, same
+    sub-probe width), so its recall is a real number in [0, 1] and the
+    eval is non-degenerate on the fixtures (the probed leaves contain
+    at least one label match -- the topk op returns rows)."""
+    r = _Q["ann_twolevel_filtered_recall"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["recall_at_k"] <= 1.0
+    topk_rows = _Q["ann_twolevel_filtered_topk"](spark, sf_dir).collect()
+    assert len(topk_rows) > 0
