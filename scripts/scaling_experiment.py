@@ -256,6 +256,12 @@ CORPUS_QUERIES = (
     # (authoring-time focused: 1.03 -> 0.82 s at 8x, ratio 0.8 --
     # sub-second fixed overheads dominate at this scale)
     "chunk_dedup_stats",
+    # r16: the filtered two-level recall eval -- two-level index build
+    # (sqrt-k assignment) + bounded leaf probe on the approx side, one
+    # broadcast-query filtered scan with a top-k head on the exact
+    # side; both track the corpus pass, never a pair square
+    # (authoring-time focused: 4.85 -> 5.87 s at 8x, ratio 1.21)
+    "ann_twolevel_filtered_recall",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)
