@@ -2203,3 +2203,364 @@ def _ann_twolevel_filtered_recall_frame(
             ).alias("recall_at_k"),
         )
     )
+
+
+@query(
+    "ann_twolevel_probe_sweep",
+    oracle=f"""
+    {_kmeans_sql_prefix(k_sql=_K1_SQL)},
+    {_TWOLEVEL_CTES},
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS qlabel
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    pr AS (
+      SELECT cluster,
+             row_number() OVER (ORDER BY ccos DESC NULLS LAST, cluster)
+               AS prank
+      FROM (
+        SELECT c.cluster,
+               {dround_sql(_COS_SQL.format(a='c.cv', b='q.qv'), 6)}
+                 AS ccos
+        FROM c{_ITERS - 1} c CROSS JOIN q
+        ORDER BY ccos DESC NULLS LAST, cluster
+        LIMIT {max(_SWEEP_PROBE_WIDTHS)}
+      )
+    ),
+    p2 AS (
+      SELECT s.cluster, s.sub, pr.prank
+      FROM seeds2 s JOIN pr USING (cluster) CROSS JOIN q
+      QUALIFY row_number() OVER (
+        PARTITION BY s.cluster
+        ORDER BY {dround_sql(_COS_SQL.format(a='s.sv', b='q.qv'), 6)}
+                 DESC NULLS LAST, s.sub) <= {_N_SUB_PROBES}
+    ),
+    wg AS (
+      SELECT CAST(w AS BIGINT) AS n_probes
+      FROM (VALUES {", ".join(f"({x})" for x in _SWEEP_PROBE_WIDTHS)}) v(w)
+    ),
+    cand AS (
+      SELECT g.n_probes, f.vec_id,
+             {dround_sql(_COS_SQL.format(a='f.dv', b='q.qv'), 6)}
+               AS cos_sim
+      FROM f
+      JOIN p2 USING (cluster, sub)
+      JOIN wg g ON p2.prank <= g.n_probes
+      JOIN embeddings e ON e.vec_id = f.vec_id
+      CROSS JOIN q
+      WHERE f.vec_id <> q.qid AND e.label = q.qlabel
+    ),
+    approx AS (
+      SELECT n_probes, vec_id FROM cand
+      QUALIFY row_number() OVER (
+        PARTITION BY n_probes
+        ORDER BY cos_sim DESC NULLS LAST, vec_id) <= {_TOP_K}
+    ),
+    exact AS (
+      SELECT e.vec_id
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid AND e.label = q.qlabel
+      ORDER BY {dround_sql(
+          _COS_SQL.format(a='CAST(e.embedding AS DOUBLE[])', b='q.qv'), 6
+      )} DESC NULLS LAST, e.vec_id
+      LIMIT {_TOP_K}
+    ),
+    cost AS (
+      SELECT n_probes, COUNT(*) AS n_candidates FROM cand
+      GROUP BY n_probes
+    )
+    SELECT g.n_probes,
+           CAST(COALESCE(MAX(c.n_candidates), 0) AS BIGINT)
+             AS n_candidates,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS probe_hits,
+           {dround_sql(f'COUNT(a.vec_id) / {_TOP_K}.0', 4)} AS recall_at_k
+    FROM wg g
+    CROSS JOIN exact x
+    LEFT JOIN approx a ON a.n_probes = g.n_probes AND a.vec_id = x.vec_id
+    LEFT JOIN cost c ON c.n_probes = g.n_probes
+    GROUP BY g.n_probes
+    ORDER BY g.n_probes
+    """,
+    tags=("llm-similarity", "llm-clustering"),
+)
+@_scoped
+def ann_twolevel_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price the coarse probe-width dial ON THE TWO-LEVEL INDEX for
+    the filtered serving shape -- the r15 gap the recall eval exposed:
+    ann_twolevel_filtered_topk's width was inherited from the LINEAR-K
+    sweep (ann_filtered_probe_sweep), but the sqrt-k leaf fetch pulls
+    ~sub_probes*target candidates per probed coarse cluster instead of
+    a whole coarse list, so the cost axis of the same dial is an order
+    leaner and the recall/width curve lands differently. For widths
+    1..4 (sub-probe width fixed at _N_SUB_PROBES): filtered candidate
+    count and recall@k against exact filtered brute force.
+
+    Shape at scale: ONE two-level index build and ONE leaf-list pass
+    at the WIDEST probe serve every width (the width grid joins the
+    coarse prank <= w predicate against a <= 4-row broadcast);
+    candidates persist once and feed both rollups; probed sub-seed
+    selection is a per-cluster window over <= maxw*k2 broadcast rows.
+    Exact side is the shared filtered brute-force baseline
+    (_filtered_exact_topk); snapped cosines and full tie-breaks keep
+    both engines hash-exact."""
+    return _finalize(spark, _twolevel_sweep_frame(spark, sf_dir))
+
+
+def _twolevel_sweep_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy two-level sweep frame (plan tests pin the one-leaf-pass /
+    broadcast-grid shape BEFORE the materialization idiom collapses
+    it)."""
+    emb_full = load_table(spark, sf_dir, "embeddings")
+    emb = emb_full.select("vec_id", _dvec(F.col("embedding")).alias("dv"))
+    _, cent, seeds2, fine = _twolevel_state_frames(emb)
+    lists = fine.join(emb_full.select("vec_id", "label"), "vec_id")
+    q = _filtered_query_row(emb_full)
+    maxw = max(_SWEEP_PROBE_WIDTHS)
+    probe_top = (
+        cent.join(F.broadcast(q))
+        .select(
+            "cluster",
+            dround(_cos(F.col("cv"), F.col("qv")), 6).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc_nulls_last(), "cluster")
+        .limit(maxw)
+    )
+    w_pr = Window.orderBy(F.col("ccos").desc_nulls_last(), "cluster")
+    pr = probe_top.withColumn("prank", F.row_number().over(w_pr)).select(
+        "cluster", "prank"
+    )
+    w_p = Window.partitionBy("cluster").orderBy(
+        F.col("scos").desc_nulls_last(), F.col("sub")
+    )
+    p2 = (
+        seeds2.join(F.broadcast(pr), "cluster")
+        .join(F.broadcast(q))
+        .withColumn("scos", dround(_cos(F.col("sv"), F.col("qv")), 6))
+        .withColumn("rk", F.row_number().over(w_p))
+        .filter(F.col("rk") <= _N_SUB_PROBES)
+        .select("cluster", "sub", "prank")
+    )
+    widths = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[F.lit(x).cast("long") for x in _SWEEP_PROBE_WIDTHS]
+            )
+        ).alias("n_probes")
+    )
+    cand = _persist(
+        lists.join(F.broadcast(p2), ["cluster", "sub"])
+        .join(F.broadcast(widths), F.col("prank") <= F.col("n_probes"))
+        .join(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("label") == F.col("qlabel"))
+        )
+        .select(
+            "n_probes",
+            "vec_id",
+            dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    w_rk = Window.partitionBy("n_probes").orderBy(
+        F.col("cos_sim").desc_nulls_last(), F.col("vec_id")
+    )
+    approx = (
+        cand.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("n_probes", "vec_id", F.lit(1).alias("hit"))
+    )
+    exact = _filtered_exact_topk(emb_full, q)
+    cost = cand.groupBy("n_probes").agg(
+        F.count("*").alias("n_candidates")
+    )
+    out = (
+        widths.crossJoin(exact)
+        # both rollup sides are <= widths*k rows -- broadcast them so
+        # the final stitch never plans a sort-merge exchange pair
+        .join(F.broadcast(approx), ["n_probes", "vec_id"], "left")
+        .groupBy("n_probes")
+        .agg(
+            F.count("hit").cast("long").alias("probe_hits"),
+            dround(
+                F.count("hit") / F.lit(float(_TOP_K)), 4
+            ).alias("recall_at_k"),
+        )
+        .join(F.broadcast(cost), "n_probes", "left")
+        .select(
+            "n_probes",
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            "probe_hits",
+            "recall_at_k",
+        )
+        .orderBy("n_probes")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batch serving: a query BATCH through the two-level probe, per-query
+# recall -- the shape a production ANN service actually executes
+# ---------------------------------------------------------------------------
+
+_N_BATCH_QUERIES = 8
+
+
+@query(
+    "ann_twolevel_batch_recall",
+    oracle=f"""
+    {_kmeans_sql_prefix(k_sql=_K1_SQL)},
+    {_TWOLEVEL_CTES},
+    qb AS (
+      SELECT vec_id AS qid, dv AS qv FROM v
+      ORDER BY vec_id LIMIT {_N_BATCH_QUERIES}
+    ),
+    p1 AS (
+      SELECT qb.qid, c.cluster
+      FROM c{_ITERS - 1} c CROSS JOIN qb
+      QUALIFY row_number() OVER (
+        PARTITION BY qb.qid
+        ORDER BY {dround_sql(_COS_SQL.format(a='c.cv', b='qb.qv'), 6)}
+                 DESC NULLS LAST, c.cluster) <= {_N_PROBES}
+    ),
+    p2 AS (
+      SELECT p1.qid, s.cluster, s.sub
+      FROM seeds2 s
+      JOIN p1 USING (cluster)
+      JOIN qb ON qb.qid = p1.qid
+      QUALIFY row_number() OVER (
+        PARTITION BY p1.qid, s.cluster
+        ORDER BY {dround_sql(_COS_SQL.format(a='s.sv', b='qb.qv'), 6)}
+                 DESC NULLS LAST, s.sub) <= {_N_SUB_PROBES}
+    ),
+    approx AS (
+      SELECT p2.qid, f.vec_id, 1 AS hit
+      FROM f
+      JOIN p2 ON f.cluster = p2.cluster AND f.sub = p2.sub
+      JOIN qb ON qb.qid = p2.qid
+      WHERE f.vec_id <> p2.qid
+      QUALIFY row_number() OVER (
+        PARTITION BY p2.qid
+        ORDER BY {dround_sql(_COS_SQL.format(a='f.dv', b='qb.qv'), 6)}
+                 DESC NULLS LAST, f.vec_id) <= {_TOP_K}
+    ),
+    exact AS (
+      SELECT qb.qid, e.vec_id
+      FROM v e CROSS JOIN qb
+      WHERE e.vec_id <> qb.qid
+      QUALIFY row_number() OVER (
+        PARTITION BY qb.qid
+        ORDER BY {dround_sql(_COS_SQL.format(a='e.dv', b='qb.qv'), 6)}
+                 DESC NULLS LAST, e.vec_id) <= {_TOP_K}
+    )
+    SELECT x.qid,
+           COUNT(*) AS exact_k,
+           CAST(COUNT(a.hit) AS BIGINT) AS probe_hits,
+           {dround_sql(f'COUNT(a.hit) / {_TOP_K}.0', 4)} AS recall_at_k
+    FROM exact x
+    LEFT JOIN approx a ON a.qid = x.qid AND a.vec_id = x.vec_id
+    GROUP BY x.qid
+    ORDER BY x.qid
+    """,
+    tags=("llm-similarity", "llm-clustering"),
+)
+@_scoped
+def ann_twolevel_batch_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A query BATCH through the two-level probe with per-query
+    recall@k -- every prior ANN eval here serves ONE query (a
+    LIMIT-headed plan); production serving amortizes the index over a
+    batch, which changes the Spark shape from global top-k to
+    PER-QUERY window top-k: coarse probe = one window over k1 x B
+    broadcast rows partitioned by qid, sub-probe = a (qid, cluster)
+    window, leaf fetch = the bounded (cluster, sub)-keyed join whose
+    fan-out is <= B per leaf, and the approx top-k a qid-partitioned
+    rank. The per-qid recall spread (vs the single-query ops' one
+    point) is what a capacity planner reads: tail queries whose true
+    neighbors straddle unprobed leaves.
+
+    Shape at scale: the index is built once; the probe tables ride
+    broadcasts (B, B*probes, B*probes*sub_probes rows); approx-side
+    work is ~B*probes*sub_probes*target leaf entries shuffled once on
+    qid. Only the EVAL's exact side pays n*B cosines (one corpus scan
+    cross-joined with the B-row broadcast, qid-windowed) -- the
+    recall baseline every sibling eval also pays, batched."""
+    return _finalize(spark, _batch_recall_frame(spark, sf_dir))
+
+
+def _batch_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy batch-recall frame (plan tests pin the broadcast-probe /
+    qid-window shape BEFORE the materialization idiom collapses it)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("dv")
+    )
+    _, cent, seeds2, fine = _twolevel_state_frames(emb)
+    qb = (
+        emb.orderBy("vec_id")
+        .limit(_N_BATCH_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("dv").alias("qv"))
+    )
+    w_p1 = Window.partitionBy("qid").orderBy(
+        F.col("ccos").desc_nulls_last(), "cluster"
+    )
+    p1 = (
+        cent.join(F.broadcast(qb))
+        .withColumn("ccos", dround(_cos(F.col("cv"), F.col("qv")), 6))
+        .withColumn("rk", F.row_number().over(w_p1))
+        .filter(F.col("rk") <= _N_PROBES)
+        .select("qid", "cluster")
+    )
+    w_p2 = Window.partitionBy("qid", "cluster").orderBy(
+        F.col("scos").desc_nulls_last(), "sub"
+    )
+    p2 = (
+        seeds2.join(F.broadcast(p1), "cluster")
+        .join(F.broadcast(qb), "qid")
+        .withColumn("scos", dround(_cos(F.col("sv"), F.col("qv")), 6))
+        .withColumn("rk", F.row_number().over(w_p2))
+        .filter(F.col("rk") <= _N_SUB_PROBES)
+        .select("qid", "cluster", "sub", "qv")
+    )
+    w_ak = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc_nulls_last(), "vec_id"
+    )
+    approx = (
+        fine.join(F.broadcast(p2), ["cluster", "sub"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w_ak))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("qid", "vec_id", F.lit(1).alias("hit"))
+    )
+    exact = (
+        emb.join(F.broadcast(qb), emb["vec_id"] != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w_ak))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("qid", "vec_id")
+    )
+    return (
+        # approx is <= B*k rows -- broadcast it so the rollup stitch
+        # never plans a sort-merge exchange pair
+        exact.join(F.broadcast(approx), ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("exact_k"),
+            F.count("hit").cast("long").alias("probe_hits"),
+            dround(
+                F.count("hit") / F.lit(float(_TOP_K)), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )

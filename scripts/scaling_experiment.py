@@ -262,6 +262,13 @@ CORPUS_QUERIES = (
     # side; both track the corpus pass, never a pair square
     # (authoring-time focused: 4.85 -> 5.87 s at 8x, ratio 1.21)
     "ann_twolevel_filtered_recall",
+    # r16: the two-level width sweep (one leaf pass at the widest
+    # probe serves every width; authoring-time focused: 4.04 -> 4.54 s
+    # at 8x, ratio 1.12) and the batch recall eval (index built once,
+    # B=8 queries probed in one pass; the n*B exact eval side is the
+    # only corpus-tracking stage; 3.67 -> 4.38 s, ratio 1.19)
+    "ann_twolevel_probe_sweep",
+    "ann_twolevel_batch_recall",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)

@@ -80,6 +80,12 @@ _EMB_QUERIES = (
     # (query's label slice holds fewer than k candidates, so exact_k
     # underfills and both engines must agree on the short set)
     "ann_twolevel_filtered_recall",
+    # r16: the sweep (widths 3,4 exceed the 2-coarse-cluster index --
+    # flat tail rows must agree) and the batch eval (batch LIMIT 8 on
+    # a 7-vector corpus returns ALL rows incl. the zero-norm query,
+    # whose every cosine is NULL on both engines)
+    "ann_twolevel_probe_sweep",
+    "ann_twolevel_batch_recall",
 )
 
 

@@ -886,6 +886,22 @@ def test_filtered_ann_and_balanced_sample_plans_stay_keyed(spark, sf_dir):
         assert "TakeOrderedAndProject" in rec_plan, rec_plan
         assert "rangepartitioning" not in rec_plan.lower(), rec_plan
         assert "SortMergeJoin" not in rec_plan, rec_plan
+        # r16: the two-level width sweep -- one leaf pass serves every
+        # width (the grid attaches as a broadcast range join, never a
+        # cartesian or a per-width rescan), and the batch eval -- all
+        # probe attaches broadcast, per-qid windows, no corpus sort
+        from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (  # noqa: E501
+            _batch_recall_frame,
+            _twolevel_sweep_frame,
+        )
+
+        sweep_plan = physical_plan(_twolevel_sweep_frame(spark, sf_dir))
+        assert "CartesianProduct" not in sweep_plan, sweep_plan
+        assert "SortMergeJoin" not in sweep_plan, sweep_plan
+        batch_plan = physical_plan(_batch_recall_frame(spark, sf_dir))
+        assert "CartesianProduct" not in batch_plan, batch_plan
+        assert "SortMergeJoin" not in batch_plan, batch_plan
+        assert "BroadcastHashJoin" in batch_plan, batch_plan
     finally:
         release_caches()
 

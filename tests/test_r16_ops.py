@@ -55,3 +55,64 @@ def test_twolevel_filtered_recall_never_beats_unfiltered_probe_budget(
     assert 0.0 <= r["recall_at_k"] <= 1.0
     topk_rows = _Q["ann_twolevel_filtered_topk"](spark, sf_dir).collect()
     assert len(topk_rows) > 0
+
+
+def test_twolevel_sweep_is_monotone_and_consistent(spark, sf_dir):
+    """Widening the coarse probe can only add candidates and hits; the
+    width-_N_FILTERED_PROBES row must agree exactly with
+    ann_twolevel_filtered_recall (same index, same query, same
+    sub-probe width -- the sweep IS that eval swept)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _N_FILTERED_PROBES,
+        _SWEEP_PROBE_WIDTHS,
+    )
+
+    rows = _Q["ann_twolevel_probe_sweep"](spark, sf_dir).collect()
+    assert [r["n_probes"] for r in rows] == sorted(_SWEEP_PROBE_WIDTHS)
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_candidates"] >= a["n_candidates"]
+        assert b["probe_hits"] >= a["probe_hits"]
+        assert b["recall_at_k"] >= a["recall_at_k"]
+    for r in rows:
+        assert 0 <= r["probe_hits"] <= _TOP_K
+        assert (
+            abs(r["recall_at_k"] - round(r["probe_hits"] / _TOP_K, 4))
+            < 1e-9
+        )
+    by_w = {r["n_probes"]: r for r in rows}
+    rec = _Q["ann_twolevel_filtered_recall"](spark, sf_dir).collect()[0]
+    assert by_w[_N_FILTERED_PROBES]["probe_hits"] == rec["probe_hits"]
+    assert by_w[_N_FILTERED_PROBES]["recall_at_k"] == rec["recall_at_k"]
+
+
+def test_batch_recall_covers_the_batch_and_matches_single(spark, sf_dir):
+    """One row per batch query (the B lowest vec_ids), each with the
+    recall contract (hits <= exact_k <= k, recall = hits/k); the
+    lowest-qid row must agree exactly with the single-query
+    ann_twolevel_recall (same index, same probe widths, same query)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _N_BATCH_QUERIES,
+    )
+
+    rows = _Q["ann_twolevel_batch_recall"](spark, sf_dir).collect()
+    assert len(rows) == _N_BATCH_QUERIES
+    emb = load_table(spark, sf_dir, "embeddings")
+    want_qids = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .orderBy("vec_id")
+        .limit(_N_BATCH_QUERIES)
+        .collect()
+    ]
+    assert [r["qid"] for r in rows] == want_qids
+    for r in rows:
+        assert r["exact_k"] == _TOP_K
+        assert 0 <= r["probe_hits"] <= r["exact_k"]
+        assert (
+            abs(r["recall_at_k"] - round(r["probe_hits"] / _TOP_K, 4))
+            < 1e-9
+        )
+    single = _Q["ann_twolevel_recall"](spark, sf_dir).collect()[0]
+    assert rows[0]["qid"] == single["qid"]
+    assert rows[0]["probe_hits"] == single["probe_hits"]
+    assert rows[0]["recall_at_k"] == single["recall_at_k"]
