@@ -2545,3 +2545,282 @@ def label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 label_centroid_outliers.__doc__ = label_centroid_outliers.__doc__.format(
     n=_OUTLIER_TOPN
 )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search (ADC) + exact re-rank: the memory-bound
+# production serving shape (Jegou et al.; FAISS IndexPQ / ScaNN rescoring)
+# ---------------------------------------------------------------------------
+
+_PQ_TOP_K = 10
+_PQ_RERANK = 30
+
+
+@query(
+    "pq_adc_topk_recall",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS cv,
+             ROW_NUMBER() OVER (ORDER BY {_PQ_MD5}, vec_id) AS rn
+      FROM embeddings
+      QUALIFY rn <= {_PQ_K}
+    ),
+    cb AS (SELECT CAST(rn - 1 AS INT) AS code, cv FROM ranked),
+    sub AS (SELECT CAST(s AS INT) AS subspace FROM range({_PQ_M}) t(s)),
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+          FROM embeddings),
+    adc AS (
+      SELECT sub.subspace, cb.code,
+             list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}), i ->
+               (q.qv[subspace * {_PQ_SUBDIM} + i]
+                  - cb.cv[subspace * {_PQ_SUBDIM} + i])
+               * (q.qv[subspace * {_PQ_SUBDIM} + i]
+                  - cb.cv[subspace * {_PQ_SUBDIM} + i])
+             )) AS d
+      FROM sub, cb, q
+    ),
+    dist AS (
+      SELECT e.vec_id, sub.subspace, cb.code,
+             list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}), i ->
+               (e.ev[subspace * {_PQ_SUBDIM} + i]
+                  - cb.cv[subspace * {_PQ_SUBDIM} + i])
+               * (e.ev[subspace * {_PQ_SUBDIM} + i]
+                  - cb.cv[subspace * {_PQ_SUBDIM} + i])
+             )) AS sqdist
+      FROM e, sub, cb
+    ),
+    best AS (
+      SELECT vec_id, subspace, code
+      FROM dist
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY sqdist, code) = 1
+    ),
+    piv AS (
+      SELECT vec_id,
+             MAX(CASE WHEN subspace = 0 THEN code END) AS c0,
+             MAX(CASE WHEN subspace = 1 THEN code END) AS c1,
+             MAX(CASE WHEN subspace = 2 THEN code END) AS c2,
+             MAX(CASE WHEN subspace = 3 THEN code END) AS c3
+      FROM best GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT p.vec_id,
+             {dround_sql('a0.d + a1.d + a2.d + a3.d', 6)} AS adc_dist
+      FROM piv p
+      JOIN adc a0 ON a0.subspace = 0 AND a0.code = p.c0
+      JOIN adc a1 ON a1.subspace = 1 AND a1.code = p.c1
+      JOIN adc a2 ON a2.subspace = 2 AND a2.code = p.c2
+      JOIN adc a3 ON a3.subspace = 3 AND a3.code = p.c3
+      CROSS JOIN q
+      WHERE p.vec_id <> q.qid
+    ),
+    adc_topk AS (
+      SELECT vec_id FROM scored
+      ORDER BY adc_dist ASC NULLS LAST, vec_id LIMIT {_PQ_TOP_K}
+    ),
+    cand AS (
+      SELECT vec_id FROM scored
+      ORDER BY adc_dist ASC NULLS LAST, vec_id LIMIT {_PQ_RERANK}
+    ),
+    rerank AS (
+      SELECT c.vec_id
+      FROM cand c JOIN e USING (vec_id) CROSS JOIN q
+      ORDER BY {dround_sql(
+          f"list_sum(list_transform(range(1, {_DIM + 1}), i ->"
+          " (e.ev[i] - q.qv[i]) * (e.ev[i] - q.qv[i])))", 6
+      )} ASC NULLS LAST, c.vec_id
+      LIMIT {_PQ_TOP_K}
+    ),
+    exact AS (
+      SELECT e.vec_id
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+      ORDER BY {dround_sql(
+          f"list_sum(list_transform(range(1, {_DIM + 1}), i ->"
+          " (e.ev[i] - q.qv[i]) * (e.ev[i] - q.qv[i])))", 6
+      )} ASC NULLS LAST, e.vec_id
+      LIMIT {_PQ_TOP_K}
+    )
+    SELECT q.qid,
+           COUNT(*) AS exact_k,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS adc_hits,
+           {dround_sql(f'COUNT(a.vec_id) / {_PQ_TOP_K}.0', 4)}
+             AS adc_recall,
+           CAST(COUNT(r.vec_id) AS BIGINT) AS rerank_hits,
+           {dround_sql(f'COUNT(r.vec_id) / {_PQ_TOP_K}.0', 4)}
+             AS rerank_recall
+    FROM exact x
+    LEFT JOIN adc_topk a USING (vec_id)
+    LEFT JOIN rerank r USING (vec_id)
+    CROSS JOIN q
+    GROUP BY q.qid
+    """,
+    tags=("llm-similarity",),
+)
+@_scoped
+def pq_adc_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search with exact re-rank, recall-
+    evaluated -- the memory-bound production serving pattern the PQ
+    codebook (pq_codebook_stats) exists for: encode the corpus once
+    ({m} codes per vector), score a query against the {m} x {k} ADC
+    lookup table instead of raw floats, take the top-{rr} candidates,
+    re-rank just those with true L2, and report recall@{k_} of BOTH
+    stages against exact brute force. The adc_recall/rerank_recall gap
+    is the number that justifies two-stage serving: rescoring {rr}
+    raw vectors recovers most of what 8-byte codes lose.
+
+    Scale shape: codebook and query ride as LITERALS (a bounded
+    {k}-row + 1-row materialization), so corpus encoding + ADC scoring
+    is one joinless embarrassingly-parallel scan projecting {m} argmin
+    structs and {m} constant-array lookups per row -- at 100 TB the
+    scan reads 8-byte codes, not 256-byte vectors, which is the whole
+    point of PQ. Both top-k heads are TakeOrderedAndProject; the
+    re-rank joins a <= {rr}-row broadcast back to the corpus; the
+    final stitch joins three <= {k_}-row frames. Distances fold
+    dimension-by-dimension left-to-right and snap to 6 decimals on
+    both engines; argmin ties resolve by code id, ranking ties by
+    vec_id (the pq_codebook_stats discipline end-to-end)."""
+    return _finalize(spark, _pq_adc_recall_frame(spark, sf_dir))
+
+
+def _pq_adc_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy ADC-recall frame (plan tests pin the joinless encode scan
+    and bounded-broadcast stitches BEFORE the materialization idiom
+    collapses them; the codebook/query collects are bounded setup)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    cb_rows = (
+        e.select(
+            "vec_id",
+            "v",
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    codebook = [list(r["v"]) for r in cb_rows]  # K x DIM doubles
+    q_row = e.orderBy("vec_id").limit(1).collect()[0]
+    qid, qv = q_row["vec_id"], list(q_row["v"])
+
+    def sqdist(s: int, c: int) -> Column:
+        base = s * _PQ_SUBDIM
+        total = None
+        for i in range(_PQ_SUBDIM):
+            diff = F.col("v")[base + i] - F.lit(codebook[c][base + i])
+            term = diff * diff
+            total = term if total is None else total + term
+        return total
+
+    def argmin(s: int) -> Column:
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        sqdist(s, c).alias("d"),
+                        F.lit(c).cast("int").alias("c"),
+                    )
+                    for c in range(_PQ_K)
+                ]
+            )
+        )
+
+    def adc_const(s: int, c: int) -> Column:
+        # query-to-codeword subdistance over LITERALS -- Catalyst
+        # constant-folds the whole tree (same left-to-right fold as
+        # the oracle's list_sum)
+        base = s * _PQ_SUBDIM
+        total = None
+        for i in range(_PQ_SUBDIM):
+            diff = F.lit(qv[base + i]) - F.lit(codebook[c][base + i])
+            term = diff * diff
+            total = term if total is None else total + term
+        return total
+
+    def adc_lookup(s: int) -> Column:
+        return F.element_at(
+            F.array(*[adc_const(s, c) for c in range(_PQ_K)]),
+            F.col(f"s{s}.c") + F.lit(1),
+        )
+
+    scored = (
+        e.filter(F.col("vec_id") != F.lit(qid))
+        .select(
+            "vec_id",
+            *[argmin(s).alias(f"s{s}") for s in range(_PQ_M)],
+        )
+        .select(
+            "vec_id",
+            dround(
+                adc_lookup(0) + adc_lookup(1)
+                + adc_lookup(2) + adc_lookup(3),
+                6,
+            ).alias("adc_dist"),
+        )
+    )
+    adc_topk = (
+        scored.orderBy(F.col("adc_dist").asc_nulls_last(), "vec_id")
+        .limit(_PQ_TOP_K)
+        .select("vec_id", F.lit(1).alias("adc_hit"))
+    )
+    cand = (
+        scored.orderBy(F.col("adc_dist").asc_nulls_last(), "vec_id")
+        .limit(_PQ_RERANK)
+        .select("vec_id")
+    )
+    qf = spark.createDataFrame([(qid, qv)], "qid long, qv array<double>")
+    true_sq = F.aggregate(
+        F.zip_with(
+            F.col("v"), F.col("qv"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    rerank = (
+        e.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qf))
+        .select("vec_id", dround(true_sq, 6).alias("true_dist"))
+        .orderBy(F.col("true_dist").asc_nulls_last(), "vec_id")
+        .limit(_PQ_TOP_K)
+        .select("vec_id", F.lit(1).alias("rr_hit"))
+    )
+    exact = (
+        e.filter(F.col("vec_id") != F.lit(qid))
+        .join(F.broadcast(qf))
+        .select("vec_id", dround(true_sq, 6).alias("true_dist"))
+        .orderBy(F.col("true_dist").asc_nulls_last(), "vec_id")
+        .limit(_PQ_TOP_K)
+        .select("vec_id")
+    )
+    return (
+        exact.join(F.broadcast(adc_topk), "vec_id", "left")
+        .join(F.broadcast(rerank), "vec_id", "left")
+        .withColumn("qid", F.lit(qid).cast("long"))
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("exact_k"),
+            F.count("adc_hit").cast("long").alias("adc_hits"),
+            dround(
+                F.count("adc_hit") / F.lit(float(_PQ_TOP_K)), 4
+            ).alias("adc_recall"),
+            F.count("rr_hit").cast("long").alias("rerank_hits"),
+            dround(
+                F.count("rr_hit") / F.lit(float(_PQ_TOP_K)), 4
+            ).alias("rerank_recall"),
+        )
+    )
+
+
+pq_adc_topk_recall.__doc__ = pq_adc_topk_recall.__doc__.format(
+    m=_PQ_M, k=_PQ_K, rr=_PQ_RERANK, k_=_PQ_TOP_K
+)

@@ -269,6 +269,12 @@ CORPUS_QUERIES = (
     # only corpus-tracking stage; 3.67 -> 4.38 s, ratio 1.19)
     "ann_twolevel_probe_sweep",
     "ann_twolevel_batch_recall",
+    # r16: PQ ADC search + rerank -- one joinless encode/score scan
+    # (codebook + query ride as literals) with bounded top-k heads;
+    # wall must track the corpus pass (authoring-time focused:
+    # 9.09 -> 10.91 s at 8x, ratio 1.20; the 1x floor is the 4x8
+    # argmin-struct codegen, amortized at scale)
+    "pq_adc_topk_recall",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)

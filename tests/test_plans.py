@@ -1437,3 +1437,28 @@ def test_persist_raw_scan_lint_self_check():
     assert not _persist_raw_scan_hits(inline_ok, "x.py"), (
         "repartition inside the persisted chain is clean"
     )
+
+
+def test_pq_adc_scan_is_joinless_and_code_width(spark, sf_dir):
+    """The ADC serving scan must be JOINLESS (codebook and query ride
+    as literals -- the memory-bound PQ point): no sort-merge join, no
+    cartesian anywhere; both top-k heads are TakeOrderedAndProject;
+    and every corpus scan reads only (vec_id, embedding)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators._cache import (
+        release_caches,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.operators.similarity import (
+        _pq_adc_recall_frame,
+    )
+
+    try:
+        df = _pq_adc_recall_frame(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert_scan_columns_at_most(
+            df, "embeddings", {"vec_id", "embedding"}
+        )
+    finally:
+        release_caches()

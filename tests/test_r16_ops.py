@@ -116,3 +116,24 @@ def test_batch_recall_covers_the_batch_and_matches_single(spark, sf_dir):
     assert rows[0]["qid"] == single["qid"]
     assert rows[0]["probe_hits"] == single["probe_hits"]
     assert rows[0]["recall_at_k"] == single["recall_at_k"]
+
+
+def test_pq_adc_rerank_recovers_at_least_adc(spark, sf_dir):
+    """Two-stage serving contract: rerank selects by TRUE distance
+    within the ADC top-_PQ_RERANK candidates, and adc_topk is a subset
+    of those candidates, so rerank_hits >= adc_hits always; both
+    recalls = hits/k; exact_k fills on the fixtures."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.similarity import (
+        _PQ_TOP_K,
+    )
+
+    rows = _Q["pq_adc_topk_recall"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["exact_k"] == _PQ_TOP_K
+    assert 0 <= r["adc_hits"] <= r["rerank_hits"] <= r["exact_k"]
+    assert abs(r["adc_recall"] - round(r["adc_hits"] / _PQ_TOP_K, 4)) < 1e-9
+    assert (
+        abs(r["rerank_recall"] - round(r["rerank_hits"] / _PQ_TOP_K, 4))
+        < 1e-9
+    )
