@@ -2564,3 +2564,171 @@ def _batch_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center (farthest-point / Gonzalez) diversity coreset
+# ---------------------------------------------------------------------------
+
+_KCENTER_PICKS = 4  # greedy picks after the seed -> 5 centers total
+
+
+def _kcenter_sql() -> str:
+    """Unrolled farthest-point chain: c0 = lowest vec_id; each pick is
+    the argmax of the running min-distance (snapped, vec_id ties);
+    LEAST folds the new center into the running min."""
+    parts = [
+        "WITH v AS"
+        " (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv"
+        " FROM embeddings),",
+        "c0 AS (SELECT vec_id AS cid, dv AS cv, CAST(0 AS INT) AS ord"
+        " FROM v ORDER BY vec_id LIMIT 1),",
+        f"m0 AS (SELECT v.vec_id, v.dv,"
+        f" {_d2_sql('v.dv', 'c0.cv')} AS mind"
+        " FROM v CROSS JOIN c0),",
+    ]
+    for t in range(1, _KCENTER_PICKS + 1):
+        parts.append(
+            f"c{t} AS (SELECT vec_id AS cid, dv AS cv,"
+            f" CAST({t} AS INT) AS ord"
+            f" FROM m{t - 1} ORDER BY mind DESC NULLS LAST, vec_id"
+            " LIMIT 1),"
+        )
+        if t < _KCENTER_PICKS:
+            parts.append(
+                f"m{t} AS (SELECT m.vec_id, m.dv,"
+                f" LEAST(m.mind, {_d2_sql('m.dv', f'c{t}.cv')}) AS mind"
+                f" FROM m{t - 1} m CROSS JOIN c{t}),"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT cid, cv, ord FROM c{t}"
+        for t in range(_KCENTER_PICKS + 1)
+    )
+    parts.append(f"centers AS ({union}),")
+    parts.append(
+        "assign AS (SELECT v.vec_id, c.ord,"
+        f" {_d2_sql('v.dv', 'c.cv')} AS d"
+        " FROM v CROSS JOIN centers c"
+        " QUALIFY row_number() OVER (PARTITION BY v.vec_id"
+        " ORDER BY d ASC NULLS LAST, c.ord) = 1)"
+    )
+    return "\n".join(parts) + f"""
+    SELECT c.ord AS pick_order, c.cid AS center_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_members,
+           MAX(a.d) AS radius,
+           {davg_sql('a.d')} AS avg_dist
+    FROM centers c LEFT JOIN assign a ON a.ord = c.ord
+    GROUP BY 1, 2 ORDER BY 1
+    """
+
+
+@query(
+    "greedy_kcenter_sample",
+    oracle=_kcenter_sql(),
+    tags=("llm-clustering", "llm-sampling"),
+)
+@_scoped
+def greedy_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (Gonzalez farthest-point) diversity coreset --
+    the third sampling discipline next to uniform-hash and
+    cluster-balanced: instead of matching the density (quota per leaf)
+    it MAXIMIZES COVERAGE, picking each next exemplar as the point
+    farthest from every already-picked one (the 2-approximation to the
+    k-center objective). The output audits the sample: per pick, how
+    many vectors it newly covers (nearest-center membership), the
+    coverage radius (max member distance -- the k-center objective
+    value), and the mean member distance. Declining radius across
+    picks is the diminishing-returns curve a curation owner reads to
+    size the exemplar budget.
+
+    Shape at scale: each pick is ONE corpus pass keeping a running
+    min-distance column (persisted; the new 1-row center rides a
+    broadcast) ending in a 1-row TakeOrdered -- the canonical
+    distributed Gonzalez, linear in n per pick with no shuffle of
+    vector data; the final assignment scans the 5-row center set
+    broadcast once. Engine-exact: snapped distances (6 decimals),
+    farthest ties break on lowest vec_id, assignment ties on pick
+    order."""
+    return _finalize(spark, _kcenter_frame(spark, sf_dir))
+
+
+def _kcenter_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy k-center frame (plan tests pin the per-pick broadcast
+    passes and the joinless assignment fold BEFORE the materialization
+    idiom collapses them)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("dv")
+    )
+    c0 = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("dv").alias("cv"),
+            F.lit(0).cast("int").alias("ord"),
+        )
+    )
+    m = _persist(
+        emb.crossJoin(F.broadcast(c0.select("cv"))).select(
+            "vec_id", "dv", _d2(F.col("dv"), F.col("cv")).alias("mind")
+        )
+    )
+    centers = [c0]
+    for t in range(1, _KCENTER_PICKS + 1):
+        ct = (
+            m.orderBy(F.col("mind").desc_nulls_last(), "vec_id")
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("dv").alias("cv"),
+                F.lit(t).cast("int").alias("ord"),
+            )
+        )
+        centers.append(ct)
+        if t < _KCENTER_PICKS:
+            m = _persist(
+                m.crossJoin(F.broadcast(ct.select("cv"))).select(
+                    "vec_id",
+                    "dv",
+                    F.least(
+                        F.col("mind"), _d2(F.col("dv"), F.col("cv"))
+                    ).alias("mind"),
+                )
+            )
+    cents = centers[0]
+    for c in centers[1:]:
+        cents = cents.unionAll(c)
+    cents = _persist(cents)
+    # joinless per-row argmin over the 5-center broadcast array (the
+    # _assign fold: ascending-ord array + strict < keeps the lowest
+    # pick order on snapped-distance ties) -- never an n-row window
+    # shuffle just to pick a vector's nearest center
+    assign = _assign(
+        emb,
+        cents.select(F.col("ord").cast("long").alias("cluster"), "cv"),
+    ).select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("ord"),
+        F.col("d2").alias("d"),
+    )
+    # aggregate FIRST (one keyed shuffle to 5 rows), then stitch the
+    # center ids on as a broadcast -- never a sort-merge of the n-row
+    # assignment against the 5-row center table
+    per = assign.groupBy("ord").agg(
+        F.count("vec_id").cast("long").alias("n_members"),
+        F.max("d").alias("radius"),
+        davg("d", "avg_dist"),
+    )
+    return (
+        cents.select("cid", "ord")
+        .join(F.broadcast(per), "ord", "left")
+        .select(
+            F.col("ord").alias("pick_order"),
+            F.col("cid").alias("center_id"),
+            F.coalesce("n_members", F.lit(0)).cast("long")
+            .alias("n_members"),
+            "radius",
+            "avg_dist",
+        )
+        .orderBy("pick_order")
+    )

@@ -275,6 +275,11 @@ CORPUS_QUERIES = (
     # 9.09 -> 10.91 s at 8x, ratio 1.20; the 1x floor is the 4x8
     # argmin-struct codegen, amortized at scale)
     "pq_adc_topk_recall",
+    # r16: greedy k-center -- one corpus pass per pick (running
+    # min-distance + 1-row broadcast center) + the joinless broadcast
+    # argmin assignment; fixed-stage overheads dominate at this scale
+    # (authoring-time focused: 2.62 -> 2.45 s at 8x, ratio 0.94)
+    "greedy_kcenter_sample",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)

@@ -1462,3 +1462,27 @@ def test_pq_adc_scan_is_joinless_and_code_width(spark, sf_dir):
         )
     finally:
         release_caches()
+
+
+def test_kcenter_passes_are_broadcast_and_assignment_joinless(
+    spark, sf_dir
+):
+    """Each farthest-point pick is a corpus pass with a 1-row
+    broadcast center (BNLJ) ending in a TakeOrdered head; the final
+    assignment is the joinless broadcast-array argmin fold; the only
+    equi-join is the 5-row broadcast stitch -- never a sort-merge or
+    a cartesian."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators._cache import (
+        release_caches,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _kcenter_frame,
+    )
+
+    try:
+        plan = physical_plan(_kcenter_frame(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+    finally:
+        release_caches()

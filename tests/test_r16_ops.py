@@ -137,3 +137,26 @@ def test_pq_adc_rerank_recovers_at_least_adc(spark, sf_dir):
         abs(r["rerank_recall"] - round(r["rerank_hits"] / _PQ_TOP_K, 4))
         < 1e-9
     )
+
+
+def test_kcenter_sample_covers_everything_with_distinct_centers(
+    spark, sf_dir
+):
+    """Gonzalez contract: one row per pick in pick order, distinct
+    center ids, every corpus vector assigned to exactly one center
+    (memberships sum to n), each center covers itself (radius >=
+    avg_dist >= 0; the center's own distance is 0)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.clustering import (
+        _KCENTER_PICKS,
+    )
+
+    rows = _Q["greedy_kcenter_sample"](spark, sf_dir).collect()
+    assert [r["pick_order"] for r in rows] == list(
+        range(_KCENTER_PICKS + 1)
+    )
+    assert len({r["center_id"] for r in rows}) == len(rows)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n
+    for r in rows:
+        assert r["n_members"] >= 1  # fixtures: all vectors distinct
+        assert 0.0 <= r["avg_dist"] <= r["radius"]
