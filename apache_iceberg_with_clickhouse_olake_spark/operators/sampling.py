@@ -979,3 +979,123 @@ def packing_efficiency_sweep(
         )
         .orderBy("budget")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-constrained epoch allocation: weights + budget -> repeats, priced
+# ---------------------------------------------------------------------------
+
+# Training-budget multiple of the corpus (a data-constrained regime:
+# the compute-optimal token budget EXCEEDS the unique corpus, so some
+# sources must repeat) and the diminishing-returns epoch cap (repeats
+# beyond ~4 epochs add little before returns decay -- the published
+# data-constrained-scaling observation the cap encodes).
+_EPOCH_BUDGET_X = 4.0
+_MAX_EPOCHS = 4.0
+_EPOCH_TAU = 0.7  # the corpus_mixture_weights default temperature
+
+
+@query(
+    "data_constrained_epochs",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, toks,
+             POWER(CAST(toks AS DOUBLE), {_EPOCH_TAU})
+               / NULLIF(SUM(POWER(CAST(toks AS DOUBLE), {_EPOCH_TAU}))
+                          OVER (), 0.0) AS w,
+             CAST(SUM(toks) OVER () AS DOUBLE) AS total
+      FROM g
+    )
+    , x AS (
+      SELECT source, toks, w,
+             w * total * {_EPOCH_BUDGET_X} AS target,
+             w * total * {_EPOCH_BUDGET_X}
+               / NULLIF(CAST(toks AS DOUBLE), 0.0) AS needed
+      FROM w
+    ),
+    y AS (
+      SELECT source, toks, w, target, needed,
+             CASE WHEN needed IS NULL THEN NULL
+                  ELSE LEAST(needed, {_MAX_EPOCHS}) END AS capped
+      FROM x
+    )
+    SELECT source,
+           toks AS unique_tokens,
+           {dround_sql('w', 6)} AS weight,
+           {dround_sql('target', 2)} AS target_tokens,
+           {dround_sql('needed', 4)} AS epochs_needed,
+           {dround_sql('capped', 4)} AS epochs_capped,
+           {dround_sql('COALESCE(CAST(toks AS DOUBLE) * capped, 0.0)', 2)} AS served_tokens,
+           {dround_sql('GREATEST(target - COALESCE(CAST(toks AS DOUBLE) * capped, 0.0), 0.0)', 2)} AS shortfall_tokens
+    FROM y
+    ORDER BY source
+    """,
+    tags=("llm-sampling",),
+)
+def data_constrained_epochs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Turn a mixture design into an EPOCH PLAN under a fixed training
+    budget -- the data-constrained-scaling bookkeeping every recipe at
+    a compute-optimal token count needs once the budget exceeds the
+    unique corpus: per source, the tokens the tau-weighted mixture
+    ASKS for (weight x budget), the implied epoch count over the
+    source's unique tokens, the epoch count after the
+    diminishing-returns cap, the tokens actually served, and the
+    shortfall the cap hands back to the scheduler for reallocation. A
+    flattening temperature (tau = 0.7) over-asks small sources -- the
+    cap binding on them while big sources sit under one epoch is
+    exactly the tension this table makes visible before any sampling
+    runs.
+
+    Shape at scale: ONE corpus tokenize pass rolls up to per-source
+    token masses; everything after is arithmetic over #sources rows
+    under the same single-partition normalization window as
+    corpus_mixture_weights / mixture_temperature_sweep (cardinality =
+    #sources, never data-scale). Raw-double LEAST/GREATEST/POWER with
+    output-only snaps keep both engines hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("toks")
+    )
+    w_all = Window.partitionBy()
+    pw = F.pow(F.col("toks").cast("double"), F.lit(_EPOCH_TAU))
+    wgt = pw / F.nullif(F.sum(pw).over(w_all), F.lit(0.0))
+    total = F.sum("toks").over(w_all).cast("double")
+    w = g.select(
+        "source",
+        "toks",
+        wgt.alias("w"),
+        total.alias("total"),
+    )
+    target = F.col("w") * F.col("total") * F.lit(_EPOCH_BUDGET_X)
+    # NULL guards for a zero-token source (the crafted 'junk' source):
+    # epochs are undefined (NULL on both engines -- never a 0/0 NaN
+    # whose semantics differ), served falls back to 0, shortfall to
+    # the full target
+    needed = target / F.nullif(F.col("toks").cast("double"), F.lit(0.0))
+    capped = F.when(
+        needed.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(needed, F.lit(_MAX_EPOCHS)))
+    served = F.coalesce(
+        F.col("toks").cast("double") * capped, F.lit(0.0)
+    )
+    return (
+        w.select(
+            "source",
+            F.col("toks").alias("unique_tokens"),
+            dround(F.col("w"), 6).alias("weight"),
+            dround(target, 2).alias("target_tokens"),
+            dround(needed, 4).alias("epochs_needed"),
+            dround(capped, 4).alias("epochs_capped"),
+            dround(served, 2).alias("served_tokens"),
+            dround(
+                F.greatest(target - served, F.lit(0.0)), 2
+            ).alias("shortfall_tokens"),
+        )
+        .orderBy("source")
+    )

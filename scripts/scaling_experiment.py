@@ -280,6 +280,10 @@ CORPUS_QUERIES = (
     # argmin assignment; fixed-stage overheads dominate at this scale
     # (authoring-time focused: 2.62 -> 2.45 s at 8x, ratio 0.94)
     "greedy_kcenter_sample",
+    # r16: the epoch planner -- one tokenize rollup to #sources rows,
+    # then literal arithmetic; flat by construction (authoring-time
+    # focused: 0.66 -> 0.54 s at 8x, ratio 0.82)
+    "data_constrained_epochs",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)

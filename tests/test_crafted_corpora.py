@@ -235,6 +235,9 @@ _DOC_QUERIES = (
     "soft_dedup_weights_stats",
     "packing_efficiency_sweep",
     "mixture_temperature_sweep",
+    # r16: the epoch planner on the zero-token 'junk' source (NULL
+    # epochs, zero served, full-target shortfall on both engines)
+    "data_constrained_epochs",
     "chunk_dedup_stats",
 )
 

@@ -160,3 +160,42 @@ def test_kcenter_sample_covers_everything_with_distinct_centers(
     for r in rows:
         assert r["n_members"] >= 1  # fixtures: all vectors distinct
         assert 0.0 <= r["avg_dist"] <= r["radius"]
+
+
+def test_epoch_plan_conserves_budget_and_caps(spark, sf_dir):
+    """Allocation arithmetic: weights sum to ~1; target_tokens sum to
+    ~budget (BUDGET_X x corpus tokens); epochs_capped = min(needed,
+    MAX); served = unique * capped; shortfall = max(target - served, 0)
+    and positive exactly where the cap binds."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.sampling import (
+        _EPOCH_BUDGET_X,
+        _MAX_EPOCHS,
+    )
+
+    rows = _Q["data_constrained_epochs"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+    total_unique = sum(r["unique_tokens"] for r in rows)
+    assert (
+        abs(
+            sum(r["target_tokens"] for r in rows)
+            - _EPOCH_BUDGET_X * total_unique
+        )
+        < 1.0
+    )
+    for r in rows:
+        assert r["epochs_capped"] <= _MAX_EPOCHS + 1e-9
+        assert r["epochs_capped"] <= r["epochs_needed"] + 1e-9
+        # epochs_capped is snapped to 4 decimals AFTER served_tokens
+        # was computed from the raw value -- allow unique * 5e-5 slack
+        tol = r["unique_tokens"] * 5.1e-5 + 0.02
+        assert (
+            abs(r["served_tokens"] - r["unique_tokens"] * r["epochs_capped"])
+            < tol
+        )
+        want_short = max(r["target_tokens"] - r["served_tokens"], 0.0)
+        assert abs(r["shortfall_tokens"] - want_short) < 0.05
+        if r["epochs_needed"] > _MAX_EPOCHS + 1e-9:
+            assert r["shortfall_tokens"] > 0.0
+        else:
+            assert r["shortfall_tokens"] < 0.02
