@@ -53,7 +53,8 @@ from ._cache import finalize as _finalize
 from ._cache import persist_tracked as _persist
 from ._cache import release_caches  # noqa: F401  (re-export: streaming_queries)
 from .registry import query
-from .similarity import _COS_SQL, _VEC_FP_SQL, _cos, _dvec
+from .similarity import _COS_SQL, _VEC_FP_SQL, _cos, _cos_pre, _dvec
+from .similarity import _norm
 
 _DIM = 64
 # k is DERIVED from the corpus size: k = max(_K_MIN, ceil(n / target
@@ -583,15 +584,30 @@ def _semantic_dropped(
             .filter(F.col("_pair_rank") <= max_cluster_pair_members)
             .drop("_pair_rank")
         )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
+    # Norms ride the member frame (one fold per VECTOR, below the pair
+    # join in the plan), so each pair pays one dot fold plus a scalar
+    # multiply instead of three 64-dim folds -- the established
+    # _embed_candidate_pairs discipline (r9), bit-identical to _cos
+    # (same doubles, same denom==0 -> NULL guard). Measured r16 on the
+    # two-level twin: 26.7 -> 8.7 s on the 8k-vector spread corpus.
+    withn = assigned.select(
+        "cluster", "vec_id", "dv", _norm(F.col("dv")).alias("nrm")
+    )
+    a = withn.alias("a")
+    b = withn.alias("b")
     return (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(_cos(F.col("a.dv"), F.col("b.dv")) >= _SEMDEDUP_COS)
+        .filter(
+            _cos_pre(
+                F.col("a.dv"), F.col("a.nrm"),
+                F.col("b.dv"), F.col("b.nrm"),
+            )
+            >= _SEMDEDUP_COS
+        )
         .select(
             F.col("b.cluster").alias("cluster"),
             F.col("b.vec_id").alias("drop_id"),
@@ -1241,7 +1257,14 @@ def semantic_dedup_twolevel_stats(
     _, _, _, fine = _twolevel_state_frames(emb)
     # persisted: the fine assignment feeds the pair join twice plus
     # the rollup (the semantic_dedup_stats discipline).
-    fine = _persist(fine.select("vec_id", "dv", "cluster", "sub"))
+    # norms persist alongside dv: the quadratic pair filter then pays
+    # ONE 64-dim dot fold per pair instead of three (_cos_pre is
+    # bit-identical to _cos -- same doubles, same guard)
+    fine = _persist(
+        fine.select(
+            "vec_id", "dv", "cluster", "sub", _norm(F.col("dv")).alias("nrm")
+        )
+    )
     a, b = fine.alias("a"), fine.alias("b")
     dropped = (
         a.join(
@@ -1250,7 +1273,13 @@ def semantic_dedup_twolevel_stats(
             & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(_cos(F.col("a.dv"), F.col("b.dv")) >= _SEMDEDUP_COS)
+        .filter(
+            _cos_pre(
+                F.col("a.dv"), F.col("a.nrm"),
+                F.col("b.dv"), F.col("b.nrm"),
+            )
+            >= _SEMDEDUP_COS
+        )
         .select(
             F.col("b.cluster").alias("cluster"),
             F.col("b.sub").alias("sub"),

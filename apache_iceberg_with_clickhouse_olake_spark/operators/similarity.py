@@ -114,6 +114,17 @@ def _cos(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.when(denom == 0, F.lit(None)).otherwise(denom)
 
 
+def _cos_pre(a: Column, na: Column, b: Column, nb: Column) -> Column:
+    """_cos with PRE-COMPUTED norms: bit-identical arithmetic (the
+    same sqrt-of-squares doubles, multiplied and guarded the same
+    way), but the norms are computed once per VECTOR instead of once
+    per PAIR -- in a quadratic pair join that is the difference
+    between one 64-dim fold per pair and three. Callers persist the
+    norm column alongside dv on the pair join's build frames."""
+    denom = na * nb
+    return _dot(a, b) / F.when(denom == 0, F.lit(None)).otherwise(denom)
+
+
 def _plane_sql(p: int) -> str:
     return "[" + ",".join(repr(x) for x in _PLANES[p]) + "]"
 
@@ -542,7 +553,11 @@ def embedding_decontamination_scan(
         F.col("y.vec_id").alias("pvec"),
         F.col("x.label").alias("label"),
     )
-    vecs = e.select("vec_id", F.col("v").alias("vv"))
+    # norms ride the payload frame (the _embed_candidate_pairs
+    # discipline): one fold per vector, one dot fold per pair
+    vecs = e.select(
+        "vec_id", F.col("v").alias("vv"), _norm(F.col("v")).alias("vn")
+    )
     va, vb = vecs.alias("va"), vecs.alias("vb")
     scored = (
         pairs.join(va, pairs.cvec == F.col("va.vec_id"))
@@ -550,7 +565,10 @@ def embedding_decontamination_scan(
         .select(
             "cvec",
             "label",
-            _cos(F.col("va.vv"), F.col("vb.vv")).alias("cos_raw"),
+            _cos_pre(
+                F.col("va.vv"), F.col("va.vn"),
+                F.col("vb.vv"), F.col("vb.vn"),
+            ).alias("cos_raw"),
         )
     )
     cc = pairs.groupBy("label").agg(F.count("*").alias("candidate_pairs"))
@@ -833,10 +851,13 @@ def embedding_neardup_recall_eval(
     for p in parts[1:]:
         aug = aug.unionByName(p)
     sample = aug.select(
-        "vec_id", "label", "v", bands_udf(F.col("v")).alias("bands")
+        "vec_id", "label", "v", bands_udf(F.col("v")).alias("bands"),
+        _norm(F.col("v")).alias("nrm"),
     )
     x, y = sample.alias("x"), sample.alias("y")
-    cs = _cos(F.col("x.v"), F.col("y.v"))
+    cs = _cos_pre(
+        F.col("x.v"), F.col("x.nrm"), F.col("y.v"), F.col("y.nrm")
+    )
     detected = F.exists(
         F.zip_with(
             F.col("x.bands"), F.col("y.bands"), lambda a, b: a == b
@@ -1073,10 +1094,13 @@ def embedding_neardup_config_sweep(
     for p in parts[1:]:
         aug = aug.unionByName(p)
     sample = aug.select(
-        "vec_id", "label", "v", sweep_udf(F.col("v")).alias("sw")
+        "vec_id", "label", "v", sweep_udf(F.col("v")).alias("sw"),
+        _norm(F.col("v")).alias("nrm"),
     )
     x, y = sample.alias("x"), sample.alias("y")
-    cs = _cos(F.col("x.v"), F.col("y.v"))
+    cs = _cos_pre(
+        F.col("x.v"), F.col("x.nrm"), F.col("y.v"), F.col("y.nrm")
+    )
     cos_bin = (
         F.when(cs >= 0.8, F.lit("[0.8,1.0]"))
         .when(cs >= 0.5, F.lit("[0.5,0.8)"))
