@@ -1383,7 +1383,11 @@ def ann_twolevel_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         emb.orderBy("vec_id")
         .limit(1)
-        .select(F.col("vec_id").alias("qid"), F.col("dv").alias("qv"))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("dv").alias("qv"),
+            _norm(F.col("dv")).alias("qn"),
+        )
     )
     approx = _ann_twolevel_frame(spark, sf_dir).select(
         "vec_id", F.lit(1).alias("hit")
@@ -1392,7 +1396,13 @@ def ann_twolevel_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(F.broadcast(q), emb["vec_id"] != F.col("qid"))
         .select(
             "vec_id",
-            dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
+            dround(
+                _cos_pre(
+                    F.col("dv"), _norm(F.col("dv")),
+                    F.col("qv"), F.col("qn"),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_TOP_K)
@@ -1499,6 +1509,11 @@ def _filtered_query_row(emb_full: DataFrame) -> DataFrame:
             F.col("vec_id").alias("qid"),
             _dvec(F.col("embedding")).alias("qv"),
             F.col("label").alias("qlabel"),
+            # query norm rides the 1-row broadcast: the corpus-scan
+            # sides then pay dot + norm(v) per row instead of
+            # re-folding norm(qv) for every row (loop-invariant
+            # hoisting codegen does not do across rows)
+            _norm(_dvec(F.col("embedding"))).alias("qn"),
         )
     )
 
@@ -1544,7 +1559,8 @@ def _filtered_topk(lists: DataFrame, probe: DataFrame) -> DataFrame:
 
 def _filtered_exact_topk(emb_full: DataFrame, q: DataFrame) -> DataFrame:
     """Brute-force top-k over the label-filtered corpus slice (the
-    recall baselines' shared exact side)."""
+    recall baselines' shared exact side). Uses the query row's carried
+    norm (qn): two 64-dim folds per scanned row, not three."""
     return (
         emb_full.select(
             "vec_id", "label", _dvec(F.col("embedding")).alias("dv")
@@ -1556,7 +1572,13 @@ def _filtered_exact_topk(emb_full: DataFrame, q: DataFrame) -> DataFrame:
         )
         .select(
             "vec_id",
-            dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
+            dround(
+                _cos_pre(
+                    F.col("dv"), _norm(F.col("dv")),
+                    F.col("qv"), F.col("qn"),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_TOP_K)
@@ -2530,7 +2552,11 @@ def _batch_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     qb = (
         emb.orderBy("vec_id")
         .limit(_N_BATCH_QUERIES)
-        .select(F.col("vec_id").alias("qid"), F.col("dv").alias("qv"))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("dv").alias("qv"),
+            _norm(F.col("dv")).alias("qn"),
+        )
     )
     w_p1 = Window.partitionBy("qid").orderBy(
         F.col("ccos").desc_nulls_last(), "cluster"
@@ -2573,7 +2599,13 @@ def _batch_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            dround(_cos(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
+            dround(
+                _cos_pre(
+                    F.col("dv"), _norm(F.col("dv")),
+                    F.col("qv"), F.col("qn"),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("rk", F.row_number().over(w_ak))
         .filter(F.col("rk") <= _TOP_K)

@@ -193,14 +193,26 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         e.orderBy("vec_id")
         .limit(1)
-        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            # query norm rides the 1-row broadcast: the scan pays two
+            # 64-dim folds per row (dot + norm(v)), not three
+            _norm(F.col("v")).alias("qn"),
+        )
     )
     return (
         e.join(F.broadcast(q), e.vec_id != q.qid)
         .select(
             "vec_id",
             "label",
-            dround(_cos(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+            dround(
+                _cos_pre(
+                    F.col("v"), _norm(F.col("v")),
+                    F.col("qv"), F.col("qn"),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_TOP_K)
@@ -1806,15 +1818,22 @@ def semantic_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("qid"),
             _dvec(F.col("embedding")).alias("qv"),
+            _norm(_dvec(F.col("embedding"))).alias("qn"),
         )
     )
     hits = (
         emb.join(F.broadcast(q), emb.vec_id != F.col("qid"))
         .select(
             "vec_id",
-            dround(_cos(_dvec(F.col("embedding")), F.col("qv")), 6).alias(
-                "cos_sim"
-            ),
+            dround(
+                _cos_pre(
+                    _dvec(F.col("embedding")),
+                    _norm(_dvec(F.col("embedding"))),
+                    F.col("qv"),
+                    F.col("qn"),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_TOP_K)

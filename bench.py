@@ -429,12 +429,14 @@ def main() -> None:
     # bound. Setup (untimed) builds a SPREAD 4x corpus -- each replica
     # ROTATED by 16*r positions, so replicas are new directions, never
     # near-dup cliques -- giving 8k vectors / ~32 leaves near target:
-    # the regime where the within-leaf pair join (authoring-time ~20 s
-    # of the ~25 s wall on local[32]; index build 5.6 s) dominates and
-    # scales linearly with n. 8x replication (16k vectors) prices the
-    # same regime at double the wall (authoring-time 49 s/run) -- too
-    # heavy for a recurring 3-run row; the degenerate fully-replicated
-    # clique case stays in SCALING.md where it is already measured.
+    # the regime where the within-leaf pair join dominates the wall
+    # and scales linearly with n (authoring-time ~20 s of the ~25 s
+    # wall on local[32], index build 5.6 s; the same-session
+    # precomputed-norm change then cut the row to ~8.7 s -- the pair
+    # stage is exactly what this row prices). 8x replication priced
+    # the same regime at 49 s/run pre-cut -- too heavy for a recurring
+    # 3-run row; the degenerate fully-replicated clique case stays in
+    # SCALING.md where it is already measured.
     from pyspark.sql import functions as SF
 
     spread_dir = tempfile.mkdtemp(prefix="bench_spread_")
