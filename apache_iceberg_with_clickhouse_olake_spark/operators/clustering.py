@@ -2717,8 +2717,16 @@ def _kcenter_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lazy k-center frame (plan tests pin the per-pick broadcast
     passes and the joinless assignment fold BEFORE the materialization
     idiom collapses them)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec(F.col("embedding")).alias("dv")
+    # spread to full parallelism BEFORE the first persist: every pick
+    # is an iterated no-shuffle corpus pass over the cached frame, so
+    # its task count is whatever the cache has -- a file-count-
+    # partitioned source would serialize each pass onto one core (the
+    # r12/r13 persist-audit bug class; _pi_vectors discipline)
+    par = spark.sparkContext.defaultParallelism
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(par, "vec_id")
+        .select("vec_id", _dvec(F.col("embedding")).alias("dv"))
     )
     c0 = (
         emb.orderBy("vec_id")

@@ -1016,6 +1016,44 @@ def main() -> None:
         "rows above re-measure each round; the full r15 sweep read",
         "1.8 for the filtered top-k -- same class, same epoch).",
         "",
+        "## r16 new ops — measured at authoring time, in the suite",
+        "",
+        "Six ops joined CORPUS_QUERIES this round; authoring-time",
+        "focused measurement (same protocol: warm + median-of-3, 1x vs",
+        "8x fully-replicated corpus, idle machine):",
+        "",
+        "| op | 1x | 8x | ratio | why |",
+        "|---|---|---|---|---|",
+        "| ann_twolevel_filtered_recall | 4.85 s | 5.87 s | 1.21 |"
+        " two-level index build + bounded leaf probe + one filtered"
+        " brute-force pass -- all corpus-pass class |",
+        "| ann_twolevel_probe_sweep | 4.04 s | 4.54 s | 1.12 | one"
+        " leaf pass at the widest probe serves every width (the grid"
+        " is a 4-row broadcast range join) |",
+        "| ann_twolevel_batch_recall | 3.67 s | 4.38 s | 1.19 | index"
+        " built once for B=8 queries; only the EVAL's exact side pays"
+        " n*B cosines |",
+        "| pq_adc_topk_recall | 9.09 s | 10.91 s | 1.20 | joinless"
+        " encode/ADC scan (codebook+query as literals); 1x floor is"
+        " the 4x8 argmin-struct codegen |",
+        "| greedy_kcenter_sample | 2.62 s | 2.45 s | 0.94 | one"
+        " corpus pass per pick (running min-dist + 1-row broadcast"
+        " center) + joinless argmin assignment |",
+        "| data_constrained_epochs | 0.66 s | 0.54 s | 0.82 | one"
+        " tokenize rollup to #sources rows, then literal arithmetic |",
+        "",
+        "Same round, the pair-join FLOP cut: _cos_pre extends the",
+        "_embed_candidate_pairs precomputed-norm discipline (one",
+        "64-dim fold per VECTOR below the join, one dot fold per PAIR",
+        "instead of three) to the whole semantic-dedup family and the",
+        "decontamination/eval rescoring joins, and the loop-invariant",
+        "QUERY norm now rides the broadcast row on every exact-scan",
+        "eval side (two folds per scanned row, not three). Measured on",
+        "the 8k-vector spread corpus: semantic_dedup_twolevel_stats",
+        "26.7 -> 8.7 s (3.1x), bit-identical values (all affected",
+        "oracles MATCH, crafted zero-norm suite green). The recurring",
+        "corpus rows above re-price the family this round.",
+        "",
         "## Skew suite — zipf-hot key, per-task straggler ratio",
         "",
         f"One hot key replicated {SKEW_K}x while the rest stays 1x",
