@@ -174,41 +174,71 @@ def _load_prev_artifact(here: str) -> tuple[dict | None, str | None]:
 WIDE_BAND = {
     "embedding_near_dup_pairs": {
         "span_frac": 0.57,
-        "confirmed": 15,
+        "confirmed": 16,
         "evidence": (
-            "r13 envelope +-0.4s on ~1.4s median (~57%); "
-            "r15 sessions 27%/26%"
+            "r13 envelope ~57%; r15 sessions 27%/26%; "
+            "r16 42%/107% (B ambient run)"
         ),
     },
     "leakage_safe_split_stats": {
-        "span_frac": 0.35,
-        "confirmed": 15,
-        "evidence": "r14 envelope 3.09-4.43s median 3.78 (~35%); r15 33%/19%",
+        "span_frac": 0.52,
+        "confirmed": 16,
+        "evidence": "r14 envelope ~35%; r15 33%/19%; r16 37%/52%",
     },
-    # r15 close-out: the two-observation rule (BENCH_NOTES) admitted
-    # four more from the round's TWO same-code 8-run envelope
-    # sessions (identical headline/LLM code, two hours apart):
     "semantic_dedup_cascade_stats": {
         "span_frac": 0.84,
-        "confirmed": 15,
-        "evidence": "r15 same-code sessions 84% and 55% of median",
+        "confirmed": 16,
+        "evidence": (
+            "r15 sessions 84%/55%; r16 48%/151% (B ambient run; "
+            "code changed r16 -- the _cos_pre pair-join FLOP cut)"
+        ),
     },
     "doc_contamination_fraction": {
-        "span_frac": 0.45,
-        "confirmed": 15,
-        "evidence": "r15 same-code sessions 45% and 45% of median",
+        "span_frac": 0.48,
+        "confirmed": 16,
+        "evidence": "r15 45%/45%; r16 48%/159% (B ambient run)",
     },
     "dedup_cascade_stats": {
-        "span_frac": 0.38,
-        "confirmed": 15,
-        "evidence": "r15 same-code sessions 33% and 38% of median",
+        "span_frac": 0.41,
+        "confirmed": 16,
+        "evidence": "r15 33%/38%; r16 41%/83%",
     },
     "source_unigram_kl": {
         "span_frac": 0.45,
-        "confirmed": 15,
-        "evidence": "r15 sessions 45% and 25%; one spurious in-probe flag",
+        "confirmed": 16,
+        "evidence": (
+            "r15 45%/25%; r16 37%/16% (B under the rule line on a "
+            "wide historical record)"
+        ),
+    },
+    # r16 close-out admissions (two-observation rule, sessions A/B):
+    "corpus_build_pipeline": {
+        "span_frac": 0.41,
+        "confirmed": 16,
+        "evidence": (
+            "r15 single post-fix observation 63%; r16 same-code "
+            "sessions 33% and 41% -- the held-stable round supplied "
+            "the second observation (r15 VERDICT item 5)"
+        ),
+    },
+    "dsir_importance_weights": {
+        "span_frac": 0.37,
+        "confirmed": 16,
+        "evidence": (
+            "borderline r15 (24%/25%); r16 25%/37% plus one in-band "
+            "in-probe regression flag (2.33-3.02 same-code band)"
+        ),
+    },
+    "semantic_dedup_twolevel_stats": {
+        "span_frac": 0.68,
+        "confirmed": 16,
+        "evidence": (
+            "21%/23% at r15; post-FLOP-cut medians halved and the "
+            "relative spans widened -- r16 sessions 37% and 68%"
+        ),
     },
 }
+
 
 HEADLINE = (
     "orders_by_status",       # Test 1: raw group-by (the 2-5 s band shape)
