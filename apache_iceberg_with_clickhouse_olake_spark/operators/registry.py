@@ -159,6 +159,7 @@ _MODULES = (
     "cdc",
     "clustering",
     "curation",
+    "curriculum",
     "datagen_queries",
     "dedup",
     "evolution",

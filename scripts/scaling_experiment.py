@@ -284,6 +284,16 @@ CORPUS_QUERIES = (
     # then literal arithmetic; flat by construction (authoring-time
     # focused: 0.66 -> 0.54 s at 8x, ratio 0.82)
     "data_constrained_epochs",
+    # r16 late: the curriculum pair -- one tokenize pass + a 3-double
+    # exact-percentile agg broadcast back for map-side binning; the
+    # phase plan adds only a <= 4-row grid join (authoring-time
+    # focused, interleaved x8/x1/x8/x1 to kill the cold-first-op
+    # order effect: bins 2.31-2.51 -> 3.20-3.42 s, ratio ~1.37;
+    # the naive first measurement read x1 = 6.0 s because the first
+    # op on a fresh corpus pays the Python-worker/codegen warmup --
+    # recorded here as the protocol trap it is)
+    "curriculum_difficulty_bins",
+    "curriculum_phase_plan",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)

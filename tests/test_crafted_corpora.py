@@ -238,6 +238,12 @@ _DOC_QUERIES = (
     # r16: the epoch planner on the zero-token 'junk' source (NULL
     # epochs, zero served, full-target shortfall on both engines)
     "data_constrained_epochs",
+    # r16 late: the curriculum pair on the pathological corpus --
+    # empty/no-word docs land in bin 0 (excluded from the phase
+    # budget), duplicate quartile cut values collapse middle bins,
+    # and both engines must agree on the short bin set
+    "curriculum_difficulty_bins",
+    "curriculum_phase_plan",
     "chunk_dedup_stats",
 )
 

@@ -1486,3 +1486,15 @@ def test_kcenter_passes_are_broadcast_and_assignment_joinless(
         assert "TakeOrderedAndProject" in plan, plan
     finally:
         release_caches()
+
+
+def test_curriculum_bins_one_pass_broadcast_cuts(spark, sf_dir):
+    """The binning must be ONE tokenize pass + a broadcast 3-double
+    cut row applied map-side: no sort-merge join, no cartesian, no
+    per-doc window (the only OVER () runs on the 5-row bin frame),
+    and the documents scan reads only (doc_id, text)."""
+    df = _Q["curriculum_difficulty_bins"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert_scan_columns_at_most(df, "documents", {"doc_id", "text"})

@@ -199,3 +199,52 @@ def test_epoch_plan_conserves_budget_and_caps(spark, sf_dir):
             assert r["shortfall_tokens"] > 0.0
         else:
             assert r["shortfall_tokens"] < 0.02
+
+
+def test_curriculum_bins_partition_the_corpus(spark, sf_dir):
+    """Quartile binning contract: bins ascend with disjoint token
+    ranges (max_toks of bin b < min_toks of bin b+1 for non-empty
+    bins), doc counts sum to the corpus, token shares sum to ~1, and
+    the non-empty quartile bins hold roughly a quarter of non-empty
+    docs each (exact quartiles over n>0 docs)."""
+    rows = _Q["curriculum_difficulty_bins"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-3
+    ranked = [r for r in rows if r["bin"] > 0]
+    for a, b in zip(ranked, ranked[1:]):
+        assert a["max_toks"] < b["min_toks"]
+    n_nonempty = sum(r["n_docs"] for r in ranked)
+    for r in ranked:
+        assert r["n_docs"] >= n_nonempty // 4 - max(
+            2, n_nonempty // 20
+        )
+
+
+def test_curriculum_phase_plan_widens_and_converges(spark, sf_dir):
+    """Progressive widening: available tokens are non-decreasing in
+    phase; the last phase sees the whole non-empty corpus (so its
+    quarter-budget always fits); epochs_over_available is
+    non-increasing and equals budget/available."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators.curriculum import (
+        _N_PHASES,
+    )
+
+    rows = _Q["curriculum_phase_plan"](spark, sf_dir).collect()
+    assert [r["phase"] for r in rows] == list(range(1, _N_PHASES + 1))
+    av = [r["available_tokens"] for r in rows]
+    assert av == sorted(av)
+    bins = _Q["curriculum_difficulty_bins"](spark, sf_dir).collect()
+    nonempty_total = sum(
+        r["total_tokens"] for r in bins if r["bin"] > 0
+    )
+    assert av[-1] == nonempty_total
+    assert rows[-1]["budget_fits"]
+    eo = [r["epochs_over_available"] for r in rows]
+    assert eo == sorted(eo, reverse=True)
+    for r in rows:
+        if r["available_tokens"]:
+            want = round(
+                r["phase_budget"] / r["available_tokens"], 4
+            )
+            assert abs(r["epochs_over_available"] - want) < 1e-3
