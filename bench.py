@@ -161,18 +161,25 @@ def _load_prev_artifact(here: str) -> tuple[dict | None, str | None]:
 # (scripts/ab_dsir.py shape), never from one in-probe sample.
 #
 # r16 (r15 ADVICE): the tag is NOT a permanent exemption. Two rules:
-# (1) Escape hatch -- a delta whose raw AND normalized magnitudes both
-#     exceed the op's own MEASURED span (span_frac x previous median)
-#     still flags as regression/improvement: the band explains
-#     within-span noise, never a move bigger than the band itself.
+# (1) Escape hatch -- a reading whose raw AND machine-normalized
+#     values both land OUTSIDE the op's measured same-code ABSOLUTE
+#     band (band_s, widened 15%/-15% for the 16-sample tail) still
+#     flags as regression/improvement: the band explains within-band
+#     noise, never a reading beyond anything same-code ever produced.
+#     (The first r16 formulation scaled span_frac off the PREVIOUS
+#     round's single in-probe sample -- which sits anywhere inside the
+#     band, so a legitimate band-top reading false-flagged; absolute
+#     bounds are sample-point-independent.)
 # (2) Sunset -- membership must be re-confirmed from the latest
 #     same-code envelope sessions under the two-observation rule
 #     (BENCH_NOTES close-out); a tag whose last confirming observation
 #     is two rounds stale is dropped at close-out, not carried.
-# span_frac = the largest same-code span observed (fraction of that
-# session's median); confirmed = the round of the latest observation.
+# band_s = [min, max] seconds over the r16 same-code envelope
+# sessions; span_frac = the largest relative span observed;
+# confirmed = the round of the latest observation.
 WIDE_BAND = {
     "embedding_near_dup_pairs": {
+        "band_s": [0.715, 2.127],
         "span_frac": 0.57,
         "confirmed": 16,
         "evidence": (
@@ -181,11 +188,13 @@ WIDE_BAND = {
         ),
     },
     "leakage_safe_split_stats": {
+        "band_s": [2.733, 5.178],
         "span_frac": 0.52,
         "confirmed": 16,
         "evidence": "r14 envelope ~35%; r15 33%/19%; r16 37%/52%",
     },
     "semantic_dedup_cascade_stats": {
+        "band_s": [2.943, 9.195],
         "span_frac": 0.84,
         "confirmed": 16,
         "evidence": (
@@ -194,16 +203,19 @@ WIDE_BAND = {
         ),
     },
     "doc_contamination_fraction": {
+        "band_s": [1.25, 4.238],
         "span_frac": 0.48,
         "confirmed": 16,
         "evidence": "r15 45%/45%; r16 48%/159% (B ambient run)",
     },
     "dedup_cascade_stats": {
+        "band_s": [1.345, 3.504],
         "span_frac": 0.41,
         "confirmed": 16,
         "evidence": "r15 33%/38%; r16 41%/83%",
     },
     "source_unigram_kl": {
+        "band_s": [0.505, 0.745],
         "span_frac": 0.45,
         "confirmed": 16,
         "evidence": (
@@ -213,6 +225,7 @@ WIDE_BAND = {
     },
     # r16 close-out admissions (two-observation rule, sessions A/B):
     "corpus_build_pipeline": {
+        "band_s": [1.016, 1.857],
         "span_frac": 0.41,
         "confirmed": 16,
         "evidence": (
@@ -222,6 +235,7 @@ WIDE_BAND = {
         ),
     },
     "dsir_importance_weights": {
+        "band_s": [2.328, 3.749],
         "span_frac": 0.37,
         "confirmed": 16,
         "evidence": (
@@ -230,6 +244,7 @@ WIDE_BAND = {
         ),
     },
     "semantic_dedup_twolevel_stats": {
+        "band_s": [2.905, 6.089],
         "span_frac": 0.68,
         "confirmed": 16,
         "evidence": (
@@ -627,25 +642,29 @@ def main() -> None:
             # still publishes in the sidecar for every row.
             if name in WIDE_BAND:
                 raw = now_t - prev_t
-                norm = now_t * (ratio if ratio else 1.0) - prev_t
                 band = WIDE_BAND[name]
-                # r16 escape hatch: the measured span bounds what
-                # same-code noise can explain -- both deltas beyond it
-                # in the same direction is a real move and MUST flag.
-                span_s = band["span_frac"] * prev_t
-                if raw > span_s and norm > span_s:
+                norm_t = now_t * (ratio if ratio else 1.0)
+                lo, hi = band["band_s"]
+                # r16 escape hatch (absolute form): the measured
+                # same-code band bounds what noise can explain -- a
+                # reading beyond it in raw AND normalized terms is a
+                # real move and MUST flag.
+                if now_t > hi * 1.15 and norm_t > hi * 1.15:
                     return (
-                        f"regression (raw +{raw:.3f}s, norm +{norm:.3f}s"
-                        f" > measured wide-band span {span_s:.3f}s)"
+                        f"regression ({now_t:.3f}s raw /"
+                        f" {norm_t:.3f}s normalized, both beyond the"
+                        f" measured same-code band max {hi:.3f}s+15%)"
                     )
-                if raw < -span_s and norm < -span_s:
+                if now_t < lo * 0.85 and norm_t < lo * 0.85:
                     return (
-                        f"improvement (raw {raw:.3f}s, norm {norm:.3f}s"
-                        f" < -measured wide-band span {span_s:.3f}s)"
+                        f"improvement ({now_t:.3f}s raw /"
+                        f" {norm_t:.3f}s normalized, both below the"
+                        f" measured same-code band min {lo:.3f}s-15%)"
                     )
                 return (
-                    f"wide_band (raw {raw:+.3f}s within +-{span_s:.3f}s"
-                    f" span; process-repeat-only: {band['evidence']};"
+                    f"wide_band (raw {raw:+.3f}s; reading {now_t:.3f}s"
+                    f" inside the measured band [{lo:.2f}, {hi:.2f}]s;"
+                    f" process-repeat-only: {band['evidence']};"
                     f" last confirmed r{band['confirmed']})"
                 )
             raw = now_t - prev_t
