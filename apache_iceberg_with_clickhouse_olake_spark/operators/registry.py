@@ -77,48 +77,48 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # bound ceil(228/40) = 6 effective rounds for the non-new slots,
 # stalest in-window 13, stalest omitted 13.
 _PRIORITY = (
-    "ann_filtered_probe_sweep",  # first driver row
-    "ann_filtered_recall",  # first driver row
-    "ann_filtered_topk",  # first driver row
-    "ann_index_incremental_assign",  # first driver row
-    "ann_twolevel_filtered_topk",  # first driver row
-    "chunk_dedup_stats",  # first driver row
-    "cluster_balanced_sample_stats",  # first driver row
-    "mixture_temperature_sweep",  # first driver row
-    "packing_efficiency_sweep",  # first driver row
-    "soft_dedup_weights_stats",  # first driver row
-    "cdc_state_rollup",
-    "month_set_operations",
-    "order_price_quantiles",
-    "orders_status_rollup",
-    "revenue_by_region",
-    "salted_status_rollup",
-    "segment_lineitem_revenue",
-    "curation_pipeline",
-    "asof_click_to_purchase",
-    "gold_order_metrics",
-    "lake_update_where",
-    "events_sliding_windows",
+    "ann_twolevel_batch_recall",  # first driver row
+    "ann_twolevel_filtered_recall",  # first driver row
+    "ann_twolevel_probe_sweep",  # first driver row
+    "curriculum_difficulty_bins",  # first driver row
+    "curriculum_phase_plan",  # first driver row
+    "data_constrained_epochs",  # first driver row
+    "greedy_kcenter_sample",  # first driver row
+    "pq_adc_topk_recall",  # first driver row
+    "decontamination_scan",
+    "dedup_keep_first",
+    "document_chunks",
+    "events_by_type",
+    "minhash_band_buckets",
+    "multi_segment_nations",
+    "nations_with_high_value_orders",
+    "ngram_jaccard_neardups",
+    "media_catalog_stats",
+    "running_monthly_revenue",
+    "sessionize_events",
     "scalar_functions",
-    "high_value_orders",
-    "shipping_priority_topk",
     "schema_evolution_merge",
-    "cdc_change_log",
-    "monthly_revenue",
-    "time_travel_counts",
+    "high_value_orders",
+    "medallion_readback",
+    "cdc_upsert_state",
     "table_counts",
+    "cdc_change_log",
+    "top_terms",
+    "unique_customers",
+    "revenue_mom_growth",
     "silver_projection",
-    "seed_literal_insert",
     "partition_pruning_roundtrip",
     "parquet_layout_roundtrip",
     "ddl_roundtrip",
     "current_date_sanity",
-    "dedup_removal_apply",
-    "streaming_dedup_exactly_once",
-    "event_props_json_stats",
-    "idle_rich_customers",
+    "profile_distributions",
+    "user_lifetime_stats",
+    "streaming_restart_state",
+    "distinct_status",
+    "time_travel_counts",
     "session_settings_roundtrip",
     "session_epoch_stats",
+    "seed_literal_insert",
     "max_key_bootstrap",
     "lake_compaction_stats",
     "datagen_users",
