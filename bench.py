@@ -269,6 +269,48 @@ HEADLINE = (
 )
 
 
+# --- LLM-pipeline suite (r5 verdict item 5): the corpus operators
+# only appeared in SCALING.md, which is re-measured sporadically and
+# carries no delta_vs_prev -- a regression in the flagship pipeline
+# could hide between re-measurements. Same median+IQR+delta treatment
+# as the headline suite, on the same sf dir. Module-level (hoisted r17)
+# so the envelope-staleness check in tests/test_bench_gates.py can
+# resolve the benched modules without executing main().
+LLM_SUITE = (
+    "dedup_cascade_stats",      # exact->LSH cascade over documents
+    "corpus_build_pipeline",    # flagship: filter->dedup->decontam->mix->pack
+    "embedding_near_dup_pairs",  # banded hyperplane-LSH pair join
+    "decontamination_scan",     # broadcast probe-set anti-join
+    # r7: the decision-side contamination op (per-doc fractions) --
+    # a new name, so the llm delta/verdict blocks (intersection-
+    # based) simply skip it until both rounds carry it
+    "doc_contamination_fraction",
+    # r8: the cluster-then-prune flagship (exact-collapse -> k-means
+    # over representatives -> within-cluster SemDeDup) -- new name,
+    # same intersection-skip on its first round
+    "semantic_dedup_cascade_stats",
+    # r9: the data-selection flagship (DSIR hashed-ngram importance
+    # weights; one corpus tokenize+hash pass + broadcast ratio
+    # table) -- new name, intersection-skip on its first round
+    "dsir_importance_weights",
+    # r11: the corpus-drift flagship (per-source unigram KL over a
+    # localCheckpoint superstep; marginals are re-aggregations of
+    # one tokenize pass) -- new name, intersection-skip on its
+    # first round
+    "source_unigram_kl",
+    # r13: the eval-integrity flagship (cluster-keyed leakage-safe
+    # split over the cascade core; straddle structurally 0) -- new
+    # name, intersection-skip on its first round
+    "leakage_safe_split_stats",
+    # r15 (r14 VERDICT item 5): the production-scale answer to the
+    # suite's most expensive op (semantic_dedup_cascade_stats) --
+    # leaf-bounded SemDeDup over the two-level sqrt-k index; until
+    # now only the sporadic scaling suite measured it -- new name,
+    # intersection-skip on its first round
+    "semantic_dedup_twolevel_stats",
+)
+
+
 def main() -> None:
     # AMBIENT machine state, sampled BEFORE any Spark work: loadavg and
     # the calibration spin taken here measure the machine the bench is
@@ -415,54 +457,24 @@ def main() -> None:
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
 
-    # --- LLM-pipeline suite (r5 verdict item 5): the corpus operators
-    # only appeared in SCALING.md, which is re-measured sporadically and
-    # carries no delta_vs_prev -- a regression in the flagship pipeline
-    # could hide between re-measurements. Same median+IQR+delta
-    # treatment as the headline suite; 3 runs (these are the heavy
-    # multi-stage ops) on the same sf dir.
-    LLM_SUITE = (
-        "dedup_cascade_stats",      # exact->LSH cascade over documents
-        "corpus_build_pipeline",    # flagship: filter->dedup->decontam->mix->pack
-        "embedding_near_dup_pairs",  # banded hyperplane-LSH pair join
-        "decontamination_scan",     # broadcast probe-set anti-join
-        # r7: the decision-side contamination op (per-doc fractions) --
-        # a new name, so the llm delta/verdict blocks (intersection-
-        # based) simply skip it until both rounds carry it
-        "doc_contamination_fraction",
-        # r8: the cluster-then-prune flagship (exact-collapse -> k-means
-        # over representatives -> within-cluster SemDeDup) -- new name,
-        # same intersection-skip on its first round
-        "semantic_dedup_cascade_stats",
-        # r9: the data-selection flagship (DSIR hashed-ngram importance
-        # weights; one corpus tokenize+hash pass + broadcast ratio
-        # table) -- new name, intersection-skip on its first round
-        "dsir_importance_weights",
-        # r11: the corpus-drift flagship (per-source unigram KL over a
-        # localCheckpoint superstep; marginals are re-aggregations of
-        # one tokenize pass) -- new name, intersection-skip on its
-        # first round
-        "source_unigram_kl",
-        # r13: the eval-integrity flagship (cluster-keyed leakage-safe
-        # split over the cascade core; straddle structurally 0) -- new
-        # name, intersection-skip on its first round
-        "leakage_safe_split_stats",
-        # r15 (r14 VERDICT item 5): the production-scale answer to the
-        # suite's most expensive op (semantic_dedup_cascade_stats) --
-        # leaf-bounded SemDeDup over the two-level sqrt-k index; until
-        # now only the sporadic scaling suite measured it -- new name,
-        # intersection-skip on its first round
-        "semantic_dedup_twolevel_stats",
-    )
     llm_timings: dict[str, float] = {}
     llm_iqrs: dict[str, float] = {}
+    llm_runs_by_query: dict[str, int] = {}
     for name in LLM_SUITE:
         if name not in queries:
             continue
         queries[name](spark, sf_dir).collect()  # warm (untimed)
+        # r17 (r16 VERDICT item 4): wide-band-tagged ops are judged on
+        # process-repeat medians only, so give them a 7-run median
+        # instead of 3 -- the 3-run median of an op whose same-code
+        # span is 40-80% is a coin flip, and the per-round delta gate
+        # had stopped binding on ~80% of the suite. Untagged ops stay
+        # at 3 (the heavy multi-stage ops the original comment priced).
+        runs = 7 if name in WIDE_BAND else 3
+        llm_runs_by_query[name] = runs
         llm_timings[name] = timed(
             lambda: queries[name](spark, sf_dir).collect(),
-            runs=3,
+            runs=runs,
             name=name,
             iqr_sink=llm_iqrs,
         )
@@ -516,11 +528,13 @@ def main() -> None:
         queries["semantic_dedup_twolevel_stats"](
             spark, spread_dir
         ).collect()  # warm (untimed)
+        runs = 7 if name in WIDE_BAND else 3
+        llm_runs_by_query[name] = runs
         llm_timings[name] = timed(
             lambda: queries["semantic_dedup_twolevel_stats"](
                 spark, spread_dir
             ).collect(),
-            runs=3,
+            runs=runs,
             name=name,
             iqr_sink=llm_iqrs,
         )
@@ -777,6 +791,9 @@ def main() -> None:
             "queries": llm_timings,
             "iqr": llm_iqrs,
             "runs_per_query": 3,
+            # r17 (r16 VERDICT item 4): wide-band-tagged ops run a
+            # 7-sample median; per-op counts recorded here.
+            "runs_by_query": llm_runs_by_query,
         },
         "delta_vs_prev": delta_detail,
         "context": ctx,
@@ -798,7 +815,13 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "runs_per_query": 5,
         "stat": "median",
-        "llm_suite": {"queries": llm_timings, "runs_per_query": 3},
+        "llm_suite": {
+            "queries": llm_timings,
+            "runs_per_query": 3,
+            # tagged ops use a 7-run median (full map in the detail
+            # sidecar's runs_by_query)
+            "runs_per_query_tagged": 7,
+        },
         "delta_vs_prev": delta_vs_prev,
         "detail_file": "BENCH_DETAIL.json",
         "context": {
