@@ -204,27 +204,45 @@ def md5_int60_sql(expr: str) -> str:
 _WS_CLASS = "[ \\t\\n\\r\\f\\x0B]+"
 
 
+# NULL-text contract (r17, found by the randomized-corpus sweep): a
+# NULL document canonicalizes to '' at this boundary, so every
+# tokenize-derived op treats it exactly like the empty doc the crafted
+# corpora already pin. Without the coalesce the engines DIVERGE on
+# NULL: Spark's split(NULL) -> NULL rides whole-column NULL semantics,
+# while DuckDB's concat() in the md5-shingle hash SKIPS NULL arguments
+# and emits '0x' (a CAST error). Expressions that use `text` directly
+# (length, IS NULL predicates) keep ordinary NULL propagation — the
+# contract is scoped to the token/shingle domain only.
+
+
 def norm_text(col: Column) -> Column:
     """Whitespace-collapsed, trimmed, lowercased text (dedup canonical
-    form)."""
-    return F.lower(F.trim(F.regexp_replace(col, _WS_CLASS, " ")))
+    form). NULL in => '' out (see NULL-text contract above)."""
+    return F.lower(
+        F.trim(F.regexp_replace(F.coalesce(col, F.lit("")), _WS_CLASS, " "))
+    )
 
 
 def norm_text_sql(expr: str) -> str:
-    return f"lower(trim(regexp_replace({expr}, '{_WS_CLASS}', ' ', 'g')))"
+    return (
+        f"lower(trim(regexp_replace(coalesce({expr}, ''),"
+        f" '{_WS_CLASS}', ' ', 'g')))"
+    )
 
 
 def tokens(col: Column) -> Column:
-    """Lowercased whitespace tokens with empties dropped."""
+    """Lowercased whitespace tokens with empties dropped. NULL in =>
+    [] out (see NULL-text contract above)."""
     return F.filter(
-        F.split(F.lower(col), _WS_CLASS), lambda x: x != F.lit("")
+        F.split(F.lower(F.coalesce(col, F.lit(""))), _WS_CLASS),
+        lambda x: x != F.lit(""),
     )
 
 
 def tokens_sql(expr: str) -> str:
     return (
-        f"list_filter(string_split_regex(lower({expr}), '{_WS_CLASS}'),"
-        " x -> x <> '')"
+        f"list_filter(string_split_regex(lower(coalesce({expr}, '')),"
+        f" '{_WS_CLASS}'), x -> x <> '')"
     )
 
 

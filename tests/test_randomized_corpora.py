@@ -1,0 +1,177 @@
+"""Seeded RANDOM corpus sweep through the full oracle parity check
+(r16 VERDICT item 6: "hardening with teeth").
+
+The crafted corpora (test_crafted_corpora.py) pin a FIXED set of
+hand-picked degeneracies; this suite generates corpora from seeds, so
+every round re-sweeps a different neighborhood of the same edge
+classes — and deliberately salts each corpus with the cases where
+engines legitimately diverge unless the op pinned them down:
+
+- tie-breaks: token counts drawn from a tiny length pool (quantile
+  cuts and top-k thresholds land ON ties), duplicate texts, and
+  power-of-two scaled embedding copies (2·v and v/2 have EXACTLY the
+  same cosine against every query in IEEE double — scaling by a power
+  of two is rounding-free — so top-k MUST break the tie on vec_id on
+  both engines, not on plan order);
+- NULLs: NULL text, NULL lang, NULL label rows (the real fixtures
+  carry zero NULLs, so NULL propagation through tokenize / group-by /
+  filtered-ANN label slices was otherwise never parity-checked);
+- the crafted classics, randomized: empty / whitespace-only /
+  symbol-only / unicode text, same-token runs, 130-token docs (bin
+  spanning), replica cliques, antiparallel pairs, zero vectors.
+
+Every op already pinned on the crafted corpora runs here too, over
+multiple seeds, through the SAME assert_match used by the driver
+mirror. A new op that passes the fixed corpora but resolves ties by
+plan order, or drops NULL groups on one engine only, fails here.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from apache_iceberg_with_clickhouse_olake_spark.operators import registry
+from tests.oracle_utils import assert_match
+from tests.test_crafted_corpora import _DOC_QUERIES, _EMB_QUERIES
+
+registry._load_all()
+
+SEEDS = (101, 202, 303)
+
+_DIM = 64
+_SOURCES = ("web", "news", "code", "junk")
+_LANGS = ("en", "de", "fr", "zz")
+
+
+def _gen_docs(rng: random.Random) -> list[tuple]:
+    vocab = [f"w{i}" for i in range(40)] + [
+        "the", "a", "table", "scan", "merge", "hash", "spark", "row",
+    ]
+
+    rows: list[tuple] = []
+
+    def add(text, lang="?", source="?"):
+        lang = rng.choice(_LANGS) if lang == "?" else lang
+        source = rng.choice(_SOURCES) if source == "?" else source
+        n_chars = None if text is None else len(text)
+        rows.append((len(rows) + 1, text, lang, source, n_chars))
+
+    def words(n: int) -> str:
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    # Bulk docs with lengths drawn mostly from a 3-value pool so token
+    # counts (and every length-derived score) collide: quartile cuts,
+    # quality thresholds, and top-k boundaries land exactly on ties.
+    tie_lens = [rng.randint(3, 9) for _ in range(3)]
+    for _ in range(40):
+        n = rng.choice(tie_lens * 3 + [rng.randint(1, 60)])
+        add(words(n))
+
+    # Duplicate groups of varied size, spread across sources/langs (the
+    # 1/n soft-dedup, chunk-dup, and cluster-keyed split branches).
+    for gsize in (2, 3, rng.randint(2, 5)):
+        t = words(rng.randint(2, 10))
+        for _ in range(gsize):
+            add(t)
+
+    # Crafted classics, randomized placement:
+    add("")                                   # empty text
+    add("   ")                                # whitespace-only
+    add("!!! 123 %%%", lang="zz")             # no [a-z] word at all
+    add("x")                                  # single 1-char word
+    add(("zz " * rng.randint(30, 60)).strip())  # same-token run
+    add(" ".join(f"u{i}" for i in range(130)))  # long doc: bin spanning
+    add("line one\nline two\ttabbed")         # embedded \n and \t
+    add("Héllo WÖRLD café")                   # non-ASCII letters
+    # NULLs the fixtures never carry:
+    add(None)                                  # NULL text
+    add(None, lang=None)                       # NULL text + NULL lang
+    add(words(4), lang=None)                   # NULL lang, real text
+    return rows
+
+
+def _gen_emb(rng: random.Random) -> list[tuple]:
+    rows: list[tuple] = []
+
+    def vec() -> list[float]:
+        return [round(rng.uniform(-1.0, 1.0), 3) for _ in range(_DIM)]
+
+    def add(v, label="?"):
+        label = rng.randint(0, 4) if label == "?" else label
+        rows.append((len(rows) + 1, v, label))
+
+    base = [vec() for _ in range(30)]
+    for v in base:
+        add(list(v))
+    # exact replica clique (exact-dedup collapse + cosine 1.0 ties)
+    cliq = rng.choice(base)
+    for _ in range(3):
+        add(list(cliq))
+    # power-of-two scaled copies: EXACT cosine ties with the original
+    # direction (see module doc), different norms
+    v = rng.choice(base)
+    add([2.0 * x for x in v])
+    add([0.5 * x for x in v])
+    # antiparallel (true cosine -1.0, distinct from the zero-norm NULL)
+    add([-x for x in rng.choice(base)])
+    # zero vector (NULL-cosine contract) and a tiny-norm vector
+    add([0.0] * _DIM)
+    add([0.001] + [0.0] * (_DIM - 1))
+    # NULL label (filtered-ANN label slices must skip it identically)
+    add(vec(), label=None)
+    return rows
+
+
+@pytest.fixture(scope="module", params=SEEDS)
+def rand_dir(request, spark, tmp_path_factory):
+    seed = request.param
+    d = str(tmp_path_factory.mktemp(f"rand{seed}") / "sf")
+    docs = _gen_docs(random.Random(seed))
+    emb = _gen_emb(random.Random(seed + 7))
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def rand_duck(rand_dir):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{rand_dir}/{t}.parquet/*.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(_DOC_QUERIES) | set(_EMB_QUERIES))
+)
+def test_randomized_corpus_oracle_parity(spark, rand_dir, rand_duck, name):
+    spec = registry.REGISTRY[name]
+    if spec.oracle is None:
+        pytest.skip("rows-only op")
+    assert_match(spec.fn(spark, rand_dir), rand_duck, spec.oracle, name)
+
+
+def test_scaled_copies_tie_break_on_vec_id(spark, rand_dir):
+    """The 2·v / v/2 rows have bit-equal cosine against any query: the
+    returned order must be (cos DESC, vec_id ASC) — plan order leaking
+    through a tie is nondeterminism at 100 TB shuffle widths."""
+    rows = registry.REGISTRY["cosine_topk"].fn(spark, rand_dir).collect()
+    keyed = [
+        (r["cos_sim"], r["vec_id"]) for r in rows if r["cos_sim"] is not None
+    ]
+    for (c1, v1), (c2, v2) in zip(keyed, keyed[1:]):
+        assert c1 > c2 or (c1 == c2 and v1 < v2), (
+            f"tie not broken by vec_id: ({c1},{v1}) before ({c2},{v2})"
+        )
