@@ -1962,6 +1962,99 @@ def crossmodal_neardup_agreement(
 
 
 # ---------------------------------------------------------------------------
+# Paraphrase mining: semantically NEAR, lexically FAR. The near-dup
+# family's inverse predicate -- crossmodal_neardup_agreement AGGREGATES
+# how often the modalities agree; this op EMITS the disagreement pairs
+# (high cosine, low shingle Jaccard), which are exactly the paraphrase /
+# rewrite candidates a training pipeline mines for augmentation sets and
+# contrastive positives (and that a dedup pipeline must NOT collapse).
+# ---------------------------------------------------------------------------
+
+_PARA_COS = 0.5  # the crossmodal audit's high-agreement bin boundary
+
+
+@query(
+    "paraphrase_mining_pairs",
+    oracle=f"""
+    WITH {_embed_band_ctes('embeddings')},
+    sh AS (SELECT doc_id, {{SHINGLES}} AS shingles FROM documents),
+    scored AS (
+      SELECT p.vec_a, p.vec_b,
+             {_COS_SQL.format(a='p.ea', b='p.eb')} AS cos_raw,
+             CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+               AS jac
+      FROM cand p
+      JOIN sh sa ON p.vec_a = sa.doc_id
+      JOIN sh sb ON p.vec_b = sb.doc_id
+    )
+    SELECT vec_a AS doc_a, vec_b AS doc_b,
+           {dround_sql('cos_raw', 4)} AS cos_sim,
+           {dround_sql('jac', 4)} AS text_jaccard
+    FROM scored
+    WHERE cos_raw >= {_PARA_COS} AND jac < {_TEXT_JACCARD_THR}
+    ORDER BY cos_sim DESC, doc_a, doc_b
+    """.replace("{SHINGLES}", _TEXT_SHINGLES_SQL),
+    tags=("llm-similarity", "llm-dedup"),
+)
+def paraphrase_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paraphrase candidates: embedding-LSH pairs whose UNROUNDED cosine
+    clears the crossmodal high-agreement boundary ({pc}) but whose
+    word-3-gram shingle Jaccard stays BELOW the lexical near-dup
+    threshold ({jt}) -- same meaning, different words. Both thresholds
+    and both metrics are the established family primitives
+    (_embed_candidate_pairs + with_shingles), so the op adds a predicate,
+    not a new similarity definition.
+
+    Scale shape: candidates come from the measured band-keyed LSH
+    self-join (vectors never ride the band explosion); the shingle
+    sides join by doc_id AFTER pair formation AND after the cosine
+    filter, so text payloads move once per surviving high-cosine pair
+    -- strictly cheaper than crossmodal_neardup_agreement, which scores
+    every candidate. Cosine filtering uses cos_raw (the r6 ADVICE
+    boundary discipline); emitted values snap to 4 decimals with ties
+    ordered by (doc_a, doc_b)."""
+    from ._embed_lsh_udf import make_embed_bands_udf
+    from .dedup import with_shingles
+
+    bands_udf = make_embed_bands_udf()
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    e = emb.select(
+        "vec_id",
+        "label",
+        _dvec(F.col("embedding")).alias("v"),
+        bands_udf(F.col("embedding")).alias("bands"),
+    )
+    cand = _embed_candidate_pairs(e).filter(F.col("cos_raw") >= _PARA_COS)
+    sh = with_shingles(docs)
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    jac = (
+        F.size(
+            F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))
+        ).cast("double")
+        / F.size(F.array_union(F.col("sa.shingles"), F.col("sb.shingles")))
+    )
+    return (
+        cand.join(sa, cand.vec_a == F.col("sa.doc_id"))
+        .join(sb, cand.vec_b == F.col("sb.doc_id"))
+        .filter(jac < _TEXT_JACCARD_THR)
+        .select(
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            dround(F.col("cos_raw"), 4).alias("cos_sim"),
+            dround(jac, 4).alias("text_jaccard"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "doc_a", "doc_b")
+    )
+
+
+paraphrase_mining_pairs.__doc__ = paraphrase_mining_pairs.__doc__.format(
+    pc=_PARA_COS, jt=_TEXT_JACCARD_THR
+)
+
+
+# ---------------------------------------------------------------------------
 # Hard-negative mining (contrastive-training data prep): for each query
 # vector, the single most-similar vector with a DIFFERENT label -- the
 # exact brute-force baseline of the "mine hard negatives for every
@@ -2730,12 +2823,13 @@ def pq_adc_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(spark, _pq_adc_recall_frame(spark, sf_dir))
 
 
-def _pq_adc_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lazy ADC-recall frame (plan tests pin the joinless encode scan
-    and bounded-broadcast stitches BEFORE the materialization idiom
-    collapses them; the codebook/query collects are bounded setup)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+def _pq_codebook_and_query(
+    e: DataFrame,
+) -> tuple[list[list[float]], int, list[float]]:
+    """Bounded-setup collects shared by the flat-ADC and IVF-PQ ops:
+    the md5-ranked {K}-row codebook plus the first-vec_id query row
+    (the same <= 8-row materializations the r16 plan audit accepted as
+    model artifacts, similarity.py pq_adc_topk_recall)."""
     cb_rows = (
         e.select(
             "vec_id",
@@ -2754,7 +2848,18 @@ def _pq_adc_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codebook = [list(r["v"]) for r in cb_rows]  # K x DIM doubles
     q_row = e.orderBy("vec_id").limit(1).collect()[0]
-    qid, qv = q_row["vec_id"], list(q_row["v"])
+    return codebook, q_row["vec_id"], list(q_row["v"])
+
+
+def _pq_adc_scored(
+    e: DataFrame, codebook: list[list[float]], qv: list[float]
+) -> DataFrame:
+    """(vec_id, adc_dist) over an arbitrary (vec_id, v) frame: encode
+    each row against the codebook LITERALS ({m} struct-argmins), score
+    via the constant-folded query-to-codeword lookup table -- one
+    joinless embarrassingly-parallel scan, shared by the flat scan
+    (pq_adc_topk_recall) and the probed-lists scan
+    (ann_ivfpq_topk_recall)."""
 
     def sqdist(s: int, c: int) -> Column:
         base = s * _PQ_SUBDIM
@@ -2796,9 +2901,8 @@ def _pq_adc_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"s{s}.c") + F.lit(1),
         )
 
-    scored = (
-        e.filter(F.col("vec_id") != F.lit(qid))
-        .select(
+    return (
+        e.select(
             "vec_id",
             *[argmin(s).alias(f"s{s}") for s in range(_PQ_M)],
         )
@@ -2811,6 +2915,17 @@ def _pq_adc_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc_dist"),
         )
     )
+
+
+def _pq_adc_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy ADC-recall frame (plan tests pin the joinless encode scan
+    and bounded-broadcast stitches BEFORE the materialization idiom
+    collapses them; the codebook/query collects are bounded setup)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    codebook, qid, qv = _pq_codebook_and_query(e)
+
+    scored = _pq_adc_scored(e.filter(F.col("vec_id") != F.lit(qid)), codebook, qv)
     adc_topk = (
         scored.orderBy(F.col("adc_dist").asc_nulls_last(), "vec_id")
         .limit(_PQ_TOP_K)
@@ -2866,4 +2981,266 @@ def _pq_adc_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 pq_adc_topk_recall.__doc__ = pq_adc_topk_recall.__doc__.format(
     m=_PQ_M, k=_PQ_K, rr=_PQ_RERANK, k_=_PQ_TOP_K
+)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse-probe pruning + ADC scoring within probed lists + exact
+# re-rank -- the FAISS IVFPQ / ScaNN production config (Jegou et al. §V).
+# The two existing halves each price one loss: ann_ivf_topk prunes lists
+# but scores raw floats; pq_adc_topk_recall scores 8-byte codes but scans
+# EVERY row. At 100 TB neither is the deployed shape -- this op composes
+# them and reports recall after BOTH losses plus the re-rank recovery.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_PROBES = 2
+
+
+@query(
+    "ann_ivfpq_topk_recall",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, i, {davg_sql('CAST(embedding[i] AS DOUBLE)')} AS cx
+      FROM embeddings, LATERAL unnest(range(1, {_DIM} + 1)) AS t(i)
+      GROUP BY label, i
+    ),
+    cvec AS (
+      SELECT label, list(cx ORDER BY i) AS cv FROM cent GROUP BY label
+    ),
+    q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings ORDER BY vec_id LIMIT 1),
+    probe AS (
+      SELECT cvec.label FROM cvec, q
+      ORDER BY list_cosine_similarity(cv, qv) DESC NULLS LAST, cvec.label
+      LIMIT {_IVFPQ_PROBES}
+    ),
+    ranked AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS cv,
+             ROW_NUMBER() OVER (ORDER BY {_PQ_MD5}, vec_id) AS rn
+      FROM embeddings
+      QUALIFY rn <= {_PQ_K}
+    ),
+    cb AS (SELECT CAST(rn - 1 AS INT) AS code, cv FROM ranked),
+    sub AS (SELECT CAST(s AS INT) AS subspace FROM range({_PQ_M}) t(s)),
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev
+          FROM embeddings),
+    lists AS (
+      SELECT e.vec_id, e.ev
+      FROM e JOIN probe USING (label), q
+      WHERE e.vec_id <> q.qid
+    ),
+    adc AS (
+      SELECT sub.subspace, cb.code,
+             list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}), i ->
+               (q.qv[subspace * {_PQ_SUBDIM} + i]
+                  - cb.cv[subspace * {_PQ_SUBDIM} + i])
+               * (q.qv[subspace * {_PQ_SUBDIM} + i]
+                  - cb.cv[subspace * {_PQ_SUBDIM} + i])
+             )) AS d
+      FROM sub, cb, q
+    ),
+    dist AS (
+      SELECT l.vec_id, sub.subspace, cb.code,
+             list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}), i ->
+               (l.ev[subspace * {_PQ_SUBDIM} + i]
+                  - cb.cv[subspace * {_PQ_SUBDIM} + i])
+               * (l.ev[subspace * {_PQ_SUBDIM} + i]
+                  - cb.cv[subspace * {_PQ_SUBDIM} + i])
+             )) AS sqdist
+      FROM lists l, sub, cb
+    ),
+    best AS (
+      SELECT vec_id, subspace, code
+      FROM dist
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY sqdist, code) = 1
+    ),
+    piv AS (
+      SELECT vec_id,
+             MAX(CASE WHEN subspace = 0 THEN code END) AS c0,
+             MAX(CASE WHEN subspace = 1 THEN code END) AS c1,
+             MAX(CASE WHEN subspace = 2 THEN code END) AS c2,
+             MAX(CASE WHEN subspace = 3 THEN code END) AS c3
+      FROM best GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT p.vec_id,
+             {dround_sql('a0.d + a1.d + a2.d + a3.d', 6)} AS adc_dist
+      FROM piv p
+      JOIN adc a0 ON a0.subspace = 0 AND a0.code = p.c0
+      JOIN adc a1 ON a1.subspace = 1 AND a1.code = p.c1
+      JOIN adc a2 ON a2.subspace = 2 AND a2.code = p.c2
+      JOIN adc a3 ON a3.subspace = 3 AND a3.code = p.c3
+    ),
+    adc_topk AS (
+      SELECT vec_id FROM scored
+      ORDER BY adc_dist ASC NULLS LAST, vec_id LIMIT {_PQ_TOP_K}
+    ),
+    cand AS (
+      SELECT vec_id FROM scored
+      ORDER BY adc_dist ASC NULLS LAST, vec_id LIMIT {_PQ_RERANK}
+    ),
+    rerank AS (
+      SELECT c.vec_id
+      FROM cand c JOIN e USING (vec_id) CROSS JOIN q
+      ORDER BY {dround_sql(
+          f"list_sum(list_transform(range(1, {_DIM + 1}), i ->"
+          " (e.ev[i] - q.qv[i]) * (e.ev[i] - q.qv[i])))", 6
+      )} ASC NULLS LAST, c.vec_id
+      LIMIT {_PQ_TOP_K}
+    ),
+    exact AS (
+      SELECT e.vec_id
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+      ORDER BY {dround_sql(
+          f"list_sum(list_transform(range(1, {_DIM + 1}), i ->"
+          " (e.ev[i] - q.qv[i]) * (e.ev[i] - q.qv[i])))", 6
+      )} ASC NULLS LAST, e.vec_id
+      LIMIT {_PQ_TOP_K}
+    )
+    SELECT q.qid,
+           CAST((SELECT COUNT(*) FROM lists) AS BIGINT) AS scanned,
+           COUNT(*) AS exact_k,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS adc_hits,
+           {dround_sql(f'COUNT(a.vec_id) / {_PQ_TOP_K}.0', 4)}
+             AS adc_recall,
+           CAST(COUNT(r.vec_id) AS BIGINT) AS rerank_hits,
+           {dround_sql(f'COUNT(r.vec_id) / {_PQ_TOP_K}.0', 4)}
+             AS rerank_recall
+    FROM exact x
+    LEFT JOIN adc_topk a USING (vec_id)
+    LEFT JOIN rerank r USING (vec_id)
+    CROSS JOIN q
+    GROUP BY q.qid
+    """,
+    tags=("llm-similarity",),
+)
+@_scoped
+def ann_ivfpq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search: probe the {p} per-label mean centroids nearest
+    the query (ann_ivf_topk's coarse stage), ADC-score ONLY the probed
+    lists' 8-byte codes (pq_adc_topk_recall's scoring stage), re-rank
+    the top-{rr} candidates with true L2, and report recall@{k_} of
+    both stages against GLOBAL exact brute force -- so the number
+    prices coarse-pruning loss AND quantization loss together, which
+    is the honest recall of the deployed FAISS-IVFPQ shape. `scanned`
+    records how many rows the ADC stage actually touched (the pruning
+    dividend: probed-lists rows, not the corpus).
+
+    Scale shape: the centroid build is ONE shuffle reducing to labels
+    x dims rows; the probe is a broadcast {p}-row frame, so list
+    restriction is a map-side broadcast-hash-join semi-filter on the
+    scan (at 100 TB the lists are partition keys and this is partition
+    pruning); the ADC scan inherits the joinless constant-folded
+    encode/score shape from _pq_adc_scored over ~{p}/L of the corpus;
+    re-rank re-reads raw floats for <= {rr} broadcast-joined rows.
+    Distances snap to 6 decimals, argmin ties resolve by code id,
+    rankings by vec_id (the PQ discipline end-to-end).
+
+    Reference parity: the reference serves vector search from its OLAP
+    engine's full-scan cosine (BLOG_POST_COMPLETE_WALKTHROUGH.md's
+    analytics surface has no ANN index); this op is the Spark-first
+    scale path for that same query class."""
+    return _finalize(spark, _ivfpq_recall_frame(spark, sf_dir))
+
+
+def _ivfpq_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy IVF-PQ recall frame (plan tests pin the broadcast probe
+    filter and the joinless ADC scan before _finalize collapses them)."""
+    from ..functions import davg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", _dvec(F.col("embedding")).alias("v")
+    )
+    ev = e.select("vec_id", "v")
+    codebook, qid, qv = _pq_codebook_and_query(ev)
+
+    cent = (
+        e.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(davg("x", "cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("cx")))
+                ),
+                lambda s: s.getField("cx"),
+            ).alias("cv")
+        )
+    )
+    qf = spark.createDataFrame([(qid, qv)], "qid long, qv array<double>")
+    probe = (
+        cent.join(F.broadcast(qf))
+        .select(F.col("label").alias("plabel"), _cos(F.col("cv"), F.col("qv")).alias("ccos"))
+        .orderBy(F.col("ccos").desc(), "plabel")
+        .limit(_IVFPQ_PROBES)
+        .select("plabel")
+    )
+    lists = (
+        e.join(F.broadcast(probe), e.label == F.col("plabel"))
+        .filter(F.col("vec_id") != F.lit(qid))
+        .select("vec_id", "v")
+    )
+    scored = _pq_adc_scored(lists, codebook, qv)
+    adc_topk = (
+        scored.orderBy(F.col("adc_dist").asc_nulls_last(), "vec_id")
+        .limit(_PQ_TOP_K)
+        .select("vec_id", F.lit(1).alias("adc_hit"))
+    )
+    cand = (
+        scored.orderBy(F.col("adc_dist").asc_nulls_last(), "vec_id")
+        .limit(_PQ_RERANK)
+        .select("vec_id")
+    )
+    true_sq = F.aggregate(
+        F.zip_with(
+            F.col("v"), F.col("qv"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    rerank = (
+        ev.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qf))
+        .select("vec_id", dround(true_sq, 6).alias("true_dist"))
+        .orderBy(F.col("true_dist").asc_nulls_last(), "vec_id")
+        .limit(_PQ_TOP_K)
+        .select("vec_id", F.lit(1).alias("rr_hit"))
+    )
+    exact = (
+        ev.filter(F.col("vec_id") != F.lit(qid))
+        .join(F.broadcast(qf))
+        .select("vec_id", dround(true_sq, 6).alias("true_dist"))
+        .orderBy(F.col("true_dist").asc_nulls_last(), "vec_id")
+        .limit(_PQ_TOP_K)
+        .select("vec_id")
+    )
+    scanned = scored.groupBy().agg(
+        F.count("*").cast("long").alias("scanned")
+    )
+    return (
+        exact.join(F.broadcast(adc_topk), "vec_id", "left")
+        .join(F.broadcast(rerank), "vec_id", "left")
+        .withColumn("qid", F.lit(qid).cast("long"))
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("exact_k"),
+            F.count("adc_hit").cast("long").alias("adc_hits"),
+            dround(
+                F.count("adc_hit") / F.lit(float(_PQ_TOP_K)), 4
+            ).alias("adc_recall"),
+            F.count("rr_hit").cast("long").alias("rerank_hits"),
+            dround(
+                F.count("rr_hit") / F.lit(float(_PQ_TOP_K)), 4
+            ).alias("rerank_recall"),
+        )
+        .join(F.broadcast(scanned))
+    )
+
+
+ann_ivfpq_topk_recall.__doc__ = ann_ivfpq_topk_recall.__doc__.format(
+    p=_IVFPQ_PROBES, rr=_PQ_RERANK, k_=_PQ_TOP_K
 )

@@ -1464,6 +1464,49 @@ def test_pq_adc_scan_is_joinless_and_code_width(spark, sf_dir):
         release_caches()
 
 
+def test_ivfpq_probe_is_broadcast_and_adc_scan_joinless(spark, sf_dir):
+    """IVF-PQ (r17): the coarse probe restricts the corpus via a
+    broadcast-hash-join semi-filter (never a shuffle join — at 100 TB
+    the probe is partition pruning), the ADC stage inherits the
+    joinless constant-folded encode shape, and every embeddings scan
+    reads only (vec_id, label, embedding)."""
+    from apache_iceberg_with_clickhouse_olake_spark.operators._cache import (
+        release_caches,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.operators.similarity import (
+        _ivfpq_recall_frame,
+    )
+
+    try:
+        df = _ivfpq_recall_frame(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert_scan_columns_at_most(
+            df, "embeddings", {"vec_id", "label", "embedding"}
+        )
+    finally:
+        release_caches()
+
+
+def test_paraphrase_pairs_keep_payloads_off_the_band_explosion(
+    spark, sf_dir
+):
+    """Paraphrase mining (r17) inherits the near-dup join discipline:
+    no cartesian product anywhere, embeddings scans read only
+    (vec_id, label, embedding), and the documents side contributes
+    only (doc_id, text) — shingle payloads join AFTER pair formation."""
+    df = registry.REGISTRY["paraphrase_mining_pairs"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert_scan_columns_at_most(
+        df, "embeddings", {"vec_id", "label", "embedding"}
+    )
+    assert_scan_columns_at_most(df, "documents", {"doc_id", "text"})
+
+
 def test_kcenter_passes_are_broadcast_and_assignment_joinless(
     spark, sf_dir
 ):

@@ -106,15 +106,22 @@ def _gen_emb(rng: random.Random) -> list[tuple]:
     base = [vec() for _ in range(30)]
     for v in base:
         add(list(v))
-    # exact replica clique (exact-dedup collapse + cosine 1.0 ties)
+    # exact replica clique (exact-dedup collapse + cosine 1.0 ties) --
+    # SAME label on purpose: the LSH band join keys on label, so a
+    # same-label clique guarantees candidate pairs with cosine 1.0
+    # whose doc_ids carry DIFFERENT random texts -- the paraphrase
+    # branch (cos high, Jaccard low) fires on every seed
     cliq = rng.choice(base)
+    cliq_label = rng.randint(0, 4)
     for _ in range(3):
-        add(list(cliq))
+        add(list(cliq), label=cliq_label)
     # power-of-two scaled copies: EXACT cosine ties with the original
-    # direction (see module doc), different norms
+    # direction (see module doc), different norms; same label so the
+    # banded join can see the tie
     v = rng.choice(base)
-    add([2.0 * x for x in v])
-    add([0.5 * x for x in v])
+    scale_label = rng.randint(0, 4)
+    add([2.0 * x for x in v], label=scale_label)
+    add([0.5 * x for x in v], label=scale_label)
     # antiparallel (true cosine -1.0, distinct from the zero-norm NULL)
     add([-x for x in rng.choice(base)])
     # zero vector (NULL-cosine contract) and a tiny-norm vector
@@ -153,14 +160,42 @@ def rand_duck(rand_dir):
     con.close()
 
 
+# Dual-table ops (documents AND embeddings, joined on doc_id == vec_id)
+# have no crafted home -- the crafted corpora are single-table. The
+# randomized dirs carry both tables, so they parity-check here.
+_DUAL_QUERIES = (
+    "crossmodal_neardup_agreement",
+    "paraphrase_mining_pairs",   # r17: guaranteed rows via the
+    "ann_ivfpq_topk_recall",     # same-label clique above
+    "semantic_search_topk",
+)
+
+
 @pytest.mark.parametrize(
-    "name", sorted(set(_DOC_QUERIES) | set(_EMB_QUERIES))
+    "name",
+    sorted(set(_DOC_QUERIES) | set(_EMB_QUERIES) | set(_DUAL_QUERIES)),
 )
 def test_randomized_corpus_oracle_parity(spark, rand_dir, rand_duck, name):
     spec = registry.REGISTRY[name]
     if spec.oracle is None:
         pytest.skip("rows-only op")
     assert_match(spec.fn(spark, rand_dir), rand_duck, spec.oracle, name)
+
+
+def test_paraphrase_branch_fires_on_every_seed(spark, rand_dir):
+    """The same-label replica clique (cosine 1.0) sits on doc_ids whose
+    texts are independent random draws (Jaccard ~0), so every seed must
+    mine at least one paraphrase pair — a 0-row pass (the sf fixtures'
+    state) would leave the op's core predicate untested."""
+    rows = (
+        registry.REGISTRY["paraphrase_mining_pairs"]
+        .fn(spark, rand_dir)
+        .collect()
+    )
+    assert rows, "expected >=1 paraphrase pair from the same-label clique"
+    for r in rows:
+        assert r["cos_sim"] >= 0.5 - 5e-5
+        assert r["text_jaccard"] < 0.5
 
 
 def test_scaled_copies_tie_break_on_vec_id(spark, rand_dir):
