@@ -294,6 +294,22 @@ CORPUS_QUERIES = (
     # recorded here as the protocol trap it is)
     "curriculum_difficulty_bins",
     "curriculum_phase_plan",
+    # r17: IVF-PQ serving recall -- centroid build is one (label, dim)
+    # rollup, the 2-probe broadcast prunes the ADC scan to ~2/L of the
+    # corpus, and the joinless constant-folded encode amortizes its
+    # codegen floor at scale exactly like flat pq_adc (authoring-time
+    # focused: 11.23 -> 12.48 s at 8x, ratio 1.11; the 1x floor is the
+    # same 4x8 argmin-struct codegen class as pq_adc_topk_recall's)
+    "ann_ivfpq_topk_recall",
+    # r17: paraphrase mining rides the banded-LSH pair stream, so the
+    # fully-replicated corpus is its adversarial case like every pair
+    # op (replica cliques collide in every band; the Jaccard gate then
+    # drops them at the END, after the pair work) -- quadratic
+    # INTERMEDIATE, bounded output (authoring-time focused: 1.75 ->
+    # 3.58 s at 8x, ratio 2.0, the embedding_near_dup_pairs class; the
+    # production path collapses exact replicas first, same cascade
+    # discipline as minhash/winnowing)
+    "paraphrase_mining_pairs",
 )
 
 # Skew suite: ONE label/language replicated k-fold (zipf-ish hot key)
