@@ -10,13 +10,20 @@ is the enforcement: it FAILS when any module that defines a benched
 suite query (bench.HEADLINE + bench.LLM_SUITE) has commits — or
 uncommitted working-tree edits — after ``BENCH_ENVELOPE.code_rev``.
 
+The guarded set is every package ``.py`` file that EXISTED at
+``code_rev`` — not just the modules that define benched queries: this
+round's own NULL-text fix (functions/__init__.py) changed benched
+ops' code paths from a module no benched query is defined in, so the
+narrow formulation has a hole the wide one closes.
+
 Explicitly allowed (the r16 amendment pattern): new modules added
-after the envelope (they cannot define a query that was benched at
-envelope time — if a benched query MOVES into a new module, the old
-module shows a diff and the test still fires), registry plumbing
-(operators/registry.py holds no query bodies), docs, artifacts, tests,
-and bench.py gate metadata (WIDE_BAND entries — paths the timed
-queries never execute).
+after the envelope (they cannot have been on any benched path at
+envelope time — if benched code MOVES into a new file, the old file
+shows a diff and the test still fires), registry plumbing
+(operators/registry.py holds no query bodies — a new op's
+registration line lands there), docs, artifacts, tests, and bench.py
+gate metadata (WIDE_BAND entries — paths the timed queries never
+execute).
 
 Mid-round escape: set SPARK_GRAFT_MIDROUND=1 to skip while actively
 authoring operators between envelopes. Close-out and judge runs must
@@ -88,7 +95,20 @@ def test_envelope_not_stale_for_benched_modules():
         "the envelope claim is unverifiable"
     )
 
-    files = sorted(_benched_module_files())
+    # Sanity: every benched query must resolve to a real module inside
+    # the package (unwrap working), and those modules must be a subset
+    # of the guarded set below.
+    benched = _benched_module_files()
+    pkg = "apache_iceberg_with_clickhouse_olake_spark"
+    guarded = {
+        f
+        for f in _git("ls-tree", "-r", "--name-only", code_rev, pkg).split()
+        if f.endswith(".py") and f != f"{pkg}/operators/registry.py"
+    }
+    assert benched - {f"{pkg}/operators/registry.py"} <= guarded, (
+        f"benched modules outside the guarded set: {benched - guarded}"
+    )
+    files = sorted(guarded)
     committed = _git(
         "log", "--name-only", "--format=", f"{code_rev}..HEAD", "--", *files
     ).split()
@@ -96,7 +116,7 @@ def test_envelope_not_stale_for_benched_modules():
         line[3:]
         for line in _git("status", "--porcelain", "--", *files).splitlines()
     ]
-    offenders = sorted(set(committed) | set(dirty))
+    offenders = sorted((set(committed) | set(dirty)) & guarded)
     assert not offenders, (
         f"benched modules changed after BENCH_ENVELOPE.code_rev {code_rev}: "
         f"{offenders} — re-run the close-out envelope at the last "
