@@ -105,10 +105,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
       SELECT user_id, event_id, ts, {_D_EPOCH} AS ep, value,
-             CASE WHEN {_D_EPOCH}
-                    - lag({_D_EPOCH}) OVER (
+             CASE WHEN epoch_us(ts)
+                    - lag(epoch_us(ts)) OVER (
                         PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-                    > {SESSION_GAP_SECS}
+                    > {SESSION_GAP_SECS} * 1000000
                   OR lag(ts) OVER (
                         PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_sess
@@ -135,9 +135,16 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode; the streaming variant adds withWatermark, see ..streaming).
     session_window's end = last event + gap, mirrored in the oracle.
 
-    NOTE: events with ts gaps of EXACTLY the session gap merge in
-    session_window (end-exclusive semantics) -- the lag-based oracle uses
-    ``> gap`` for the break, matching."""
+    NOTE: session_window resolves gaps at MICROSECOND resolution —
+    windows that touch (gap == exactly the session gap) merge, a gap
+    one microsecond past it splits. The lag-based oracle therefore
+    compares epoch_us with ``> gap * 1e6``; an earlier revision
+    compared SECOND-truncated epochs, which silently merged gaps in
+    (gap, gap + 1s) that session_window splits — found by the
+    randomized-corpus suite's exact-boundary pair (r17). The
+    hand-rolled sessionize() family truncates to seconds on BOTH
+    engines, so its ``> gap`` rule at second resolution stays
+    self-consistent."""
     events = load_table(spark, sf_dir, "events")
     sw = F.session_window("ts", f"{SESSION_GAP_SECS} seconds")
     return (

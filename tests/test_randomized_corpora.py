@@ -28,6 +28,7 @@ plan order, or drops NULL groups on one engine only, fails here.
 
 from __future__ import annotations
 
+import datetime
 import random
 
 import duckdb
@@ -132,6 +133,71 @@ def _gen_emb(rng: random.Random) -> list[tuple]:
     return rows
 
 
+_EVENT_TYPES = ("click", "signup", "error", "view", "purchase")
+
+
+def _gen_events(rng: random.Random) -> list[tuple]:
+    """Randomized events salted with the time-ordering hazards: exact
+    timestamp ties (window ORDER BY ts must not leak plan order),
+    inter-event gaps landing EXACTLY on the 30-min session boundary
+    (both engines must agree on > vs >=), a gap one microsecond past
+    it, and NULL user/type/value/props rows. NULL ts is deliberately
+    NOT injected: Spark windows default NULLS FIRST on ASC while
+    DuckDB defaults NULLS LAST, so event-time-NULL rows are a
+    quarantine-lane contract upstream of these ops, not an ordering
+    the engine pair can define consistently per-op."""
+    t0 = datetime.datetime(2024, 2, 1)
+    rows: list[tuple] = []
+    tie_vals = [round(rng.uniform(0.0, 50.0), 2) for _ in range(3)]
+
+    def ts_at(seconds: float, micros: int = 0) -> datetime.datetime:
+        return t0 + datetime.timedelta(seconds=seconds, microseconds=micros)
+
+    def add(ts, user, etype="?", value="?", props="?"):
+        etype = rng.choice(_EVENT_TYPES) if etype == "?" else etype
+        if value == "?":
+            value = rng.choice(
+                tie_vals * 2 + [round(rng.uniform(0.0, 100.0), 2)]
+            )
+        if props == "?":
+            props = '{"k": %d}' % rng.randint(0, 99)
+        rows.append((len(rows) + 1, ts, user, etype, value, props))
+
+    # 30-day bulk span: events_watermark_late_drop's construction
+    # asserts a multi-day spread (hold/mid cutoffs + watermark margin)
+    for _ in range(60):
+        add(
+            ts_at(rng.randint(0, 30 * 86400), rng.randint(0, 999999)),
+            rng.randint(1, 5),
+        )
+    # exact-ts tie clique (one user, three events, one instant)
+    tie = ts_at(rng.randint(0, 86400))
+    for _ in range(3):
+        add(tie, 1)
+    # gap EXACTLY 1800 s (same session: the rule is gap > 1800) and a
+    # gap 1800 s + 1 us (new session) for a different user
+    b1 = ts_at(rng.randint(0, 86400))
+    add(b1, 2)
+    add(b1 + datetime.timedelta(seconds=1800), 2)
+    b2 = ts_at(rng.randint(100000, 172800))
+    add(b2, 3)
+    add(b2 + datetime.timedelta(seconds=1800, microseconds=1), 3)
+    # a guaranteed signup -> click -> purchase funnel path
+    fb = ts_at(rng.randint(0, 86400))
+    add(fb, 4, etype="signup")
+    add(fb + datetime.timedelta(seconds=60), 4, etype="click")
+    add(fb + datetime.timedelta(seconds=120), 4, etype="purchase")
+    # NULLs the fixtures never carry
+    add(ts_at(rng.randint(0, 86400)), None)           # NULL user x2
+    add(ts_at(rng.randint(0, 86400)), None)
+    add(ts_at(rng.randint(0, 86400)), 5, etype=None)  # NULL type
+    add(ts_at(rng.randint(0, 86400)), 5, value=None)  # NULL value
+    add(ts_at(rng.randint(0, 86400)), 5, props=None)  # NULL props
+    add(ts_at(rng.randint(0, 86400)), 5, props="{}")
+    add(ts_at(rng.randint(0, 86400)), 5, props='{"other": 1}')
+    return rows
+
+
 @pytest.fixture(scope="module", params=SEEDS)
 def rand_dir(request, spark, tmp_path_factory):
     seed = request.param
@@ -145,13 +211,19 @@ def rand_dir(request, spark, tmp_path_factory):
     spark.createDataFrame(
         emb, "vec_id long, embedding array<float>, label int"
     ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    events = _gen_events(random.Random(seed + 13))
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
     return d
 
 
 @pytest.fixture(scope="module")
 def rand_duck(rand_dir):
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{rand_dir}/{t}.parquet/*.parquet')"
@@ -171,9 +243,38 @@ _DUAL_QUERIES = (
 )
 
 
+# Events-only ops (verified single-table via load_table introspection):
+# the sessionization / window / funnel / retention family, whose
+# ORDER BY ts discipline the tie clique and boundary gaps stress.
+_EVENT_QUERIES = (
+    "sessionize_events",
+    "session_count_distribution",
+    "session_length_distribution",
+    "session_event_bigrams",
+    "session_window_rollup",
+    "events_by_type",
+    "events_tumbling_windows",
+    "events_sliding_windows",
+    "event_props_json_stats",
+    "event_rate_anomalies",
+    "daily_active_users",
+    "funnel_signup_click_purchase",
+    "retention_cohorts",
+    "events_interval_bucket_join",
+    "asof_click_to_purchase",
+    "user_lifetime_stats",
+    "events_watermark_late_drop",
+)
+
+
 @pytest.mark.parametrize(
     "name",
-    sorted(set(_DOC_QUERIES) | set(_EMB_QUERIES) | set(_DUAL_QUERIES)),
+    sorted(
+        set(_DOC_QUERIES)
+        | set(_EMB_QUERIES)
+        | set(_DUAL_QUERIES)
+        | set(_EVENT_QUERIES)
+    ),
 )
 def test_randomized_corpus_oracle_parity(spark, rand_dir, rand_duck, name):
     spec = registry.REGISTRY[name]
