@@ -177,79 +177,88 @@ def _load_prev_artifact(here: str) -> tuple[dict | None, str | None]:
 # band_s = [min, max] seconds over the r16 same-code envelope
 # sessions; span_frac = the largest relative span observed;
 # confirmed = the round of the latest observation.
+# All nine r16 tags RE-CONFIRMED at r17 under the tighter 7-run-median
+# instrument (r16 VERDICT item 4): every tag still shows >= 25% span in
+# at least one same-code session, so none hit the retirement line.
+# Bands below are min/max over the r17 16-run envelope (sessions A/B at
+# rev 02a9d4c; A contains one visibly ambient run, calib 160.9).
 WIDE_BAND = {
     "embedding_near_dup_pairs": {
-        "band_s": [0.715, 2.127],
-        "span_frac": 0.57,
-        "confirmed": 16,
+        "band_s": [0.830, 1.465],
+        "span_frac": 0.51,
+        "confirmed": 17,
         "evidence": (
-            "r13 envelope ~57%; r15 sessions 27%/26%; "
-            "r16 42%/107% (B ambient run)"
+            "r13 ~57%; r15 27%/26%; r16 42%/107%; r17 7-run sessions "
+            "37%/51%"
         ),
     },
     "leakage_safe_split_stats": {
-        "band_s": [2.733, 5.178],
-        "span_frac": 0.52,
-        "confirmed": 16,
-        "evidence": "r14 envelope ~35%; r15 33%/19%; r16 37%/52%",
+        "band_s": [3.151, 4.553],
+        "span_frac": 0.37,
+        "confirmed": 17,
+        "evidence": (
+            "r14 ~35%; r15 33%/19%; r16 37%/52%; r17 7-run 37%/33%"
+        ),
     },
     "semantic_dedup_cascade_stats": {
-        "band_s": [2.943, 9.195],
-        "span_frac": 0.84,
-        "confirmed": 16,
+        "band_s": [3.091, 5.006],
+        "span_frac": 0.50,
+        "confirmed": 17,
         "evidence": (
-            "r15 sessions 84%/55%; r16 48%/151% (B ambient run; "
-            "code changed r16 -- the _cos_pre pair-join FLOP cut)"
+            "r15 84%/55%; r16 48%/151%; r17 7-run 23%/50% (A under "
+            "the line on a wide historical record)"
         ),
     },
     "doc_contamination_fraction": {
-        "band_s": [1.25, 4.238],
-        "span_frac": 0.48,
-        "confirmed": 16,
-        "evidence": "r15 45%/45%; r16 48%/159% (B ambient run)",
+        "band_s": [1.395, 2.209],
+        "span_frac": 0.46,
+        "confirmed": 17,
+        "evidence": "r15 45%/45%; r16 48%/159%; r17 7-run 29%/46%",
     },
     "dedup_cascade_stats": {
-        "band_s": [1.345, 3.504],
-        "span_frac": 0.41,
-        "confirmed": 16,
-        "evidence": "r15 33%/38%; r16 41%/83%",
+        "band_s": [1.440, 2.558],
+        "span_frac": 0.66,
+        "confirmed": 17,
+        "evidence": "r15 33%/38%; r16 41%/83%; r17 7-run 50%/66%",
     },
     "source_unigram_kl": {
-        "band_s": [0.505, 0.745],
-        "span_frac": 0.45,
-        "confirmed": 16,
+        "band_s": [0.545, 0.822],
+        "span_frac": 0.34,
+        "confirmed": 17,
         "evidence": (
-            "r15 45%/25%; r16 37%/16% (B under the rule line on a "
-            "wide historical record)"
+            "r15 45%/25%; r16 37%/16%; r17 7-run 32%/34% -- the r16 "
+            "standing 0.80 s flag resolved as band-underestimate (the "
+            "r17 same-code band max moved to 0.822), the 0.90 s "
+            "reading never reproduced across 16 runs (late-session "
+            "epoch)"
         ),
     },
-    # r16 close-out admissions (two-observation rule, sessions A/B):
     "corpus_build_pipeline": {
-        "band_s": [1.016, 1.857],
-        "span_frac": 0.41,
-        "confirmed": 16,
+        "band_s": [1.143, 1.716],
+        "span_frac": 0.40,
+        "confirmed": 17,
         "evidence": (
-            "r15 single post-fix observation 63%; r16 same-code "
-            "sessions 33% and 41% -- the held-stable round supplied "
-            "the second observation (r15 VERDICT item 5)"
+            "r15 single post-fix 63%; r16 33%/41%; r17 7-run 40%/40%"
         ),
     },
     "dsir_importance_weights": {
-        "band_s": [2.328, 3.749],
-        "span_frac": 0.37,
-        "confirmed": 16,
+        "band_s": [2.474, 3.493],
+        "span_frac": 0.38,
+        "confirmed": 17,
         "evidence": (
-            "borderline r15 (24%/25%); r16 25%/37% plus one in-band "
-            "in-probe regression flag (2.33-3.02 same-code band)"
+            "r15 24%/25%; r16 25%/37% + one in-band in-probe flag; "
+            "r17 7-run 38%/30%"
         ),
     },
     "semantic_dedup_twolevel_stats": {
-        "band_s": [2.905, 6.089],
-        "span_frac": 0.68,
-        "confirmed": 16,
+        "band_s": [3.558, 4.594],
+        "span_frac": 0.26,
+        "confirmed": 17,
         "evidence": (
-            "21%/23% at r15; post-FLOP-cut medians halved and the "
-            "relative spans widened -- r16 sessions 37% and 68%"
+            "r16 37%/68% post-FLOP-cut; r17 7-run 21%/26% -- "
+            "RETIREMENT CANDIDATE: spans straddle the 25% line and "
+            "the session medians agree within 0.4% (3.914/3.929); "
+            "retire at r18 if both 7-run spans land under the line"
         ),
     },
 }
