@@ -67,54 +67,58 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # family embedding_kmeans_twolevel_profile / ann_twolevel_ivf_topk /
 # ann_twolevel_recall / semantic_dedup_twolevel_stats, clustering.py,
 # and embedding_decontamination_scan, similarity.py).
-# Accounting: r16 adopts scripts/rotation_r16_proposal.txt verbatim —
-# 50 names, 10 first-driver rows (the full r15-authored batch: four
-# filtered-ANN ops, incremental assign, balanced sampling, chunk/soft
-# dedup, and the two sweeps), closing the blind spot re-opened by r15's
-# new ops back to 0 for everything registered at r16 start. Selection
-# is staleness-first (scripts/next_rotation.py) under the per-op-id
-# cover invariant; at adoption the registry held 228 names, staleness
-# bound ceil(228/40) = 6 effective rounds for the non-new slots,
-# stalest in-window 13, stalest omitted 13.
+# Accounting: r16 adopted scripts/rotation_r16_proposal.txt (50 names,
+# 10 first-driver rows — the full r15 batch); r17 adopted
+# scripts/rotation_r17_proposal.txt (50 names, 8 first-driver rows —
+# the full r16 batch), closing the blind spot to 0 at r17 start.
+# r18 rotation (r17 VERDICT item 1): adopts the committed
+# scripts/rotation_r18_proposal.txt verbatim — 50 names, 2 first-driver
+# rows (the r17-authored ann_ivfpq_topk_recall and
+# paraphrase_mining_pairs, the only registered names never
+# driver-checked at r18 start). Selection is staleness-first
+# (scripts/next_rotation.py) under the per-op-id cover invariant; at
+# adoption the registry held 238 names, staleness bound ceil(238/48)
+# = 5 effective rounds for the non-new slots, stalest in-window 15,
+# stalest omitted 11.
 _PRIORITY = (
-    "ann_twolevel_batch_recall",  # first driver row
-    "ann_twolevel_filtered_recall",  # first driver row
-    "ann_twolevel_probe_sweep",  # first driver row
-    "curriculum_difficulty_bins",  # first driver row
-    "curriculum_phase_plan",  # first driver row
-    "data_constrained_epochs",  # first driver row
-    "greedy_kcenter_sample",  # first driver row
-    "pq_adc_topk_recall",  # first driver row
-    "decontamination_scan",
-    "dedup_keep_first",
-    "document_chunks",
-    "events_by_type",
-    "minhash_band_buckets",
-    "multi_segment_nations",
-    "nations_with_high_value_orders",
-    "ngram_jaccard_neardups",
-    "media_catalog_stats",
-    "running_monthly_revenue",
-    "sessionize_events",
+    "ann_ivfpq_topk_recall",  # first driver row
+    "paraphrase_mining_pairs",  # first driver row
+    "customers_without_orders",
+    "datagen_sessions",
+    "customer_order_counts_outer",
+    "cosine_topk",
+    "gold_reaggregate",
+    "minhash_lsh_candidates",
+    "shard_assignment_stats",
+    "training_mix_sample",
+    "crossmodal_neardup_agreement",
+    "dedup_exact_stats",
+    "doc_repetition_stats",
+    "embedding_neardup_recall_eval",
+    "streaming_chunked_state",
+    "validate_domains",
+    "pricing_summary",
+    "customer_order_gaps",
+    "retention_cohorts",
     "scalar_functions",
-    "schema_evolution_merge",
     "high_value_orders",
+    "schema_evolution_merge",
+    "table_counts",
     "medallion_readback",
     "cdc_upsert_state",
-    "table_counts",
     "cdc_change_log",
-    "top_terms",
+    "top_customers",
+    "monthly_revenue",
     "unique_customers",
-    "revenue_mom_growth",
     "silver_projection",
     "partition_pruning_roundtrip",
     "parquet_layout_roundtrip",
     "ddl_roundtrip",
     "current_date_sanity",
-    "profile_distributions",
-    "user_lifetime_stats",
-    "streaming_restart_state",
-    "distinct_status",
+    "order_value_percentiles_approx",
+    "order_date_range",
+    "streaming_dedup_exactly_once",
+    "month_set_operations",
     "time_travel_counts",
     "session_settings_roundtrip",
     "session_epoch_stats",
