@@ -1325,7 +1325,8 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM embeddings ORDER BY vec_id LIMIT 1),
     probe AS (
       SELECT cvec.label FROM cvec, q
-      ORDER BY list_cosine_similarity(cv, qv) DESC NULLS LAST, cvec.label
+      ORDER BY {_COS_SQL.format(a='cv', b='qv')} DESC NULLS LAST,
+               cvec.label ASC NULLS LAST
       LIMIT 2
     )
     SELECT e.vec_id, e.label,
@@ -1373,7 +1374,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label", "qid", "qv", _cos(F.col("cv"), F.col("qv")).alias("ccos")
         )
-        .orderBy(F.col("ccos").desc(), "label")
+        .orderBy(F.col("ccos").desc(), F.col("label").asc_nulls_last())
         .limit(2)
         .select("label", "qid", "qv")
     )
@@ -2814,9 +2815,10 @@ def pq_adc_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one joinless embarrassingly-parallel scan projecting {m} argmin
     structs and {m} constant-array lookups per row -- at 100 TB the
     scan reads 8-byte codes, not 256-byte vectors, which is the whole
-    point of PQ. Both top-k heads are TakeOrderedAndProject; the
-    re-rank joins a <= {rr}-row broadcast back to the corpus; the
-    final stitch joins three <= {k_}-row frames. Distances fold
+    point of PQ. Both top-k heads are TakeOrderedAndProject over the
+    ONE persisted encode output; the re-rank restricts the persisted
+    truth frame by a <= {rr}-row broadcast; the final stitch joins
+    three <= {k_}-row frames. Distances fold
     dimension-by-dimension left-to-right and snap to 6 decimals on
     both engines; argmin ties resolve by code id, ranking ties by
     vec_id (the pq_codebook_stats discipline end-to-end)."""
@@ -2920,12 +2922,34 @@ def _pq_adc_scored(
 def _pq_adc_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lazy ADC-recall frame (plan tests pin the joinless encode scan
     and bounded-broadcast stitches BEFORE the materialization idiom
-    collapses them; the codebook/query collects are bounded setup)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    collapses them; the codebook/query collects are bounded setup).
+
+    r18 stage audit (r17 VERDICT item 4): the op makes 4+ corpus
+    passes (codebook/query setup, the encode scan under BOTH top-k
+    heads, the true-distance scan under BOTH the exact-truth and
+    re-rank branches). Three shared frames are now persisted once via
+    the _pi_vectors discipline instead of re-derived per head: the
+    repartitioned (vec_id, v) corpus (one parquet decode + one
+    exchange serves every pass at full parallelism -- a single-file
+    fixture would otherwise serialize each pass onto one task), the
+    (vec_id, adc_dist) encode output (the literal-unrolled ADC
+    expression runs ONCE, not once per head), and the (vec_id,
+    true_dist) truth frame (exact top-k and re-rank are both heads
+    over it; re-rank restricts it by the broadcast candidate set).
+    Answers are bit-identical: every head orders the same snapped
+    columns with the same tie-breaks, and dround/zip_with folds are
+    partitioning-independent."""
+    par = spark.sparkContext.defaultParallelism
+    e = _persist(
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(par, "vec_id")
+        .select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    )
     codebook, qid, qv = _pq_codebook_and_query(e)
 
-    scored = _pq_adc_scored(e.filter(F.col("vec_id") != F.lit(qid)), codebook, qv)
+    scored = _persist(
+        _pq_adc_scored(e.filter(F.col("vec_id") != F.lit(qid)), codebook, qv)
+    )
     adc_topk = (
         scored.orderBy(F.col("adc_dist").asc_nulls_last(), "vec_id")
         .limit(_PQ_TOP_K)
@@ -2944,19 +2968,19 @@ def _pq_adc_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
-    rerank = (
-        e.join(F.broadcast(cand), "vec_id")
+    truth = _persist(
+        e.filter(F.col("vec_id") != F.lit(qid))
         .join(F.broadcast(qf))
         .select("vec_id", dround(true_sq, 6).alias("true_dist"))
+    )
+    rerank = (
+        truth.join(F.broadcast(cand), "vec_id")
         .orderBy(F.col("true_dist").asc_nulls_last(), "vec_id")
         .limit(_PQ_TOP_K)
         .select("vec_id", F.lit(1).alias("rr_hit"))
     )
     exact = (
-        e.filter(F.col("vec_id") != F.lit(qid))
-        .join(F.broadcast(qf))
-        .select("vec_id", dround(true_sq, 6).alias("true_dist"))
-        .orderBy(F.col("true_dist").asc_nulls_last(), "vec_id")
+        truth.orderBy(F.col("true_dist").asc_nulls_last(), "vec_id")
         .limit(_PQ_TOP_K)
         .select("vec_id")
     )
@@ -3011,7 +3035,8 @@ _IVFPQ_PROBES = 2
           FROM embeddings ORDER BY vec_id LIMIT 1),
     probe AS (
       SELECT cvec.label FROM cvec, q
-      ORDER BY list_cosine_similarity(cv, qv) DESC NULLS LAST, cvec.label
+      ORDER BY {_COS_SQL.format(a='cv', b='qv')} DESC NULLS LAST,
+               cvec.label ASC NULLS LAST
       LIMIT {_IVFPQ_PROBES}
     ),
     ranked AS (
@@ -3134,7 +3159,8 @@ def ann_ivfpq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (at 100 TB the lists are partition keys and this is partition
     pruning); the ADC scan inherits the joinless constant-folded
     encode/score shape from _pq_adc_scored over ~{p}/L of the corpus;
-    re-rank re-reads raw floats for <= {rr} broadcast-joined rows.
+    re-rank restricts the persisted truth frame by a <= {rr}-row
+    broadcast.
     Distances snap to 6 decimals, argmin ties resolve by code id,
     rankings by vec_id (the PQ discipline end-to-end).
 
@@ -3147,12 +3173,22 @@ def ann_ivfpq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivfpq_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lazy IVF-PQ recall frame (plan tests pin the broadcast probe
-    filter and the joinless ADC scan before _finalize collapses them)."""
+    filter and the joinless ADC scan before _finalize collapses them).
+
+    r18 stage audit (r17 VERDICT item 4): same shared-frame persists
+    as _pq_adc_recall_frame -- the repartitioned corpus serves the
+    setup collects, the centroid build, the probed-lists scan AND the
+    truth scan from one parquet decode; the probed-lists ADC encode
+    runs once for its THREE heads (adc top-k, re-rank candidates, the
+    `scanned` count); the truth frame serves exact top-k and the
+    broadcast-restricted re-rank."""
     from ..functions import davg
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", "label", _dvec(F.col("embedding")).alias("v")
+    par = spark.sparkContext.defaultParallelism
+    e = _persist(
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(par, "vec_id")
+        .select("vec_id", "label", _dvec(F.col("embedding")).alias("v"))
     )
     ev = e.select("vec_id", "v")
     codebook, qid, qv = _pq_codebook_and_query(ev)
@@ -3172,10 +3208,16 @@ def _ivfpq_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qf = spark.createDataFrame([(qid, qv)], "qid long, qv array<double>")
+    # Tie-break pinned cross-engine (r17 ADVICE): zero-norm centroids
+    # rank NULL-last on BOTH sides (_cos here, _COS_SQL guard in the
+    # oracle), and a NULL label ties after real labels (asc_nulls_last
+    # here, explicit NULLS LAST in the oracle) -- Spark's ASC default
+    # is NULLS FIRST, DuckDB's is NULLS LAST, so an unpinned label
+    # tie-break would pick different probe lists per engine.
     probe = (
         cent.join(F.broadcast(qf))
         .select(F.col("label").alias("plabel"), _cos(F.col("cv"), F.col("qv")).alias("ccos"))
-        .orderBy(F.col("ccos").desc(), "plabel")
+        .orderBy(F.col("ccos").desc(), F.col("plabel").asc_nulls_last())
         .limit(_IVFPQ_PROBES)
         .select("plabel")
     )
@@ -3184,7 +3226,7 @@ def _ivfpq_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.lit(qid))
         .select("vec_id", "v")
     )
-    scored = _pq_adc_scored(lists, codebook, qv)
+    scored = _persist(_pq_adc_scored(lists, codebook, qv))
     adc_topk = (
         scored.orderBy(F.col("adc_dist").asc_nulls_last(), "vec_id")
         .limit(_PQ_TOP_K)
@@ -3202,19 +3244,19 @@ def _ivfpq_recall_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
-    rerank = (
-        ev.join(F.broadcast(cand), "vec_id")
+    truth = _persist(
+        ev.filter(F.col("vec_id") != F.lit(qid))
         .join(F.broadcast(qf))
         .select("vec_id", dround(true_sq, 6).alias("true_dist"))
+    )
+    rerank = (
+        truth.join(F.broadcast(cand), "vec_id")
         .orderBy(F.col("true_dist").asc_nulls_last(), "vec_id")
         .limit(_PQ_TOP_K)
         .select("vec_id", F.lit(1).alias("rr_hit"))
     )
     exact = (
-        ev.filter(F.col("vec_id") != F.lit(qid))
-        .join(F.broadcast(qf))
-        .select("vec_id", dround(true_sq, 6).alias("true_dist"))
-        .orderBy(F.col("true_dist").asc_nulls_last(), "vec_id")
+        truth.orderBy(F.col("true_dist").asc_nulls_last(), "vec_id")
         .limit(_PQ_TOP_K)
         .select("vec_id")
     )

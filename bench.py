@@ -537,7 +537,17 @@ def main() -> None:
         queries["semantic_dedup_twolevel_stats"](
             spark, spread_dir
         ).collect()  # warm (untimed)
-        runs = 7 if name in WIDE_BAND else 3
+        # 7-run median if EITHER the spread row itself is tagged (the
+        # pending r18 straddle decision) or the underlying op is --
+        # r17 ADVICE: keying on the spread name alone was dead code
+        # (never a WIDE_BAND key), silently giving the suite's largest
+        # row 3 runs while its tag decision leaned on 7-run medians.
+        runs = (
+            7
+            if (name in WIDE_BAND
+                or "semantic_dedup_twolevel_stats" in WIDE_BAND)
+            else 3
+        )
         llm_runs_by_query[name] = runs
         llm_timings[name] = timed(
             lambda: queries["semantic_dedup_twolevel_stats"](

@@ -46,15 +46,28 @@ def test_ivfpq_recall_bounds_and_pruning(spark, sf_dir):
     )
 
 
-def test_ivfpq_recall_never_exceeds_flat_adc_candidate_pool(spark, sf_dir):
-    """Coarse pruning can only LOSE candidates vs the flat ADC scan of
-    the same codes: with identical codebook/query/k, IVF-PQ's exact-
-    rerank recall is <= flat pq_adc_topk_recall's rerank recall when the
-    flat scan's candidate pool is a superset (it scans every list)."""
+def test_ivfpq_vs_flat_adc_consistency(spark, sf_dir):
+    """IVF-PQ and flat PQ-ADC agree on the shared contract: same query
+    row, recalls bounded by the exact-k pool. NOTE (r17 ADVICE): the
+    tempting invariant ivf.rerank_recall <= flat.rerank_recall is NOT a
+    theorem -- coarse pruning drops ADC-distractor rows from unprobed
+    lists, which can let a true neighbor into IVF's bounded re-rank
+    candidate pool that flat's global ADC top-R crowded out. So the
+    cross-op relation is pinned only as a fixture-specific regression
+    value below (expected to move if fixtures or PQ constants change,
+    in either direction)."""
     flat = _Q["pq_adc_topk_recall"](spark, sf_dir).collect()[0]
     ivf = _Q["ann_ivfpq_topk_recall"](spark, sf_dir).collect()[0]
     assert ivf["qid"] == flat["qid"]  # same first-vec_id query row
-    assert ivf["rerank_recall"] <= flat["rerank_recall"] + 1e-9
+    for r in (flat, ivf):
+        assert 0 <= r["rerank_hits"] <= r["exact_k"]
+        assert 0 <= r["adc_hits"] <= r["exact_k"]
+    # Fixture-pinned regression values (sf0.001 fixtures, _PQ_* consts
+    # as of r17): a silent change to either op's candidate plumbing
+    # shows up here first. Not an IVF<=flat ordering claim -- update
+    # these pins deliberately if fixtures or PQ constants change.
+    assert flat["rerank_recall"] == 0.2
+    assert ivf["rerank_recall"] == 0.1
 
 
 def test_paraphrase_pairs_directed_semantics(spark, tmp_path):
