@@ -2861,58 +2861,66 @@ def _pq_adc_scored(
     via the constant-folded query-to-codeword lookup table -- one
     joinless embarrassingly-parallel scan, shared by the flat scan
     (pq_adc_topk_recall) and the probed-lists scan
-    (ann_ivfpq_topk_recall)."""
+    (ann_ivfpq_topk_recall).
 
-    def sqdist(s: int, c: int) -> Column:
+    r18 stage audit: the tree is built as ONE SQL string per
+    projection (F.expr/selectExpr) instead of ~52k individual Column
+    calls -- profiling showed the PQ family's ~9 s SCALING wall was
+    DRIVER-side py4j round-trips constructing the literal expressions
+    (execution of the encode scan itself is sub-second at 1x), so the
+    fix is fewer gateway calls, not a different plan. The parsed tree
+    is the same shape: same left-to-right subdistance folds, same
+    array_min struct argmin with code-id tie-break, same element_at
+    lookup. The query-to-codeword table is pre-folded in Python --
+    bit-identical to the old F.lit arithmetic because Python floats
+    are IEEE binary64 and the terms fold in the identical order
+    Catalyst's constant folding evaluated them; literals are emitted
+    as shortest-roundtrip reprs with the D suffix, which Java's
+    correctly-rounded parser maps back to the same doubles."""
+
+    def d(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    def sqdist_sql(s: int, c: int) -> str:
+        base = s * _PQ_SUBDIM
+        return " + ".join(
+            f"(v[{base + i}] - {d(codebook[c][base + i])})"
+            f" * (v[{base + i}] - {d(codebook[c][base + i])})"
+            for i in range(_PQ_SUBDIM)
+        )
+
+    def argmin_sql(s: int) -> str:
+        structs = ", ".join(
+            f"named_struct('d', {sqdist_sql(s, c)}, 'c', CAST({c} AS INT))"
+            for c in range(_PQ_K)
+        )
+        return f"array_min(array({structs}))"
+
+    def adc_const(s: int, c: int) -> float:
+        # query-to-codeword subdistance, pre-folded (see docstring)
         base = s * _PQ_SUBDIM
         total = None
         for i in range(_PQ_SUBDIM):
-            diff = F.col("v")[base + i] - F.lit(codebook[c][base + i])
+            diff = qv[base + i] - codebook[c][base + i]
             term = diff * diff
             total = term if total is None else total + term
         return total
 
-    def argmin(s: int) -> Column:
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        sqdist(s, c).alias("d"),
-                        F.lit(c).cast("int").alias("c"),
-                    )
-                    for c in range(_PQ_K)
-                ]
-            )
-        )
-
-    def adc_const(s: int, c: int) -> Column:
-        # query-to-codeword subdistance over LITERALS -- Catalyst
-        # constant-folds the whole tree (same left-to-right fold as
-        # the oracle's list_sum)
-        base = s * _PQ_SUBDIM
-        total = None
-        for i in range(_PQ_SUBDIM):
-            diff = F.lit(qv[base + i]) - F.lit(codebook[c][base + i])
-            term = diff * diff
-            total = term if total is None else total + term
-        return total
-
-    def adc_lookup(s: int) -> Column:
-        return F.element_at(
-            F.array(*[adc_const(s, c) for c in range(_PQ_K)]),
-            F.col(f"s{s}.c") + F.lit(1),
-        )
+    def adc_lookup_sql(s: int) -> str:
+        consts = ", ".join(d(adc_const(s, c)) for c in range(_PQ_K))
+        return f"element_at(array({consts}), s{s}.c + 1)"
 
     return (
-        e.select(
+        e.selectExpr(
             "vec_id",
-            *[argmin(s).alias(f"s{s}") for s in range(_PQ_M)],
+            *[f"{argmin_sql(s)} AS s{s}" for s in range(_PQ_M)],
         )
         .select(
             "vec_id",
             dround(
-                adc_lookup(0) + adc_lookup(1)
-                + adc_lookup(2) + adc_lookup(3),
+                F.expr(
+                    " + ".join(adc_lookup_sql(s) for s in range(_PQ_M))
+                ),
                 6,
             ).alias("adc_dist"),
         )
