@@ -153,8 +153,17 @@ def dround_sql(expr: str, scale: int = 2) -> str:
 
 def elt(index: Column, *choices: str) -> Column:
     """MySQL ``ELT(idx, 'a', 'b', ...)`` - 1-based pick from a literal list
-    (mysql-init/01-setup.sql:144-146)."""
-    return F.element_at(F.array(*[F.lit(c) for c in choices]), index)
+    (mysql-init/01-setup.sql:144-146). NULL or out-of-range idx -> NULL,
+    the MySQL contract: the randomized-facts suite (r18) caught pyspark's
+    Column-index ``element_at`` resolving a NULL index to the LAST
+    element instead of NULL, and a bare element_at also counts negative
+    indices from the end where ELT returns NULL -- so the index is
+    guarded to [1, len] before the lookup (the >= comparison is itself
+    NULL-safe: NULL idx fails the when() and falls through to NULL)."""
+    arr = F.array(*[F.lit(c) for c in choices])
+    return F.when(
+        (index >= 1) & (index <= len(choices)), F.element_at(arr, index)
+    )
 
 
 def iff(cond: Column, then: Column, otherwise: Column) -> Column:

@@ -593,7 +593,7 @@ def silver_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_functions",
     oracle=f"""
     SELECT o_orderkey,
-           CONCAT('ord-', CAST(o_orderkey AS VARCHAR), '/', o_orderstatus) AS tag,
+           ('ord-' || CAST(o_orderkey AS VARCHAR) || '/' || o_orderstatus) AS tag,
            CASE CAST(substr(o_orderpriority, 1, 1) AS INT)
                 WHEN 1 THEN 'urgent' WHEN 2 THEN 'high' WHEN 3 THEN 'medium'
                 WHEN 4 THEN 'none' WHEN 5 THEN 'low' END AS priority_label,
@@ -610,7 +610,11 @@ def silver_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONCAT / ELT / IF / FLOOR / ROUND / NULLIF / COALESCE / arithmetic --
     the reference generator's scalar surface (mysql-init/01-setup.sql:141-173)
-    as one deterministic projection."""
+    as one deterministic projection. NULL contract (r18, randomized-facts
+    suite): CONCAT with any NULL arg is NULL (the MySQL/Spark behavior --
+    the oracle uses ``||``, which propagates NULL in DuckDB, where
+    DuckDB's CONCAT() would skip NULLs); ELT with a NULL index is NULL
+    (see functions.elt)."""
     from ..functions import elt
 
     orders = load_table(spark, sf_dir, "orders")
