@@ -129,17 +129,25 @@ def _plane_sql(p: int) -> str:
     return "[" + ",".join(repr(x) for x in _PLANES[p]) + "]"
 
 
-def _bucket(vec: Column) -> Column:
-    """LSH bucket id: bit p set iff dot(v, plane_p) >= 0."""
-    bits = [
-        F.when(_dot(vec, F.array(*[F.lit(x) for x in _PLANES[p]])) >= 0, 1 << p)
-        .otherwise(0)
-        for p in range(_N_PLANES)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def _bucket(vec_col: str = "v") -> Column:
+    """LSH bucket id: bit p set iff dot(v, plane_p) >= 0. Built as ONE
+    SQL string over the named column (r18): the old per-literal Column
+    construction made ~4k py4j round-trips (8 planes x 64 F.lit plus
+    the fold), ~0.9 s of DRIVER time per call site -- the same wall the
+    PQ stage audit found. The parsed tree is the same shape: the same
+    zip_with/aggregate left-to-right fold as _dot, the same
+    CASE-per-plane bit sum, +/-1.0 double literals."""
+    parts = []
+    for p in range(_N_PLANES):
+        arr = ", ".join(
+            "1.0D" if x > 0 else "-1.0D" for x in _PLANES[p]
+        )
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({arr}),"
+            " (x, y) -> x * y), 0.0D, (acc, w) -> acc + w)"
+        )
+        parts.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr("(" + " + ".join(parts) + ")")
 
 
 def _bucket_sql(vec_expr: str) -> str:
@@ -1196,7 +1204,7 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         _dvec(F.col("embedding")).alias("v"),
-    ).withColumn("bucket", _bucket(F.col("v")))
+    ).withColumn("bucket", _bucket("v"))
     q = (
         e.orderBy("vec_id")
         .limit(1)
@@ -1267,7 +1275,7 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         _dvec(F.col("embedding")).alias("v"),
-    ).withColumn("bucket", _bucket(F.col("v")))
+    ).withColumn("bucket", _bucket("v"))
     q = (
         e.orderBy("vec_id")
         .limit(1)
@@ -1582,7 +1590,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", _dvec(F.col("embedding")).alias("v")
-    ).withColumn("bucket", _bucket(F.col("v")))
+    ).withColumn("bucket", _bucket("v"))
     q = e.filter(F.col("vec_id") < _N_EVAL_Q).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
@@ -1699,7 +1707,7 @@ def ann_probe_sweep_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", _dvec(F.col("embedding")).alias("v")
-    ).withColumn("bucket", _bucket(F.col("v")))
+    ).withColumn("bucket", _bucket("v"))
     q = e.filter(F.col("vec_id") < _N_EVAL_Q).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
@@ -2152,6 +2160,38 @@ _PQ_K = 8                      # codewords per subspace
 _PQ_MD5 = "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
 
+def _pq_dlit(x: float) -> str:
+    """Shortest-roundtrip double literal: Java's correctly-rounded
+    parser maps it back to the same binary64 Python's repr came from."""
+    return repr(float(x)) + "D"
+
+
+def _pq_sqdist_sql(codebook: list[list[float]], s: int, c: int) -> str:
+    """Subspace-s squared distance of column ``v`` to codeword c, as
+    SQL text (same left-to-right term fold the old F.lit chain built --
+    the SQL-string form exists because per-literal Column construction
+    cost ~9 s of driver-side py4j round-trips per PQ op, the r18 stage
+    audit's finding)."""
+    base = s * _PQ_SUBDIM
+    return " + ".join(
+        f"(v[{base + i}] - {_pq_dlit(codebook[c][base + i])})"
+        f" * (v[{base + i}] - {_pq_dlit(codebook[c][base + i])})"
+        for i in range(_PQ_SUBDIM)
+    )
+
+
+def _pq_argmin_sql(codebook: list[list[float]], s: int) -> str:
+    """array_min over (d, c) structs: nearest codeword of subspace s,
+    ties resolving by code id (struct field order), identical to the
+    old F.array_min(F.struct(...)) tree."""
+    structs = ", ".join(
+        f"named_struct('d', {_pq_sqdist_sql(codebook, s, c)},"
+        f" 'c', CAST({c} AS INT))"
+        for c in range(_PQ_K)
+    )
+    return f"array_min(array({structs}))"
+
+
 @query(
     "pq_codebook_stats",
     oracle=f"""
@@ -2228,30 +2268,8 @@ def pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codebook = [list(r["v"]) for r in cb_rows]  # K x DIM doubles
 
-    def sqdist(s: int, c: int) -> Column:
-        base = s * _PQ_SUBDIM
-        total = None
-        for i in range(_PQ_SUBDIM):
-            diff = F.col("v")[base + i] - F.lit(codebook[c][base + i])
-            term = diff * diff
-            total = term if total is None else total + term
-        return total
-
-    def argmin(s: int) -> Column:
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        sqdist(s, c).alias("d"),
-                        F.lit(c).cast("int").alias("c"),
-                    )
-                    for c in range(_PQ_K)
-                ]
-            )
-        )
-
-    asg = e.select(
-        *[argmin(s).alias(f"s{s}") for s in range(_PQ_M)]
+    asg = e.selectExpr(
+        *[f"{_pq_argmin_sql(codebook, s)} AS s{s}" for s in range(_PQ_M)]
     )
     stacked = asg.select(
         F.explode(
@@ -2878,24 +2896,6 @@ def _pq_adc_scored(
     as shortest-roundtrip reprs with the D suffix, which Java's
     correctly-rounded parser maps back to the same doubles."""
 
-    def d(x: float) -> str:
-        return repr(float(x)) + "D"
-
-    def sqdist_sql(s: int, c: int) -> str:
-        base = s * _PQ_SUBDIM
-        return " + ".join(
-            f"(v[{base + i}] - {d(codebook[c][base + i])})"
-            f" * (v[{base + i}] - {d(codebook[c][base + i])})"
-            for i in range(_PQ_SUBDIM)
-        )
-
-    def argmin_sql(s: int) -> str:
-        structs = ", ".join(
-            f"named_struct('d', {sqdist_sql(s, c)}, 'c', CAST({c} AS INT))"
-            for c in range(_PQ_K)
-        )
-        return f"array_min(array({structs}))"
-
     def adc_const(s: int, c: int) -> float:
         # query-to-codeword subdistance, pre-folded (see docstring)
         base = s * _PQ_SUBDIM
@@ -2907,13 +2907,13 @@ def _pq_adc_scored(
         return total
 
     def adc_lookup_sql(s: int) -> str:
-        consts = ", ".join(d(adc_const(s, c)) for c in range(_PQ_K))
+        consts = ", ".join(_pq_dlit(adc_const(s, c)) for c in range(_PQ_K))
         return f"element_at(array({consts}), s{s}.c + 1)"
 
     return (
         e.selectExpr(
             "vec_id",
-            *[f"{argmin_sql(s)} AS s{s}" for s in range(_PQ_M)],
+            *[f"{_pq_argmin_sql(codebook, s)} AS s{s}" for s in range(_PQ_M)],
         )
         .select(
             "vec_id",
