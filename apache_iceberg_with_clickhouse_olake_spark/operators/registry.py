@@ -71,61 +71,61 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # 10 first-driver rows — the full r15 batch); r17 adopted
 # scripts/rotation_r17_proposal.txt (50 names, 8 first-driver rows —
 # the full r16 batch), closing the blind spot to 0 at r17 start.
-# r18 rotation (r17 VERDICT item 1): adopts the committed
-# scripts/rotation_r18_proposal.txt verbatim — 50 names, 2 first-driver
-# rows (the r17-authored ann_ivfpq_topk_recall and
-# paraphrase_mining_pairs, the only registered names never
-# driver-checked at r18 start). Selection is staleness-first
+# r18 rotation adopted scripts/rotation_r18_proposal.txt (50 names,
+# 2 first-driver rows — ann_ivfpq_topk_recall + paraphrase_mining_pairs
+# — closing the never-driver-checked blind spot to 0); see git history.
+# r19 rotation (r18 VERDICT item 1): adopts the committed
+# scripts/rotation_r19_proposal.txt verbatim — 50 names, 0 first-driver
+# rows (blind spot stays 0). Selection is staleness-first
 # (scripts/next_rotation.py) under the per-op-id cover invariant; at
-# adoption the registry held 238 names, staleness bound ceil(238/48)
-# = 5 effective rounds for the non-new slots, stalest in-window 15,
-# stalest omitted 11.
+# adoption the registry held 238 names, staleness bound ceil(238/50)
+# = 19 rounds, stalest in-window 12, stalest omitted 10.
 _PRIORITY = (
-    "ann_ivfpq_topk_recall",  # first driver row
-    "paraphrase_mining_pairs",  # first driver row
-    "customers_without_orders",
-    "datagen_sessions",
-    "customer_order_counts_outer",
-    "cosine_topk",
-    "gold_reaggregate",
-    "minhash_lsh_candidates",
-    "shard_assignment_stats",
-    "training_mix_sample",
-    "crossmodal_neardup_agreement",
-    "dedup_exact_stats",
-    "doc_repetition_stats",
-    "embedding_neardup_recall_eval",
-    "streaming_chunked_state",
-    "validate_domains",
-    "pricing_summary",
-    "customer_order_gaps",
-    "retention_cohorts",
+    "ann_multiprobe_topk",
+    "ann_recall_eval",
+    "dedup_cluster_sizes",
+    "embedding_neardup_config_sweep",
+    "layer_consistency",
+    "media_decode_features",
+    "salted_skew_join",
+    "semantic_search_topk",
+    "simhash_neardup_pairs",
+    "text_token_stats",
+    "unigram_logprob_quality",
+    "pii_redaction_stats",
+    "repeated_span_examples",
+    "tfidf_top_terms",
+    "token_count_bpe",
+    "order_value_dense_rank",
+    "revenue_by_nation",
+    "semantic_dedup_apply",
+    "min_cost_supplier_per_part",
     "scalar_functions",
-    "high_value_orders",
     "schema_evolution_merge",
+    "high_value_orders",
+    "datagen_users",
+    "gold_order_metrics",
     "table_counts",
-    "medallion_readback",
+    "partition_pruning_roundtrip",
+    "ddl_roundtrip",
     "cdc_upsert_state",
     "cdc_change_log",
-    "top_customers",
-    "monthly_revenue",
-    "unique_customers",
+    "quality_source_fair_threshold",
+    "streaming_restart_state",
+    "revenue_mom_growth",
     "silver_projection",
-    "partition_pruning_roundtrip",
+    "seed_literal_insert",
     "parquet_layout_roundtrip",
-    "ddl_roundtrip",
     "current_date_sanity",
-    "order_value_percentiles_approx",
-    "order_date_range",
-    "streaming_dedup_exactly_once",
-    "month_set_operations",
+    "events_interval_bucket_join",
+    "idle_rich_customers",
+    "event_props_json_stats",
+    "distinct_status",
     "time_travel_counts",
     "session_settings_roundtrip",
     "session_epoch_stats",
-    "seed_literal_insert",
     "max_key_bootstrap",
     "lake_compaction_stats",
-    "datagen_users",
     "datagen_products",
     "datagen_orders_by_status",
     "datagen_ecommerce_counts",
