@@ -35,6 +35,7 @@ centroid set).
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -136,14 +137,17 @@ def _bucket(vec_col: str = "v") -> Column:
     the fold), ~0.9 s of DRIVER time per call site -- the same wall the
     PQ stage audit found. The parsed tree is the same shape: the same
     zip_with/aggregate left-to-right fold as _dot, the same
-    CASE-per-plane bit sum, +/-1.0 double literals."""
+    CASE-per-plane bit sum, +/-1.0 double literals. The column name is
+    backtick-quoted in the generated SQL (r19 ADVICE): only a simple
+    column reference is valid here, never an expression."""
+    col_ref = f"`{vec_col}`"
     parts = []
     for p in range(_N_PLANES):
         arr = ", ".join(
             "1.0D" if x > 0 else "-1.0D" for x in _PLANES[p]
         )
         dot = (
-            f"aggregate(zip_with({vec_col}, array({arr}),"
+            f"aggregate(zip_with({col_ref}, array({arr}),"
             " (x, y) -> x * y), 0.0D, (acc, w) -> acc + w)"
         )
         parts.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
@@ -2162,8 +2166,16 @@ _PQ_MD5 = "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIG
 
 def _pq_dlit(x: float) -> str:
     """Shortest-roundtrip double literal: Java's correctly-rounded
-    parser maps it back to the same binary64 Python's repr came from."""
-    return repr(float(x)) + "D"
+    parser maps it back to the same binary64 Python's repr came from.
+    Non-finite values would emit 'infD'/'nanD' (a SQL parse error far
+    from the cause), so fail at build time with a clear message."""
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(
+            f"non-finite PQ literal {x!r}: degenerate codebook/query"
+            " vector (inf/nan embedding component)"
+        )
+    return repr(x) + "D"
 
 
 def _pq_sqdist_sql(codebook: list[list[float]], s: int, c: int) -> str:

@@ -555,17 +555,13 @@ def main() -> None:
         queries["semantic_dedup_twolevel_stats"](
             spark, spread_dir
         ).collect()  # warm (untimed)
-        # 7-run median if EITHER the spread row itself is tagged (the
-        # pending r18 straddle decision) or the underlying op is --
-        # r17 ADVICE: keying on the spread name alone was dead code
-        # (never a WIDE_BAND key), silently giving the suite's largest
-        # row 3 runs while its tag decision leaned on 7-run medians.
-        runs = (
-            7
-            if (name in WIDE_BAND
-                or "semantic_dedup_twolevel_stats" in WIDE_BAND)
-            else 3
-        )
+        # 7-run median iff the spread row itself is tagged (admitted
+        # to WIDE_BAND at r18 after its third straddle). r19: dropped
+        # the underlying-op disjunct ("semantic_dedup_twolevel_stats"
+        # in WIDE_BAND) -- constant-False since that key's r18
+        # retirement, and the spread row's own admission now carries
+        # the 7-run requirement.
+        runs = 7 if name in WIDE_BAND else 3
         llm_runs_by_query[name] = runs
         llm_timings[name] = timed(
             lambda: queries["semantic_dedup_twolevel_stats"](

@@ -66,8 +66,8 @@ def test_ivfpq_vs_flat_adc_consistency(spark, sf_dir):
     # as of r17): a silent change to either op's candidate plumbing
     # shows up here first. Not an IVF<=flat ordering claim -- update
     # these pins deliberately if fixtures or PQ constants change.
-    assert flat["rerank_recall"] == 0.2
-    assert ivf["rerank_recall"] == 0.1
+    assert abs(flat["rerank_recall"] - 0.2) < 1e-9
+    assert abs(ivf["rerank_recall"] - 0.1) < 1e-9
 
 
 def test_paraphrase_pairs_directed_semantics(spark, tmp_path):
@@ -116,3 +116,20 @@ def test_paraphrase_pairs_directed_semantics(spark, tmp_path):
     assert (1, 2) in got, "semantically-near lexically-far pair must mine"
     assert (3, 4) not in got, "lexical dup must be excluded by the gate"
     assert (5, 6) not in got, "lexically-near semantically-far never a pair"
+
+
+def test_pq_dlit_rejects_non_finite():
+    """r19 ADVICE: a degenerate embedding (inf/nan component) must fail
+    at expression-build time with a clear message, not as a Spark SQL
+    parse error on 'infD'/'nanD' text."""
+    import pytest
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators.similarity import (  # noqa: E501
+        _pq_dlit,
+    )
+
+    assert _pq_dlit(1.5) == "1.5D"
+    assert _pq_dlit(-0.25) == "-0.25D"
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError, match="non-finite PQ literal"):
+            _pq_dlit(bad)
