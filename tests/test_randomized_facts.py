@@ -50,7 +50,13 @@ from tests.oracle_utils import assert_match
 
 registry._load_all()
 
-SEEDS = (401, 502, 603)
+# Two stable anchors + one per-round fresh seed (r18 VERDICT item 6:
+# fixture params bind at import, so the committed tuple IS what the
+# suite re-tests forever — rotate the third slot each round, keyed
+# 100*round+1, so the suite keeps probing new corpus neighborhoods).
+# History: r18 shipped (401, 502, 603); post-close-out probes 777/888
+# green; r19 rotates in 1901.
+SEEDS = (401, 502, 1901)
 
 _STATUSES = ("O", "F", "P")
 _PRIORITIES = (
