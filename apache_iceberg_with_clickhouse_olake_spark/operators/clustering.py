@@ -145,6 +145,46 @@ def _d2(dv: Column, cv: Column) -> Column:
     )
 
 
+def _d2_spark_sql(dv: str, cv: str) -> str:
+    """Spark-SQL-text twin of :func:`_d2` (r19, the py4j plan-construction
+    class -- similarity._pq_sqdist_sql is the template): the same
+    zip_with square fold with 0.0D init and the same
+    decimal(30,6)-snap round, parsed in one gateway round-trip instead
+    of ~40 Column-API calls. Bit-identical tree by construction."""
+    return (
+        "CAST(round(CAST(aggregate(zip_with("
+        f"{dv}, {cv}, (x, c) -> (x - c) * (x - c)), 0.0D,"
+        " (acc, v) -> acc + v) AS DECIMAL(30,6)), 6) AS DOUBLE)"
+    )
+
+
+# One-parse twin of F.transform("dv", x -> dround(x, 4)): the 4-decimal
+# centroid-space snap applied to every seed vector component.
+_SNAP4_DV_SQL = (
+    "transform(dv, x ->"
+    " CAST(round(CAST(x AS DECIMAL(30,6)), 4) AS DOUBLE))"
+)
+
+
+def _argmin_fold_sql(arr: str, vec_field: str, id_field: str) -> str:
+    """SQL text of the shared strict-< argmin fold: precompute one
+    (d2, id) struct per candidate in ``arr`` (an ascending-id array of
+    (id, vec) structs), then fold with strict < so the LOWEST id wins
+    distance ties -- the same tree the Column-API build produced (see
+    _assign's comment for why precompute-then-fold beats a
+    when-in-fold double evaluation and an array_min struct
+    comparator). The 'Infinity' init CAST constant-folds to the same
+    double literal F.lit(inf) built."""
+    return (
+        f"aggregate(transform({arr},"
+        f" e -> struct({_d2_spark_sql('dv', 'e.' + vec_field)} AS d2,"
+        f" e.{id_field} AS {id_field})),"
+        " struct(CAST('Infinity' AS DOUBLE) AS d2,"
+        f" CAST(-1 AS BIGINT) AS {id_field}),"
+        " (acc, e) -> CASE WHEN e.d2 < acc.d2 THEN e ELSE acc END)"
+    )
+
+
 def _init_centroids(emb: DataFrame, k: int) -> DataFrame:
     """Deterministic k-means++-free init: the k vectors with the smallest
     md5(vec_id) (md5 is engine-identical), components snapped to the
@@ -157,7 +197,7 @@ def _init_centroids(emb: DataFrame, k: int) -> DataFrame:
     w = Window.orderBy("h", "vec_id")
     return seeds.select(
         (F.row_number().over(w) - 1).cast("long").alias("cluster"),
-        F.transform("dv", lambda x: dround(x, 4)).alias("cv"),
+        F.expr(_SNAP4_DV_SQL).alias("cv"),
     )
 
 
@@ -180,20 +220,9 @@ def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     # the slowest of the three variants; at sf0.1 all three are within
     # noise because the pair join dominates, so the FLOP-minimal form
     # wins on the 100 TB argument where k grows with the corpus.)
-    best = F.aggregate(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                _d2(F.col("dv"), c["cv"]).alias("d2"),
-                c["cluster"].alias("cluster"),
-            ),
-        ),
-        F.struct(
-            F.lit(float("inf")).cast("double").alias("d2"),
-            F.lit(-1).cast("long").alias("cluster"),
-        ),
-        lambda acc, c: F.when(c["d2"] < acc["d2"], c).otherwise(acc),
-    )
+    # Built as one SQL string (r19): the Column-API fold cost ~250
+    # driver-side gateway calls per _assign, times _ITERS Lloyd rounds.
+    best = F.expr(_argmin_fold_sql("cents", "cv", "cluster"))
     return (
         emb.crossJoin(F.broadcast(cents))
         .withColumn("b", best)
@@ -485,7 +514,7 @@ def _twolevel_state_frames(emb: DataFrame):
         .select(
             "cluster",
             "sub",
-            F.transform("dv", lambda x: dround(x, 4)).alias("sv"),
+            F.expr(_SNAP4_DV_SQL).alias("sv"),
         )
     )
     sarr = seeds2.groupBy("cluster").agg(
@@ -494,20 +523,8 @@ def _twolevel_state_frames(emb: DataFrame):
     # same strict-< fold discipline as _assign: precompute (d2, sub)
     # structs once, ascending-sub array + strict < keeps the lowest sub
     # on distance ties -- identical to the oracle's ORDER BY d2, sub.
-    best = F.aggregate(
-        F.transform(
-            F.col("subs"),
-            lambda s: F.struct(
-                _d2(F.col("dv"), s["sv"]).alias("d2"),
-                s["sub"].alias("sub"),
-            ),
-        ),
-        F.struct(
-            F.lit(float("inf")).cast("double").alias("d2"),
-            F.lit(-1).cast("long").alias("sub"),
-        ),
-        lambda acc, c: F.when(c["d2"] < acc["d2"], c).otherwise(acc),
-    )
+    # One-parse SQL string like _assign (r19).
+    best = F.expr(_argmin_fold_sql("subs", "sv", "sub"))
     # Explicit AQE-exempt repartition on the leaf key (the
     # _embed_candidate_pairs discipline): the seed-array join's output
     # partitioning is whatever AQE leaves behind, and at fixture scale
@@ -2739,7 +2756,7 @@ def _kcenter_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = _persist(
         emb.crossJoin(F.broadcast(c0.select("cv"))).select(
-            "vec_id", "dv", _d2(F.col("dv"), F.col("cv")).alias("mind")
+            "vec_id", "dv", F.expr(_d2_spark_sql("dv", "cv")).alias("mind")
         )
     )
     centers = [c0]
@@ -2760,7 +2777,7 @@ def _kcenter_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "vec_id",
                     "dv",
                     F.least(
-                        F.col("mind"), _d2(F.col("dv"), F.col("cv"))
+                        F.col("mind"), F.expr(_d2_spark_sql("dv", "cv"))
                     ).alias("mind"),
                 )
             )

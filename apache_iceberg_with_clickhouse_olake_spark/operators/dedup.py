@@ -103,17 +103,29 @@ def with_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_sig(hvals_col: Column, i: int) -> Column:
+# Spark-side SQL-string builders (r19, the py4j plan-construction
+# class -- see similarity._pq_sqdist_sql): the 16-sig x transform-lambda
+# stack cost ~2k driver-side gateway round-trips (~0.5-1.0 s) per call
+# site when built Column-by-Column. Each builder below parses to the
+# IDENTICAL expression tree in one F.expr/selectExpr round-trip: same
+# int32 literals (_A/_B/_P all < 2^31, same as F.lit), same 0-based
+# array indexing, same CAST(conv(substring(md5(..)))) chain as
+# functions.md5_int60.
+_HVALS_SPARK_SQL = (
+    "transform(shingles, s -> "
+    "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+    f" % {_P})"
+)
+
+
+def _minhash_sig_spark_sql(i: int) -> str:
     """i-th minhash: min over pre-hashed shingle values of (a_i*x + b_i) % P.
 
-    Takes the md5-derived values (``md5_int60(s) % P``), NOT raw shingles:
+    Reads the md5-derived values (``md5_int60(s) % P``), NOT raw shingles:
     the md5 is materialized once in an upstream projection so the 16 sig
     expressions share it instead of recomputing 16 md5s per shingle."""
-    return F.array_min(
-        F.transform(
-            hvals_col,
-            lambda x: (F.lit(_A[i]) * x + F.lit(_B[i])) % _P,
-        )
+    return (
+        f"array_min(transform(hvals, x -> ({_A[i]} * x + {_B[i]}) % {_P}))"
     )
 
 
@@ -124,10 +136,18 @@ def _minhash_sig_sql(i: int) -> str:
     )
 
 
-def _band_hash(sig_cols: list[Column], band: int) -> Column:
+def _band_hash_spark_sql(sig_exprs: list[str], band: int) -> str:
+    """md5_int60 over the band's comma-joined sig components (SQL text;
+    ``sig_exprs`` are the per-component expressions, e.g. ``h3`` or
+    ``sig[3]``)."""
     lo = band * _ROWS_PER_BAND
-    return md5_int60(
-        F.concat_ws(",", *[c.cast("string") for c in sig_cols[lo:lo + _ROWS_PER_BAND]])
+    joined = ", ".join(
+        f"CAST({e} AS STRING)"
+        for e in sig_exprs[lo:lo + _ROWS_PER_BAND]
+    )
+    return (
+        "CAST(conv(substring(md5("
+        f"concat_ws(',', {joined})), 1, 15), 16, 10) AS BIGINT)"
     )
 
 
@@ -144,22 +164,24 @@ def _with_band_hashes(docs: DataFrame) -> DataFrame:
     (shingles -> md5-hashed values -> 16 sigs -> 4 band hashes), so md5
     runs once per shingle. Catalyst keeps the stages separate: CollapseProject
     won't inline a non-cheap alias referenced more than once."""
-    hvals = F.transform(F.col("shingles"), lambda s: md5_int60(s) % _P)
     sig_df = (
         with_shingles(docs)
-        .select("doc_id", hvals.alias("hvals"))
-        .select(
+        .selectExpr("doc_id", f"{_HVALS_SPARK_SQL} AS hvals")
+        .selectExpr(
             "doc_id",
             *[
-                _minhash_sig(F.col("hvals"), i).alias(f"h{i}")
+                f"{_minhash_sig_spark_sql(i)} AS h{i}"
                 for i in range(_N_HASHES)
             ],
         )
     )
-    sig_cols = [F.col(f"h{i}") for i in range(_N_HASHES)]
-    return sig_df.select(
+    sig_exprs = [f"h{i}" for i in range(_N_HASHES)]
+    return sig_df.selectExpr(
         "doc_id",
-        *[_band_hash(sig_cols, b).alias(f"b{b}") for b in range(_N_BANDS)],
+        *[
+            f"{_band_hash_spark_sql(sig_exprs, b)} AS b{b}"
+            for b in range(_N_BANDS)
+        ],
     )
 
 
@@ -201,27 +223,26 @@ def _with_sig(docs: DataFrame) -> DataFrame:
     can ride keyed joins; _with_band_hashes is the variant that drops
     both and keeps only band hashes). Stacked projections as in
     _with_band_hashes so md5 runs once per shingle."""
-    hvals = F.transform(F.col("shingles"), lambda s: md5_int60(s) % _P)
+    sig_arr = ", ".join(
+        _minhash_sig_spark_sql(i) for i in range(_N_HASHES)
+    )
     return (
         with_shingles(docs)
-        .select("doc_id", "shingles", hvals.alias("hvals"))
-        .select(
-            "doc_id",
-            "shingles",
-            F.array(
-                *[_minhash_sig(F.col("hvals"), i) for i in range(_N_HASHES)]
-            ).alias("sig"),
-        )
+        .selectExpr("doc_id", "shingles", f"{_HVALS_SPARK_SQL} AS hvals")
+        .selectExpr("doc_id", "shingles", f"array({sig_arr}) AS sig")
     )
 
 
 def _bands_from_sig(attach: DataFrame) -> DataFrame:
     """doc_id + b0..b{n-1} band-hash columns from a _with_sig frame
     (extra columns are dropped; they re-attach by key after pairing)."""
-    sig_cols = [F.col("sig")[i] for i in range(_N_HASHES)]
-    return attach.select(
+    sig_exprs = [f"sig[{i}]" for i in range(_N_HASHES)]
+    return attach.selectExpr(
         "doc_id",
-        *[_band_hash(sig_cols, b).alias(f"b{b}") for b in range(_N_BANDS)],
+        *[
+            f"{_band_hash_spark_sql(sig_exprs, b)} AS b{b}"
+            for b in range(_N_BANDS)
+        ],
     )
 
 

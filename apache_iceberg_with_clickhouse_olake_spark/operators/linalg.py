@@ -82,6 +82,23 @@ def _pi_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One-parse Spark-SQL twins of the per-iteration expressions (r19, the
+# py4j plan-construction class -- similarity._pq_sqdist_sql template):
+# the Column-API builds cost ~150-250 gateway round-trips per
+# iteration, times _PI_ITERS x 2 loops in the PCA op. Trees are
+# identical by construction (0.0D init = F.lit(0.0); the decimal-snap
+# CASTs are dround/dsum verbatim).
+_PI_DOT_SNAP6_SQL = (
+    "CAST(round(CAST(aggregate(zip_with(dv, varr, (x, y) -> x * y),"
+    " 0.0D, (acc, v) -> acc + v) AS DECIMAL(30,6)), 6) AS DOUBLE)"
+)
+
+
+def _dsum_spark_sql(expr: str) -> str:
+    """Spark-SQL twin of functions.dsum (exact decimal sum as double)."""
+    return f"CAST(sum(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
+
+
 def _pi_loop(spark: SparkSession, emb: DataFrame, iters: int) -> DataFrame:
     """The snapped power-iteration loop over any persisted (vec_id, dv)
     frame (the PCA deflation runs it twice: raw rows, then rows with
@@ -91,20 +108,21 @@ def _pi_loop(spark: SparkSession, emb: DataFrame, iters: int) -> DataFrame:
     )
     for _ in range(iters):
         varr = v.agg(
-            F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("s")
-        ).select(F.transform("s", lambda t: t["c"]).alias("varr"))
-        s = emb.crossJoin(F.broadcast(varr)).select(
-            "dv", dround(_dot(F.col("dv"), F.col("varr")), 6).alias("s")
+            F.expr("array_sort(collect_list(struct(dim, c)))").alias("s")
+        ).selectExpr("transform(s, t -> t.c) AS varr")
+        s = emb.crossJoin(F.broadcast(varr)).selectExpr(
+            "dv", f"{_PI_DOT_SNAP6_SQL} AS s"
         )
         u = (
             s.select("s", F.posexplode("dv").alias("dim", "x"))
             .groupBy("dim")
-            .agg(dsum(F.col("x") * F.col("s"), "u"))
+            .agg(F.expr(_dsum_spark_sql("x * s")).alias("u"))
         )
-        n2 = u.agg(dsum(F.col("u") * F.col("u"), "n2"))
-        v = u.crossJoin(F.broadcast(n2)).select(
+        n2 = u.agg(F.expr(_dsum_spark_sql("u * u")).alias("n2"))
+        v = u.crossJoin(F.broadcast(n2)).selectExpr(
             "dim",
-            dround(F.col("u") / F.sqrt(F.col("n2")), 4).alias("c"),
+            "CAST(round(CAST(u / sqrt(n2) AS DECIMAL(30,6)), 4)"
+            " AS DOUBLE) AS c",
         )
     return v.select(
         # posexplode's position is INT; present as BIGINT like the oracle
@@ -253,22 +271,21 @@ def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1_lazy = _pi_loop(spark, emb, _PI_ITERS)
     v1 = spark.createDataFrame(v1_lazy.collect(), v1_lazy.schema)
     v1arr = v1.agg(
-        F.array_sort(F.collect_list(F.struct("dim", "component"))).alias("s")
-    ).select(F.transform("s", lambda t: t["component"]).alias("varr"))
-    proj = emb.crossJoin(F.broadcast(v1arr)).select(
+        F.expr("array_sort(collect_list(struct(dim, component)))")
+        .alias("s")
+    ).selectExpr("transform(s, t -> t.component) AS varr")
+    proj = emb.crossJoin(F.broadcast(v1arr)).selectExpr(
         "vec_id",
         "dv",
         "varr",
-        dround(_dot(F.col("dv"), F.col("varr")), 6).alias("s"),
+        f"{_PI_DOT_SNAP6_SQL} AS s",
     )
     # defl inherits emb's full-parallelism partitioning through the
     # narrow projection chain (no repartition needed -- r13 audit)
     defl = _persist(
-        proj.select(
+        proj.selectExpr(
             "vec_id",
-            F.zip_with(
-                "dv", "varr", lambda x, c: x - F.col("s") * c
-            ).alias("dv"),
+            "zip_with(dv, varr, (x, c) -> x - s * c) AS dv",
         )
     )
     v2 = _pi_loop(spark, defl, _PI_ITERS)

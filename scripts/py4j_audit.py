@@ -9,13 +9,17 @@ by building the SAME expression tree as one SQL string
 (similarity.py:_pq_sqdist_sql/_bucket are the template).
 
 This script sweeps the remaining top SCALING 1x walls for the same
-class: run each registered op once warm (JVM/codegen warmed), then run
-it again under cProfile and report the cumulative time and call count
-of py4j's socket round-trip (GatewayClient.send_command) against the
-op's wall. A >0.5 s send_command cumtime at a warm run = the literal-
-loop class; convert to a SQL-string build. Anything under that is
-normal DataFrame-API chatter (every .select/.join costs a handful of
-round-trips; that is not the pathology).
+class. Raw cProfile cumtime of send_command is the WRONG metric: the
+query's actual JVM execution also happens inside send_command round-
+trips (collectToPython blocks on one call for the whole job), so
+cumtime conflates execution with chatter and flags everything. The
+honest discriminator is the PER-CALL duration distribution: plan-
+construction chatter is ~100-300 us/call, execution/fetch calls are
+ms-to-seconds. We monkey-patch GatewayClient.send_command with a
+timer and split the cumulative wall into CHATTER (<5 ms calls -- the
+literal-loop class lives here) vs WORK (>=5 ms calls: job execution,
+collects, checkpoint writes). A warm-run chatter sum >0.5 s = the
+literal-loop class; convert to a SQL-string build.
 
 Usage: python scripts/py4j_audit.py [names...]
 Default names: the top SCALING 1x walls named by the r18 verdict
@@ -24,10 +28,7 @@ never stage-audited for this class.
 """
 from __future__ import annotations
 
-import cProfile
-import io
 import os
-import pstats
 import sys
 import time
 
@@ -53,23 +54,30 @@ DEFAULT_NAMES = [
     "dsir_resample_counts",          # 2.57 s
     "dsir_importance_weights",       # 2.47 s
     "greedy_kcenter_sample",         # 1.69 s (k-center, verdict-named)
+    "pricing_summary",               # control: known-clean single agg
+    "pq_adc_topk_recall",            # control: the r18-converted op
 ]
 
 
-def _py4j_stats(pr: cProfile.Profile) -> tuple[float, int, float]:
-    """(send_command cumtime, ncalls, total profiled wall)."""
-    buf = io.StringIO()
-    st = pstats.Stats(pr, stream=buf)
-    send_cum, send_n = 0.0, 0
-    for (fname, _lineno, func), (cc, _nc, _tt, ct, _callers) in (
-        st.stats.items()
-    ):
-        if "java_gateway" in fname and func == "send_command":
-            # outermost send_command wrapper double-counts via
-            # recursion into itself; take the max cumtime seen
-            if ct > send_cum:
-                send_cum, send_n = ct, cc
-    return send_cum, send_n, st.total_tt
+_CHATTER_CUTOFF = 0.005  # 5 ms: above this a call is executing work
+
+_durations: list[float] = []
+
+
+def _install_timer() -> None:
+    """Wrap GatewayClient.send_command to record per-call wall."""
+    from py4j.java_gateway import GatewayClient
+
+    orig = GatewayClient.send_command
+
+    def timed(self, *a, **kw):
+        t0 = time.perf_counter()
+        try:
+            return orig(self, *a, **kw)
+        finally:
+            _durations.append(time.perf_counter() - t0)
+
+    GatewayClient.send_command = timed
 
 
 def main() -> int:
@@ -93,36 +101,42 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    _install_timer()
 
     print(f"# py4j plan-construction audit at {SF_DIR}")
-    print("name | wall_s | send_cum_s | send_calls | send_frac | class")
+    print(
+        "name | wall_s | calls | chatter_s | chatter_calls |"
+        " work_s | work_calls | class"
+    )
     rows = []
     for name in names:
         fn = queries[name]
         fn(spark, SF_DIR).collect()  # warm: JVM, codegen, file listing
-        pr = cProfile.Profile()
+        _durations.clear()
         t0 = time.perf_counter()
-        pr.enable()
         fn(spark, SF_DIR).collect()
-        pr.disable()
         wall = time.perf_counter() - t0
-        cum, ncalls, _ = _py4j_stats(pr)
-        frac = cum / wall if wall else 0.0
-        verdict = (
-            "LITERAL-LOOP" if cum > 0.5 else "ok"
-        )
-        rows.append((name, wall, cum, ncalls, frac, verdict))
+        durs = list(_durations)
+        chatter = [d for d in durs if d < _CHATTER_CUTOFF]
+        work = [d for d in durs if d >= _CHATTER_CUTOFF]
+        csum, wsum = sum(chatter), sum(work)
+        verdict = "LITERAL-LOOP" if csum > 0.5 else "ok"
+        rows.append((name, wall, len(durs), csum, len(chatter), verdict))
         print(
-            f"{name} | {wall:.2f} | {cum:.2f} | {ncalls} |"
-            f" {frac:.0%} | {verdict}"
+            f"{name} | {wall:.2f} | {len(durs)} | {csum:.2f} |"
+            f" {len(chatter)} | {wsum:.2f} | {len(work)} | {verdict}"
         )
     flagged = [r for r in rows if r[5] != "ok"]
     print(
         f"summary: {len(rows)} audited,"
-        f" {len(flagged)} flagged (>0.5 s send_command cumtime)"
+        f" {len(flagged)} flagged (>0.5 s sub-{_CHATTER_CUTOFF * 1e3:.0f}ms"
+        " gateway-chatter sum)"
     )
     for r in flagged:
-        print(f"  FLAG {r[0]}: {r[2]:.2f} s / {r[3]} gateway calls")
+        print(
+            f"  FLAG {r[0]}: {r[3]:.2f} s chatter across"
+            f" {r[4]} gateway calls"
+        )
     spark.stop()
     return 0
 
