@@ -37,7 +37,7 @@ from ..functions import (
     nullif_,
     to_yyyymm,
 )
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, load_table_wide
 from .registry import query
 
 # Fixed predicate anchors (the reference uses today()-INTERVAL 12 MONTH,
@@ -66,7 +66,11 @@ HIGH_VALUE = 200000.0
     tags=("A2", "A4", "O1"),
 )
 def orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-key grouped agg with COUNT/AVG/SUM + top-first ordering."""
+    """Single-key grouped agg with COUNT/AVG/SUM + top-first ordering.
+
+    Deliberately NOT widened (r19): the split-starved widen that pays
+    off for pricing_summary was A/B-measured here at 0.550->0.629 s --
+    the 150k-row agg build (~170 ms) is cheaper than the exchange."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderstatus")
@@ -98,7 +102,8 @@ def orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A8", "F13", "O2"),
 )
 def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-key month-x-status rollup with toYYYYMM bucketing."""
+    """Two-key month-x-status rollup with toYYYYMM bucketing.
+    Not widened (r19): A/B 0.614->0.869 s, see orders_by_status."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(
@@ -177,7 +182,9 @@ def high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unique_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """uniqExact equivalent (exact countDistinct). At 100 TB the cheap
     variant is approx_count_distinct -- exposed as
-    ``unique_customers_approx`` below (rows-only check, approximate)."""
+    ``unique_customers_approx`` below (rows-only check, approximate).
+    Not widened (r19): A/B 0.675->1.086 s -- the exchange plus wide
+    distinct machinery loses to the single-task build at this shape."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderstatus")
@@ -383,8 +390,11 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 def segment_lineitem_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-fact-to-dim join (lineitem |><| orders |><| customer). At scale
     lineitem|><|orders is the big shuffle: both sides hash-partition on
-    orderkey. customer scales linearly -> no broadcast hint (AQE decides)."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    orderkey. customer scales linearly -> no broadcast hint (AQE decides).
+    Probe side widened when split-starved (r19, see orders_by_status):
+    the join+aggregate stage otherwise ran on the single scan task
+    (measured 0.9 s agg build on one core at sf0.1)."""
+    lineitem = load_table_wide(spark, sf_dir, "lineitem", "l_orderkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
@@ -667,8 +677,15 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped wide aggregate over the biggest fact table; the
-    canonical map-side-combine benchmark query."""
-    li = load_table(spark, sf_dir, "lineitem")
+    canonical map-side-combine benchmark query.
+
+    Widened when split-starved (r19, guide §2.5): the measured wall was
+    the 7-decimal-aggregate partial build (2.2 s of 2.45 s) serialized on
+    the fixture's single row-group task; the scan itself cost 53 ms. The
+    shipdate filter still reaches the parquet scan below the exchange
+    (pinned by tests/test_plans.py); the widen key is a column the
+    query already reads, so pruning is unchanged."""
+    li = load_table_wide(spark, sf_dir, "lineitem", "l_extendedprice")
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     charge = disc_price * (F.lit(1) + F.col("l_tax"))
     return (
@@ -737,7 +754,8 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-bucketed distinct users -- the hypertable-rollup shape. At scale
     the day bucket is also the natural partition key for the events lake
     table (reference partitions user_sessions by day(login_time),
-    destination.json:66-71)."""
+    destination.json:66-71).
+    Not widened (r19): A/B 0.642->0.722 s, see orders_by_status."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.to_date("ts").alias("day"))

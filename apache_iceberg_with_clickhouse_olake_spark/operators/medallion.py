@@ -115,6 +115,8 @@ def build_medallion(spark: SparkSession, sf_dir: str, warehouse: str) -> dict[st
     tags=("A8", "A6", "A7", "S4"),
 )
 def gold_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # not widened (r19): A/B 0.960->1.214 s -- the countDistinct Expand
+    # over an extra exchange loses to the 150k-row single-task build
     orders = load_table(spark, sf_dir, "orders")
     return (
         build_gold(build_silver(orders))
@@ -146,6 +148,7 @@ def gold_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial->final aggregation semantics of the gold layer."""
     from ..functions import davg
 
+    # not widened (r19): A/B 0.829->1.040 s, see gold_order_metrics
     orders = load_table(spark, sf_dir, "orders")
     gold = build_gold(build_silver(orders))
     return (
