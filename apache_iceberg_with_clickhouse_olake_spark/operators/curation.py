@@ -30,7 +30,7 @@ from ..functions import (
     tokens_sql,
 )
 from ..sources.multimodal import MEDIA_SQL, gen_media
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, load_table_wide
 from .registry import query
 
 _NORM = norm_text_sql("text")
@@ -276,7 +276,11 @@ def decontamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB against a full benchmark suite in one job. Matches are
     token-aligned (a probe only hits where its tokens appear as a
     contiguous token run, not mid-token substrings)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # widened when split-starved (r19,
+    # sources.parquet.widen_split_starved): the tokenize+shingle
+    # chain otherwise runs on the fixture single scan task; no-op
+    # on production layouts (splits >= cores)
+    docs = load_table_wide(spark, sf_dir, "documents", "doc_id")
     toks = tokens(F.col("text"))
     probes = (
         docs.filter(F.col("doc_id") < _N_PROBES)
@@ -429,6 +433,10 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .sampling import _mix_rate_spark
 
+    # NOT widened (r19): interleaved A/B measured the split-starved
+    # widen at 1.717 -> 1.897 s here -- this pipeline keeps shingles as
+    # arrays (no row explosion), so the single-task chain is cheaper
+    # than shuffling the raw text
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
@@ -706,7 +714,8 @@ def doc_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     token counts directly, so clean documents never shuffle at all.
     Probe docs themselves surface with is_probe so the policy layer can
     exempt them."""
-    docs = load_table(spark, sf_dir, "documents")
+    # widened when split-starved (r19, see decontamination_scan)
+    docs = load_table_wide(spark, sf_dir, "documents", "doc_id")
     toks = tokens(F.col("text"))
     tok_frame = docs.select("doc_id", "source", toks.alias("t")).filter(
         F.size("t") >= _PROBE_TOKENS

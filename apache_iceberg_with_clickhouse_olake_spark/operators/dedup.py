@@ -40,7 +40,7 @@ from ..functions import (
     tokens,
     tokens_sql,
 )
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, load_table_wide
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -490,6 +490,9 @@ def dedup_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     par = spark.sparkContext.defaultParallelism
+    # NOT widened (r19): interleaved A/B measured the split-starved
+    # widen at 1.736 -> 2.149 s here -- the fp window shuffles the text
+    # anyway, so a prior exchange just doubles the data movement
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(norm_text(F.col("text")))
     w = Window.partitionBy("fp").orderBy("doc_id")

@@ -525,8 +525,19 @@ _DSIR_2POW60 = float(1 << 60)
 def _dsir_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, source, b): one row per unigram+bigram occurrence,
     hashed into _DSIR_B buckets. The single corpus-tokenize pass every
-    downstream DSIR aggregate derives from."""
-    docs = load_table(spark, sf_dir, "documents")
+    downstream DSIR aggregate derives from.
+
+    Spread to full parallelism BELOW the tokenize/bigram/md5 chain and
+    BEFORE the caller's persist (r19; the _fp_vectors / r13
+    persist-site discipline): a file-count-partitioned source computed
+    the whole chain on ONE task at sf0.1 (profiled 0.85 s single-task
+    stage) and left the persisted occurrence frame single-partitioned
+    for every downstream rescan. At scale partition count tracks input
+    splits, so the exchange is layout insurance, not a constant."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        par, "doc_id"
+    )
     d = docs.select(
         "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
     ).withColumn(

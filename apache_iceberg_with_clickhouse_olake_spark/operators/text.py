@@ -36,7 +36,7 @@ from ..functions import (
     tokens,
     tokens_sql,
 )
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, load_table_wide
 from .registry import query
 
 _TOKS = tokens_sql("text")
@@ -1736,6 +1736,10 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     KL term decimal-snaps before summing (dsum), so the per-source sum
     is partition-order-independent and engine-exact; DuckDB ln == JVM
     log bit-for-bit (functions/__init__.py determinism note)."""
+    # NOT widened (r19): interleaved A/B measured the split-starved
+    # widen at 1.033 -> 1.331 s here -- the localCheckpoint superstep
+    # already bounds the expensive frame, and the extra raw-text
+    # exchange costs more than the spread tokenize saves
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "source", F.explode(tokens(F.col("text"))).alias("term")
