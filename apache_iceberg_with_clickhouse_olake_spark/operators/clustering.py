@@ -601,35 +601,30 @@ def _semantic_dropped(
             .filter(F.col("_pair_rank") <= max_cluster_pair_members)
             .drop("_pair_rank")
         )
-    # Norms ride the member frame (one fold per VECTOR, below the pair
-    # join in the plan), so each pair pays one dot fold plus a scalar
-    # multiply instead of three 64-dim folds -- the established
-    # _embed_candidate_pairs discipline (r9), bit-identical to _cos
-    # (same doubles, same denom==0 -> NULL guard). Measured r16 on the
-    # two-level twin: 26.7 -> 8.7 s on the 8k-vector spread corpus.
+    # Norms ride the member frame (one fold per VECTOR), bit-identical
+    # to _cos (same doubles, same denom==0 -> undefined guard).
+    # r19 (optimization round): the pair scoring itself moved from a
+    # self-join + interpreted-fold filter + distinct to ONE
+    # groupBy(cluster).applyInPandas pass (operators/_pair_cos_udf.py,
+    # guide section 4.2): thread dumps showed the join's bound
+    # condition evaluating the 64-dim fold interpreted with a boxed
+    # Double per multiply, and the cluster-keyed join concentrated each
+    # block's full O(n^2) pair stream on one task. The kernel ships
+    # each member row across the shuffle once (the self-join shipped it
+    # twice), folds the dot in the SAME left-to-right IEEE order
+    # (elementwise numpy adds, sequential over dims -- bit-identical
+    # thresholds, oracle unchanged), chunk-streams adversarial blocks,
+    # and emits drop_ids pre-distinct. A/B at sf0.1:
+    # semantic_dedup_stats 2.40 -> 1.33 s, cascade 3.35 -> 2.45 s
+    # (interleaved medians of 5).
+    from ._pair_cos_udf import make_block_dropped_kernel
+
     withn = assigned.select(
         "cluster", "vec_id", "dv", _norm(F.col("dv")).alias("nrm")
     )
-    a = withn.alias("a")
-    b = withn.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(
-            _cos_pre(
-                F.col("a.dv"), F.col("a.nrm"),
-                F.col("b.dv"), F.col("b.nrm"),
-            )
-            >= _SEMDEDUP_COS
-        )
-        .select(
-            F.col("b.cluster").alias("cluster"),
-            F.col("b.vec_id").alias("drop_id"),
-        )
-        .distinct()
+    return withn.groupBy("cluster").applyInPandas(
+        make_block_dropped_kernel(["cluster"], _SEMDEDUP_COS),
+        schema="cluster bigint, drop_id bigint",
     )
 
 
@@ -1282,27 +1277,18 @@ def semantic_dedup_twolevel_stats(
             "vec_id", "dv", "cluster", "sub", _norm(F.col("dv")).alias("nrm")
         )
     )
-    a, b = fine.alias("a"), fine.alias("b")
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.sub") == F.col("b.sub"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(
-            _cos_pre(
-                F.col("a.dv"), F.col("a.nrm"),
-                F.col("b.dv"), F.col("b.nrm"),
-            )
-            >= _SEMDEDUP_COS
-        )
-        .select(
-            F.col("b.cluster").alias("cluster"),
-            F.col("b.sub").alias("sub"),
-            F.col("b.vec_id").alias("drop_id"),
-        )
-        .distinct()
+    # r19 (optimization round): leaf pair scoring via the vectorized
+    # keep-first kernel (operators/_pair_cos_udf.py) instead of a
+    # (cluster, sub)-keyed self-join + interpreted cosine filter +
+    # distinct -- see _semantic_dropped for the measured rationale. The
+    # groupBy keys equal the fine frame's explicit repartition keys, so
+    # the kernel reuses that exchange; each leaf's pair work runs as
+    # one vectorized numpy pass with the fold-order-exact dot.
+    from ._pair_cos_udf import make_block_dropped_kernel
+
+    dropped = fine.groupBy("cluster", "sub").applyInPandas(
+        make_block_dropped_kernel(["cluster", "sub"], _SEMDEDUP_COS),
+        schema="cluster bigint, sub bigint, drop_id bigint",
     )
     return _finalize(spark, (
         fine.join(

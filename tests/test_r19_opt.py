@@ -45,6 +45,79 @@ def test_widen_restores_parallelism_on_single_split(spark, tmp_path):
     assert sorted(r.id for r in out.collect()) == list(range(10_000))
 
 
+def test_pair_cos_kernel_matches_spark_fold_bitwise(spark):
+    """The numpy keep-first kernel must reproduce the Spark/DuckDB
+    left-fold cosine BIT-IDENTICALLY (its module docstring's contract):
+    same drop set on a corpus slice, including zero-norm rows (cos
+    undefined -> never a near-dup) and ties at the threshold."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators._pair_cos_udf import (  # noqa: E501
+        dropped_ids_for_block,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.operators.similarity import (
+        _cos_pre,
+        _norm,
+    )
+
+    # adversarial block: near-parallel pairs, an exact-threshold pair,
+    # and a zero vector (denominator guard)
+    rows = []
+    rng = np.random.RandomState(7)
+    for i in range(40):
+        rows.append((i, [float(x) for x in rng.randn(8)]))
+    rows.append((40, [0.0] * 8))          # zero norm
+    rows.append((41, rows[0][1]))          # exact duplicate of row 0
+    df = spark.createDataFrame(rows, "vec_id long, dv array<double>")
+    withn = df.select("vec_id", "dv", _norm(F.col("dv")).alias("nrm"))
+    a, b = withn.alias("a"), withn.alias("b")
+    tau = 0.3
+    spark_drops = sorted(
+        r.drop_id
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(
+            _cos_pre(F.col("a.dv"), F.col("a.nrm"),
+                     F.col("b.dv"), F.col("b.nrm")) >= tau
+        )
+        .select(F.col("b.vec_id").alias("drop_id"))
+        .distinct()
+        .collect()
+    )
+    pdf = withn.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in pdf])
+    vecs = np.stack([np.array(r.dv) for r in pdf])
+    norms = np.array([r.nrm for r in pdf])
+    kernel_drops = sorted(dropped_ids_for_block(ids, vecs, norms, tau))
+    assert kernel_drops == spark_drops
+    assert 40 not in kernel_drops, "zero-norm row must never drop"
+    assert 41 in kernel_drops, "exact duplicate must drop"
+
+
+def test_pair_cos_kernel_chunking_is_invisible():
+    """Chunked pair enumeration (the adversarial-block memory bound)
+    must give the same drop set as one unchunked pass."""
+    import numpy as np
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators import (
+        _pair_cos_udf as k,
+    )
+
+    rng = np.random.RandomState(11)
+    n, dim = 300, 8
+    ids = np.arange(n, dtype=np.int64)
+    vecs = rng.randn(n, dim)
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    full = list(k.dropped_ids_for_block(ids, vecs, norms, 0.5))
+    orig = k._CHUNK_PAIRS
+    try:
+        k._CHUNK_PAIRS = 97  # force many tiny chunks
+        chunked = list(k.dropped_ids_for_block(ids, vecs, norms, 0.5))
+    finally:
+        k._CHUNK_PAIRS = orig
+    assert full == chunked and len(full) > 0
+
+
 def test_widen_memoizes_per_path_and_parallelism(spark, tmp_path):
     """The probe result is memoized on (abspath, parallelism): the bench
     rebuilds each query 5-7x and the fixture path is immutable, so only

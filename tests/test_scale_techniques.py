@@ -629,12 +629,14 @@ def test_semantic_pair_cap_bounds_cluster_work(spark):
     capped_df = _semantic_dropped(assigned, max_cluster_pair_members=cap)
     assert capped_df.count() == cap - 1
     plan = capped_df._jdf.queryExecution().optimizedPlan().toString()
-    join_at = plan.index("Join")
-    # the rank filter must sit below the join on BOTH children (work is
-    # cut before pairing, not after): both self-join subtrees print
-    # after the Join node, so a single occurrence could mean the filter
-    # was applied to only one side (r12 ADVICE) -- require two.
-    assert plan[join_at:].count("row_number") >= 2, plan
+    # r19: the pair scoring is one FlatMapGroupsInPandas kernel (no
+    # self-join any more); the rank filter must sit BELOW it in the
+    # plan tree (children print after parents), so only the cap
+    # survivors ever reach the kernel -- work is still cut before
+    # pairing, not after.
+    kernel_at = plan.index("FlatMapGroupsInPandas")
+    assert "row_number" in plan[kernel_at:], plan
+    assert "Join" not in plan, plan
 
 
 def test_semantic_cap_binds_on_fixture_and_members_stay_full(spark, sf_dir):
