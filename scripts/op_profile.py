@@ -78,10 +78,12 @@ def main() -> int:
                 parts.append(
                     f"s{sid}[{s['numCompleteTasks']}t "
                     f"exec={s['executorRunTime'] / 1000:.2f}s "
+                    f"deser={s['executorDeserializeTime'] / 1000:.2f}s "
+                    f"gc={s['jvmGcTime'] / 1000:.2f}s "
+                    f"cpu={s['executorCpuTime'] / 1e9:.2f}s "
                     f"in={s['inputBytes'] >> 20}M "
                     f"sr={s['shuffleReadBytes'] >> 20}M "
-                    f"sw={s['shuffleWriteBytes'] >> 20}M "
-                    f"{s['name'][:60]!r}]"
+                    f"sw={s['shuffleWriteBytes'] >> 20}M]"
                 )
             print(f"  job{j['jobId']} wall={jw:.3f}s " + " ".join(parts))
         print(f"  sum(job walls)={job_wall_sum:.3f}s; "
