@@ -80,52 +80,56 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (scripts/next_rotation.py) under the per-op-id cover invariant; at
 # adoption the registry held 238 names, staleness bound ceil(238/50)
 # = 19 rounds, stalest in-window 12, stalest omitted 10.
+# r20 rotation (r19 VERDICT item 8): adopts the committed
+# scripts/rotation_r20_proposal.txt verbatim — 50 names, 0 first-driver
+# rows; staleness-first fill, invariant OK, stalest in-window 11,
+# stalest omitted 10.
 _PRIORITY = (
-    "ann_multiprobe_topk",
-    "ann_recall_eval",
-    "dedup_cluster_sizes",
-    "embedding_neardup_config_sweep",
-    "layer_consistency",
-    "media_decode_features",
-    "salted_skew_join",
-    "semantic_search_topk",
-    "simhash_neardup_pairs",
-    "text_token_stats",
-    "unigram_logprob_quality",
-    "pii_redaction_stats",
-    "repeated_span_examples",
-    "tfidf_top_terms",
-    "token_count_bpe",
-    "order_value_dense_rank",
-    "revenue_by_nation",
-    "semantic_dedup_apply",
-    "min_cost_supplier_per_part",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed_topk",
+    "ann_probe_sweep_recall",
+    "crossdoc_ngram_repetition",
+    "dedup_cascade_stats",
+    "dedup_removal_plan",
+    "embedding_near_dup_pairs",
+    "events_tumbling_windows",
+    "incremental_dedup_stats",
+    "media_features_by_type",
+    "embedding_kmeans_profile",
+    "embedding_norm_profile",
+    "label_centroids",
+    "monthly_status_pivot",
+    "order_value_tier_stats",
+    "semantic_dedup_cascade_stats",
+    "semantic_dedup_stats",
+    "uniform_hash_sample",
+    "top_orders_per_customer",
     "scalar_functions",
+    "medallion_readback",
     "schema_evolution_merge",
-    "high_value_orders",
     "datagen_users",
-    "gold_order_metrics",
-    "table_counts",
-    "partition_pruning_roundtrip",
+    "unique_customers",
     "ddl_roundtrip",
     "cdc_upsert_state",
     "cdc_change_log",
-    "quality_source_fair_threshold",
-    "streaming_restart_state",
-    "revenue_mom_growth",
+    "session_length_distribution",
+    "large_quantity_orders",
+    "streaming_dedup_exactly_once",
+    "monthly_revenue",
     "silver_projection",
-    "seed_literal_insert",
+    "partition_pruning_roundtrip",
     "parquet_layout_roundtrip",
     "current_date_sanity",
-    "events_interval_bucket_join",
-    "idle_rich_customers",
-    "event_props_json_stats",
-    "distinct_status",
+    "user_lifetime_stats",
+    "month_set_operations",
     "time_travel_counts",
+    "table_counts",
     "session_settings_roundtrip",
     "session_epoch_stats",
+    "seed_literal_insert",
     "max_key_bootstrap",
     "lake_compaction_stats",
+    "high_value_orders",
     "datagen_products",
     "datagen_orders_by_status",
     "datagen_ecommerce_counts",
