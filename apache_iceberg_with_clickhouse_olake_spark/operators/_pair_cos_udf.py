@@ -30,10 +30,13 @@ never reorder within an element), so thresholds compare identically.
 The zero-denominator guard mirrors _cos: cos undefined -> never a
 near-dup (NaN fails >=, exactly as SQL NULL does).
 
-Memory: pairs are enumerated in bounded chunks (_CHUNK_PAIRS), so an
-adversarial block (a replica clique concentrating k copies in one
-cluster) costs bounded memory per task -- the Spark join streamed such
-blocks and this kernel chunk-streams them.
+Memory (r19 ADVICE, stated honestly): _CHUNK_PAIRS bounds only the
+PAIR arrays (~160 MB peak); the block's member frame itself is still
+materialized whole by applyInPandas, so the true per-task bound is
+O(n_block * dim) doubles + the chunk bound. A group Spark's streamed
+self-join could spill, this kernel cannot. Call sites must therefore
+bound n_block BEFORE the groupBy (the capped variants rank-filter
+members first).
 """
 
 import numpy as np
@@ -91,10 +94,28 @@ def make_block_dropped_kernel(key_cols, cos_min):
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        vecs = np.stack(pdf["dv"].to_numpy())
-        norms = pdf["nrm"].to_numpy(dtype=np.float64)
-        drop = dropped_ids_for_block(ids, vecs, norms, cos_min)
+        # NULL/ragged dv guard (r19 ADVICE): the old join evaluated the
+        # cosine of a NULL dv -- and of a length-mismatched pair, whose
+        # zip_with pads with NULLs -- to NULL, which never satisfies
+        # >= cos_min. Mirror that: NULL-dv rows neither drop nor get
+        # dropped (filtered out), and pairs only form within one dv
+        # length (per-length sub-kernels; cross-length pairs can never
+        # match, and the a<b keep-first rule is per-pair so the union
+        # over length groups is exact).
+        dv_len = pdf["dv"].map(lambda v: -1 if v is None else len(v))
+        drops = []
+        for length, sub in pdf.groupby(dv_len.to_numpy(), sort=False):
+            if length < 1 or len(sub) < 2:
+                continue
+            ids = sub["vec_id"].to_numpy()
+            vecs = np.stack(sub["dv"].to_numpy())
+            norms = sub["nrm"].to_numpy(dtype=np.float64)
+            drops.append(dropped_ids_for_block(ids, vecs, norms, cos_min))
+        drop = (
+            np.concatenate(drops)
+            if drops
+            else pdf["vec_id"].to_numpy()[:0]
+        )
         out = {k: np.full(len(drop), pdf[k].iloc[0]) for k in key_cols}
         out["drop_id"] = drop
         return pd.DataFrame(out)

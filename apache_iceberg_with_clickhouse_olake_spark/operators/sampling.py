@@ -25,7 +25,7 @@ from ..functions import (
     tokens,
     tokens_sql,
 )
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, load_table_wide
 from ._cache import scoped as _scoped
 from .registry import query
 
@@ -532,12 +532,12 @@ def _dsir_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist-site discipline): a file-count-partitioned source computed
     the whole chain on ONE task at sf0.1 (profiled 0.85 s single-task
     stage) and left the persisted occurrence frame single-partitioned
-    for every downstream rescan. At scale partition count tracks input
-    splits, so the exchange is layout insurance, not a constant."""
-    par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        par, "doc_id"
-    )
+    for every downstream rescan. Routed through widen_split_starved
+    (r19 ADVICE): the exchange fires only when the scan's split count
+    starves the session parallelism, so a production layout with
+    splits >= cores is untouched instead of being force-shuffled and
+    down-partitioned to #cores."""
+    docs = load_table_wide(spark, sf_dir, "documents", "doc_id")
     d = docs.select(
         "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
     ).withColumn(

@@ -71,12 +71,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
-# widen_split_starved decision memo: (resolved path, cpus) -> bool.
-# A partition-count probe per query BUILD (not per run) is already
-# cheap, but the bench re-builds each query 5-7 times; the split count
-# of an immutable fixture path cannot change mid-session, so memoize.
+# widen_split_starved decision memo: (resolved path, layout
+# fingerprint, cpus) -> bool. A partition-count probe per query BUILD
+# (not per run) is already cheap, but the bench re-builds each query
+# 5-7 times; the split count of an immutable fixture path cannot change
+# mid-session, so memoize. The fingerprint (mtime_ns, size) invalidates
+# the memo when a path is rewritten in-process (r19 ADVICE: tmp_path
+# tests, compaction ops); a changed maxPartitionBytes between sessions
+# never hits a stale entry because the memo dies with the process.
 # This memoizes a PLAN-TIME property, never results.
-_STARVED: dict[tuple[str, int], bool] = {}
+_STARVED: dict[tuple[str, int, int, int], bool] = {}
+
+
+def _layout_fingerprint(path: str) -> tuple[int, int]:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return (0, 0)
+    return (st.st_mtime_ns, st.st_size)
 
 
 def widen_split_starved(df: DataFrame, key: str, path: str) -> DataFrame:
@@ -109,7 +121,7 @@ def widen_split_starved(df: DataFrame, key: str, path: str) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
-    memo_key = (os.path.abspath(path), par)
+    memo_key = (os.path.abspath(path), par, *_layout_fingerprint(path))
     starved = _STARVED.get(memo_key)
     if starved is None:
         starved = df.rdd.getNumPartitions() < par

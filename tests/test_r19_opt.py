@@ -119,17 +119,77 @@ def test_pair_cos_kernel_chunking_is_invisible():
 
 
 def test_widen_memoizes_per_path_and_parallelism(spark, tmp_path):
-    """The probe result is memoized on (abspath, parallelism): the bench
-    rebuilds each query 5-7x and the fixture path is immutable, so only
-    the first build pays the partition-count probe."""
+    """The probe result is memoized on (abspath, parallelism, layout
+    fingerprint): the bench rebuilds each query 5-7x and the fixture
+    path is immutable, so only the first build pays the partition-count
+    probe."""
     import os
 
     path = str(tmp_path / "memo.parquet")
     spark.range(0, 100).coalesce(1).write.parquet(path)
     df = spark.read.parquet(path)
-    pq._STARVED.pop(
-        (os.path.abspath(path), spark.sparkContext.defaultParallelism), None
+    key = (
+        os.path.abspath(path),
+        spark.sparkContext.defaultParallelism,
+        *pq._layout_fingerprint(path),
     )
+    pq._STARVED.pop(key, None)
     pq.widen_split_starved(df, "id", path)
-    key = (os.path.abspath(path), spark.sparkContext.defaultParallelism)
     assert key in pq._STARVED and pq._STARVED[key] is True
+
+
+def test_widen_memo_invalidates_on_rewrite(spark, tmp_path):
+    """Rewriting the file at a memoized path must re-probe (r19 ADVICE:
+    the old (path, cpus) key silently reused a stale decision after an
+    in-process rewrite)."""
+    import os
+    import time
+
+    par = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "rw.parquet")
+    spark.range(0, 100).coalesce(1).write.parquet(path)
+    narrow = spark.read.parquet(path)
+    pq.widen_split_starved(narrow, "id", path)  # memoized: starved=True
+
+    time.sleep(0.05)  # ensure a distinct mtime_ns
+    spark.range(0, 10_000).repartition(par * 2).write.mode(
+        "overwrite"
+    ).parquet(path)
+    wide = spark.read.parquet(path)
+    out = pq.widen_split_starved(wide, "id", path)
+    assert out is wide, "rewritten wide layout must re-probe to no-op"
+
+
+def test_pair_cos_kernel_null_and_ragged_dv_never_match(spark):
+    """r19 ADVICE: the old join evaluated cosine(NULL dv) and the
+    zip_with of length-mismatched vectors to NULL -- never a near-dup.
+    The kernel must neither crash on such rows nor let them drop (or be
+    dropped by) anything, and cross-length pairs must never match."""
+    import pandas as pd
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators._pair_cos_udf import (  # noqa: E501
+        make_block_dropped_kernel,
+    )
+
+    kern = make_block_dropped_kernel(("blk",), 0.5)
+    pdf = pd.DataFrame(
+        {
+            "blk": [1] * 6,
+            "vec_id": [0, 1, 2, 3, 4, 5],
+            # ids 0/1: identical 2-dim vectors (same-length dup pair);
+            # id 2: NULL dv; ids 3/4: identical 3-dim vectors (dup pair
+            # in the OTHER length group); id 5: 2-dim duplicate again
+            "dv": [
+                [3.0, 4.0],
+                [3.0, 4.0],
+                None,
+                [1.0, 2.0, 2.0],
+                [1.0, 2.0, 2.0],
+                [3.0, 4.0],
+            ],
+            "nrm": [5.0, 5.0, None, 3.0, 3.0, 5.0],
+        }
+    )
+    out = kern(pdf)
+    assert sorted(out["drop_id"].tolist()) == [1, 4, 5]
+    assert 2 not in set(out["drop_id"]), "NULL dv must never be dropped"
