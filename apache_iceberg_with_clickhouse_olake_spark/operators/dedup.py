@@ -2331,12 +2331,13 @@ def leakage_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cascade discipline), then pure projections -- split tags are
     content-hash functions, so assignment needs no state, no shuffle,
     and is reproducible across reruns and cluster sizes. The straddle
-    audit uses two-level distinct pairs (distinct (cluster, split)
-    first), never a multi-distinct Expand over the corpus (the Q21
-    lesson, relational.py); the convergence indicator is a keyed join
-    of the last two (doc_id, label) frames -- both already
-    materialized by the propagation superstep, so it costs one
-    rep-sized join, never a corpus pass."""
+    audit and the per-split stats both derive from ONE corpus pass to
+    the (cluster_id, split) grain (r20: the old shape re-ran the fp
+    window under three consumers), never a multi-distinct Expand over
+    the corpus (the Q21 lesson, relational.py); the convergence
+    indicator is a keyed join of the last two (doc_id, label) frames --
+    both already materialized by the propagation superstep, so it
+    costs one rep-sized join, never a corpus pass."""
     grouped, reps, labels, prev = _cascade_rep_labels(
         spark, sf_dir, with_prev=True
     )
@@ -2357,23 +2358,45 @@ def leakage_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             _split_col(F.col("doc_id").cast("string")).alias("naive_split"),
         )
     )
-    ns = (
-        tagged.select("cluster_id", "split")
-        .distinct()
-        .groupBy("cluster_id")
-        .agg(F.count("*").alias("ns"))
+    # Single-pass straddle audit + fused stats assembly (r20; r19
+    # VERDICT item 1). The old shape re-ran the corpus-wide fp window +
+    # rep join under THREE consumers (ns, nn, the per-split groupBy) and
+    # joined ns with nn -- 45 jobs, most of them tiny AQE assembly.
+    # Instead aggregate the corpus ONCE to the (cluster_id, split)
+    # grain; everything downstream is cluster-count-sized:
+    # - ns (= COUNT(DISTINCT split) per cluster) is the row count per
+    #   cluster at this grain, exactly;
+    # - nn (= COUNT(DISTINCT naive_split) per cluster) is the distinct
+    #   union of the per-(cluster, split) naive_split sets, exactly
+    #   (set-of-sets distinct == distinct over the doc rows);
+    # - per-split n_docs / n_clusters are SUM(c_docs) /
+    #   COUNT(DISTINCT cluster_id) over the same grain.
+    lvl1 = (
+        tagged.groupBy("cluster_id", "split")
+        .agg(
+            F.count("*").alias("c_docs"),
+            F.collect_set("naive_split").alias("nset"),
+        )
+        # two consumers (straddle + per-split stats); materialize once,
+        # same lazy-checkpoint idiom as the propagation rounds above
+        .localCheckpoint(eager=False)
     )
-    nn = (
-        tagged.select("cluster_id", "naive_split")
-        .distinct()
-        .groupBy("cluster_id")
-        .agg(F.count("*").alias("nn"))
-    )
-    straddle = ns.join(nn, "cluster_id").agg(
-        F.sum((F.col("ns") > 1).cast("long")).alias("clusters_straddling"),
-        F.sum((F.col("nn") > 1).cast("long")).alias(
-            "naive_clusters_straddling"
-        ),
+    straddle = (
+        lvl1.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("ns"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("nset")))
+            ).alias("nn"),
+        )
+        .agg(
+            F.sum((F.col("ns") > 1).cast("long")).alias(
+                "clusters_straddling"
+            ),
+            F.sum((F.col("nn") > 1).cast("long")).alias(
+                "naive_clusters_straddling"
+            ),
+        )
     )
     conv = (
         labels.join(
@@ -2392,13 +2415,13 @@ def leakage_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tagged.groupBy("split")
+        lvl1.groupBy("split")
         .agg(
-            F.count("*").alias("n_docs"),
+            F.sum("c_docs").alias("n_docs"),
             F.countDistinct("cluster_id").alias("n_clusters"),
         )
-        .crossJoin(F.broadcast(straddle))
-        .crossJoin(F.broadcast(conv))
+        # one broadcast of the fused 1-row audit frame, not two
+        .crossJoin(F.broadcast(straddle.crossJoin(conv)))
         .select(
             "split",
             "n_docs",
