@@ -34,9 +34,13 @@ Memory (r19 ADVICE, stated honestly): _CHUNK_PAIRS bounds only the
 PAIR arrays (~160 MB peak); the block's member frame itself is still
 materialized whole by applyInPandas, so the true per-task bound is
 O(n_block * dim) doubles + the chunk bound. A group Spark's streamed
-self-join could spill, this kernel cannot. Call sites must therefore
-bound n_block BEFORE the groupBy (the capped variants rank-filter
-members first).
+self-join could spill, this kernel cannot. Call sites therefore bound
+n_block BEFORE the groupBy: the capped variants rank-filter members
+first, and every SemDeDup path routes through
+clustering._salted_block_dropped (r20), which sub-splits oversized
+blocks into salt classes scored by make_salted_block_kernel -- within-
+salt groups plus cross-salt halves, exact under the a<b keep-first
+rule.
 """
 
 import numpy as np
@@ -88,6 +92,109 @@ def dropped_ids_for_block(
     return vec_ids[dropped]
 
 
+def dropped_ids_for_cross(
+    ids_a: np.ndarray,
+    vecs_a: np.ndarray,
+    norms_a: np.ndarray,
+    ids_b: np.ndarray,
+    vecs_b: np.ndarray,
+    norms_b: np.ndarray,
+    cos_min: float,
+) -> np.ndarray:
+    """Ids from EITHER side that have a LOWER-id partner on the OTHER
+    side with cos_pre >= cos_min (the cross-salt half of the a<b
+    keep-first rule; within-side pairs are someone else's group).
+    Operand order is irrelevant to bit-identity: IEEE-754 multiply is
+    commutative and the fold order is over the DIMENSION axis only."""
+    na, nb = len(ids_a), len(ids_b)
+    if na == 0 or nb == 0:
+        return ids_a[:0]
+    dim = vecs_a.shape[1]
+    dropped_a = np.zeros(na, dtype=bool)
+    dropped_b = np.zeros(nb, dtype=bool)
+    rows_per_chunk = max(1, _CHUNK_PAIRS // na)
+    j_all = np.arange(na)
+    for lo in range(0, nb, rows_per_chunk):
+        hi = min(nb, lo + rows_per_chunk)
+        ib = np.repeat(np.arange(lo, hi), na)
+        ia = np.tile(j_all, hi - lo)
+        a = vecs_a[ia]
+        b = vecs_b[ib]
+        acc = 0.0 + a[:, 0] * b[:, 0]
+        for d in range(1, dim):
+            acc += a[:, d] * b[:, d]
+        denom = norms_a[ia] * norms_b[ib]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(denom == 0.0, np.nan, acc / denom)
+            hit = cos >= cos_min  # NaN -> False, same as SQL NULL
+        a_is_larger = ids_a[ia] > ids_b[ib]
+        dropped_a[np.unique(ia[hit & a_is_larger])] = True
+        dropped_b[np.unique(ib[hit & ~a_is_larger])] = True
+    return np.concatenate([ids_a[dropped_a], ids_b[dropped_b]])
+
+
+def _length_groups(pdf: pd.DataFrame):
+    """Yield (sub-frame) per dv length after the NULL/ragged guard
+    (see make_block_dropped_kernel): NULL-dv rows never match, and
+    cross-length pairs never match, so scoring per length is exact."""
+    dv_len = pdf["dv"].map(lambda v: -1 if v is None else len(v))
+    for length, sub in pdf.groupby(dv_len.to_numpy(), sort=False):
+        if length < 1 or len(sub) < 2:
+            continue
+        yield sub
+
+
+def make_salted_block_kernel(key_cols, cos_min):
+    """applyInPandas kernel over SALTED groups: (key_cols..., lo, hi,
+    salt, vec_id, dv, nrm) -> (key_cols..., drop_id). A block whose
+    member count exceeds the caller's per-task bound is split into s
+    deterministic salt classes; class pair (g, g) scores within-salt
+    pairs and (i, j), i<j, scores cross pairs only, so every a<b pair
+    of the original block is scored EXACTLY once and the union of the
+    groups' drop sets equals the unsalted drop set (the caller applies
+    the distinct: one member can be dropped by several groups)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        lo = int(pdf["lo"].iloc[0])
+        hi = int(pdf["hi"].iloc[0])
+        drops = []
+        for sub in _length_groups(pdf):
+            if lo == hi:
+                drops.append(
+                    dropped_ids_for_block(
+                        sub["vec_id"].to_numpy(),
+                        np.stack(sub["dv"].to_numpy()),
+                        sub["nrm"].to_numpy(dtype=np.float64),
+                        cos_min,
+                    )
+                )
+            else:
+                sa = sub[sub["salt"].to_numpy() == lo]
+                sb = sub[sub["salt"].to_numpy() == hi]
+                if len(sa) == 0 or len(sb) == 0:
+                    continue
+                drops.append(
+                    dropped_ids_for_cross(
+                        sa["vec_id"].to_numpy(),
+                        np.stack(sa["dv"].to_numpy()),
+                        sa["nrm"].to_numpy(dtype=np.float64),
+                        sb["vec_id"].to_numpy(),
+                        np.stack(sb["dv"].to_numpy()),
+                        sb["nrm"].to_numpy(dtype=np.float64),
+                        cos_min,
+                    )
+                )
+        drop = (
+            np.concatenate(drops) if drops else pdf["vec_id"].to_numpy()[:0]
+        )
+        out = {k: np.full(len(drop), pdf[k].iloc[0]) for k in key_cols}
+        out["drop_id"] = drop
+        return pd.DataFrame(out)
+
+    return kernel
+
+
 def make_block_dropped_kernel(key_cols, cos_min):
     """applyInPandas kernel: (key_cols..., vec_id, dv, nrm) block ->
     (key_cols..., drop_id) rows, one per dropped member, pre-distinct."""
@@ -99,18 +206,18 @@ def make_block_dropped_kernel(key_cols, cos_min):
         # zip_with pads with NULLs -- to NULL, which never satisfies
         # >= cos_min. Mirror that: NULL-dv rows neither drop nor get
         # dropped (filtered out), and pairs only form within one dv
-        # length (per-length sub-kernels; cross-length pairs can never
-        # match, and the a<b keep-first rule is per-pair so the union
-        # over length groups is exact).
-        dv_len = pdf["dv"].map(lambda v: -1 if v is None else len(v))
-        drops = []
-        for length, sub in pdf.groupby(dv_len.to_numpy(), sort=False):
-            if length < 1 or len(sub) < 2:
-                continue
-            ids = sub["vec_id"].to_numpy()
-            vecs = np.stack(sub["dv"].to_numpy())
-            norms = sub["nrm"].to_numpy(dtype=np.float64)
-            drops.append(dropped_ids_for_block(ids, vecs, norms, cos_min))
+        # length (_length_groups; cross-length pairs can never match,
+        # and the a<b keep-first rule is per-pair so the union over
+        # length groups is exact).
+        drops = [
+            dropped_ids_for_block(
+                sub["vec_id"].to_numpy(),
+                np.stack(sub["dv"].to_numpy()),
+                sub["nrm"].to_numpy(dtype=np.float64),
+                cos_min,
+            )
+            for sub in _length_groups(pdf)
+        ]
         drop = (
             np.concatenate(drops)
             if drops

@@ -127,6 +127,18 @@ _SEMDEDUP_COS = 0.3
 # driver row genuinely exercises the capped branch, never the
 # cap-is-a-no-op degenerate (pinned by tests/test_scale_techniques).
 _SEMDEDUP_CAP = 32
+# Kernel-group salting bounds (r20; r19 VERDICT item 3): a block whose
+# member count exceeds the scale-adaptive per-task bound
+# max(ceil(total/parallelism), _SALT_FLOOR) is split into s salt
+# classes before the applyInPandas kernel, bounding BOTH the group
+# frame a Python worker must materialize (the r19 ADVICE memory edge)
+# and the straggler tail of the pair stage (one giant block no longer
+# serializes on one core). s is capped at _SALT_MAX because a member
+# of an s-salted block is replicated into s groups (itself + s-1
+# cross-salt halves): the split trades bounded replication for bounded
+# group size, so s must stay small.
+_SALT_FLOOR = 64
+_SALT_MAX = 16
 
 
 # ---------------------------------------------------------------------------
@@ -569,6 +581,91 @@ def _kmeans_twolevel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _salted_block_dropped(
+    members: DataFrame,
+    key_cols: list[str],
+    out_schema: str,
+    cap_rows: int | None = None,
+) -> DataFrame:
+    """Keep-first drop set (key_cols..., drop_id) over a (key_cols...,
+    vec_id, dv, nrm) member frame, with oversized blocks sub-split by
+    deterministic salting BEFORE the applyInPandas kernel (r20; r19
+    VERDICT item 3 + ADVICE memory edge).
+
+    Exactness: members of an s-salted block land in salt classes
+    g = pmod(xxhash64(vec_id), s); class pair (g, g) scores within-salt
+    pairs and (i, j), i<j, scores only cross pairs, so every a<b pair
+    of the block is scored exactly once by the SAME fold-order-exact
+    kernel and the union of group drop sets equals the unsalted drop
+    set. One member can be dropped by several groups, hence the
+    distinct -- which the downstream LEFT JOIN + COUNT(drop_id)
+    consumers already require. The salt function only balances work;
+    it never affects the result.
+
+    Scale-adaptiveness (guide section 2.5, never a local-mode
+    constant): the per-task bound is max(ceil(total/parallelism),
+    _SALT_FLOOR) -- blocks near or below an even per-core share stay
+    whole (s=1: single group per block, exactly the pre-r20 shape),
+    and only genuinely oversized blocks split, at most _SALT_MAX ways.
+    ``cap_rows`` overrides the bound for tests. The explicit
+    repartition on the full group key is the _twolevel_state_frames
+    AQE-exemption discipline: without it AQE coalesces the tiny
+    shuffle and serializes the pair stage onto one core (r14)."""
+    spark = members.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    keys = list(key_cols)
+    cnts = members.groupBy(*keys).agg(F.count("*").alias("_blk_n"))
+    tot = cnts.agg(F.sum("_blk_n").alias("_tot_n"))
+    cap_expr = (
+        f"CAST({int(cap_rows)} AS BIGINT)"
+        if cap_rows is not None
+        else (
+            f"greatest(CAST(ceil(_tot_n / {par}) AS BIGINT), "
+            f"CAST({_SALT_FLOOR} AS BIGINT))"
+        )
+    )
+    from ._pair_cos_udf import make_salted_block_kernel
+
+    salted = (
+        members.join(F.broadcast(cnts), keys)
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            *keys,
+            "vec_id",
+            "dv",
+            "nrm",
+            f"least(CAST(ceil(_blk_n / ({cap_expr})) AS BIGINT), "
+            f"CAST({_SALT_MAX} AS BIGINT)) AS _s",
+        )
+        .selectExpr(
+            *keys,
+            "vec_id",
+            "dv",
+            "nrm",
+            "_s",
+            "pmod(xxhash64(vec_id), _s) AS salt",
+        )
+        .selectExpr(
+            *keys,
+            "vec_id",
+            "dv",
+            "nrm",
+            "salt",
+            "inline(transform(sequence(0L, _s - 1L), h -> named_struct("
+            "'lo', least(salt, h), 'hi', greatest(salt, h))))",
+        )
+    )
+    return (
+        salted.repartition(par, *keys, "lo", "hi")
+        .groupBy(*keys, "lo", "hi")
+        .applyInPandas(
+            make_salted_block_kernel(keys, _SEMDEDUP_COS),
+            schema=out_schema,
+        )
+        .distinct()
+    )
+
+
 def _semantic_dropped(
     assigned: DataFrame, max_cluster_pair_members: int | None = None
 ) -> DataFrame:
@@ -613,18 +710,15 @@ def _semantic_dropped(
     # each member row across the shuffle once (the self-join shipped it
     # twice), folds the dot in the SAME left-to-right IEEE order
     # (elementwise numpy adds, sequential over dims -- bit-identical
-    # thresholds, oracle unchanged), chunk-streams adversarial blocks,
-    # and emits drop_ids pre-distinct. A/B at sf0.1:
-    # semantic_dedup_stats 2.40 -> 1.33 s, cascade 3.35 -> 2.45 s
-    # (interleaved medians of 5).
-    from ._pair_cos_udf import make_block_dropped_kernel
-
+    # thresholds, oracle unchanged), chunk-streams adversarial blocks.
+    # A/B at sf0.1: semantic_dedup_stats 2.40 -> 1.33 s, cascade
+    # 3.35 -> 2.45 s (interleaved medians of 5). r20: oversized blocks
+    # sub-split by salting before the kernel (_salted_block_dropped).
     withn = assigned.select(
         "cluster", "vec_id", "dv", _norm(F.col("dv")).alias("nrm")
     )
-    return withn.groupBy("cluster").applyInPandas(
-        make_block_dropped_kernel(["cluster"], _SEMDEDUP_COS),
-        schema="cluster bigint, drop_id bigint",
+    return _salted_block_dropped(
+        withn, ["cluster"], "cluster bigint, drop_id bigint"
     )
 
 
@@ -1280,15 +1374,15 @@ def semantic_dedup_twolevel_stats(
     # r19 (optimization round): leaf pair scoring via the vectorized
     # keep-first kernel (operators/_pair_cos_udf.py) instead of a
     # (cluster, sub)-keyed self-join + interpreted cosine filter +
-    # distinct -- see _semantic_dropped for the measured rationale. The
-    # groupBy keys equal the fine frame's explicit repartition keys, so
-    # the kernel reuses that exchange; each leaf's pair work runs as
-    # one vectorized numpy pass with the fold-order-exact dot.
-    from ._pair_cos_udf import make_block_dropped_kernel
-
-    dropped = fine.groupBy("cluster", "sub").applyInPandas(
-        make_block_dropped_kernel(["cluster", "sub"], _SEMDEDUP_COS),
-        schema="cluster bigint, sub bigint, drop_id bigint",
+    # distinct -- see _semantic_dropped for the measured rationale.
+    # r20: oversized leaves sub-split by salting before the kernel
+    # (_salted_block_dropped), so one dense leaf no longer serializes
+    # the pair stage on one core and the Python worker's group frame
+    # stays bounded.
+    dropped = _salted_block_dropped(
+        fine.select("cluster", "sub", "vec_id", "dv", "nrm"),
+        ["cluster", "sub"],
+        "cluster bigint, sub bigint, drop_id bigint",
     )
     return _finalize(spark, (
         fine.join(
