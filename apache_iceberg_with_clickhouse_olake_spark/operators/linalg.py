@@ -102,15 +102,41 @@ def _dsum_spark_sql(expr: str) -> str:
 def _pi_loop(spark: SparkSession, emb: DataFrame, iters: int) -> DataFrame:
     """The snapped power-iteration loop over any persisted (vec_id, dv)
     frame (the PCA deflation runs it twice: raw rows, then rows with
-    the first component projected out)."""
-    v = spark.range(_DIM).select(
-        F.col("id").alias("dim"), F.lit(_V0).alias("c")
+    the first component projected out).
+
+    r20 (r19 VERDICT item 5): the iteration state is ONE ROW holding
+    the component array. The accumulation keeps the posexplode ->
+    groupBy(dim) partial-agg shape (a 64-column decimal aggregate was
+    tried and REJECTED: 64 sum(CAST(.. AS DECIMAL)) buffers in one
+    codegen unit OOMed janino on a default-heap driver), but the old
+    per-iteration tail -- a separate n2 aggregate, its broadcast, and
+    the next iteration's collect_list/array_sort state rebuild + its
+    broadcast -- fuses into ONE 64-row-to-1-row aggregate whose
+    projection computes n2 and the snapped normalize as row-local HOF
+    arithmetic over the assembled array. Values are bit-identical: the
+    same doubles enter the same decimal casts, the HOF fold's exact
+    decimal adds equal the old dsum aggregate (decimal addition is
+    exact; same DECIMAL(38,6) accumulator type as sum over
+    DECIMAL(30,6)), and the snapped divide is the identical
+    expression -- the unrolled DuckDB oracle is unchanged and still
+    hash-checks every component. Per-iteration tiny aggregates: 1
+    (was 2) and broadcasts: 1 (was 2); the 1-row state still rides a
+    broadcast (pinned by
+    test_power_iteration_is_broadcast_only_on_the_vector_side)."""
+    v = spark.range(1).selectExpr(
+        f"array_repeat(CAST({_V0!r} AS DOUBLE), {_DIM}) AS varr"
+    )
+    n2_sql = (
+        "CAST(aggregate(uar, CAST(0 AS DECIMAL(38,6)), (acc, x) -> "
+        "CAST(acc + CAST(x * x AS DECIMAL(30,6)) AS DECIMAL(38,6))) "
+        "AS DOUBLE)"
+    )
+    norm_sql = (
+        "transform(uar, x -> CAST(round(CAST(x / sqrt(n2) AS "
+        "DECIMAL(30,6)), 4) AS DOUBLE)) AS varr"
     )
     for _ in range(iters):
-        varr = v.agg(
-            F.expr("array_sort(collect_list(struct(dim, c)))").alias("s")
-        ).selectExpr("transform(s, t -> t.c) AS varr")
-        s = emb.crossJoin(F.broadcast(varr)).selectExpr(
+        s = emb.crossJoin(F.broadcast(v)).selectExpr(
             "dv", f"{_PI_DOT_SNAP6_SQL} AS s"
         )
         u = (
@@ -118,17 +144,21 @@ def _pi_loop(spark: SparkSession, emb: DataFrame, iters: int) -> DataFrame:
             .groupBy("dim")
             .agg(F.expr(_dsum_spark_sql("x * s")).alias("u"))
         )
-        n2 = u.agg(F.expr(_dsum_spark_sql("u * u")).alias("n2"))
-        v = u.crossJoin(F.broadcast(n2)).selectExpr(
-            "dim",
-            "CAST(round(CAST(u / sqrt(n2) AS DECIMAL(30,6)), 4)"
-            " AS DOUBLE) AS c",
+        v = (
+            u.agg(
+                F.expr("array_sort(collect_list(struct(dim, u)))").alias(
+                    "su"
+                )
+            )
+            .selectExpr("transform(su, t -> t.u) AS uar")
+            .selectExpr(f"{n2_sql} AS n2", "uar")
+            .selectExpr(norm_sql)
         )
-    return v.select(
-        # posexplode's position is INT; present as BIGINT like the oracle
-        F.col("dim").cast("long").alias("dim"),
-        F.col("c").alias("component"),
-    ).orderBy("dim")
+    return (
+        v.selectExpr("posexplode(varr) AS (dim, component)")
+        .select(F.col("dim").cast("long").alias("dim"), "component")
+        .orderBy("dim")
+    )
 
 
 def _pi_loop_sql(src: str, pre: str) -> str:
