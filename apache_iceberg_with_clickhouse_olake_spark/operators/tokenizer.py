@@ -44,7 +44,6 @@ from ..functions import dround, dround_sql, md5_int60_sql
 from ..sources.parquet import load_table
 from ._cache import scoped as _scoped
 from ._cache import finalize as _finalize
-from ._cache import persist_tracked as _persist
 from .registry import query
 
 _N_MERGES = 6
@@ -237,7 +236,16 @@ def _learn_merges_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbols = _word_symbols(spark, sf_dir)
     out = []
     for rank in range(1, _N_MERGES + 1):
-        symbols = _persist(symbols)
+        # localCheckpoint, not persist (r20): iteration i references
+        # iteration i-1 TWICE (the pair count feeding the winner AND
+        # the replace), so the un-truncated logical plan doubles per
+        # round -- 2^N subtree visits of Catalyst analysis by the last
+        # round (profiled: ~2.6 s of a ~5.9 s wall was driver-side on
+        # the heldout twin). A checkpoint cuts lineage to the
+        # materialized type-table RDD per round, the same superstep
+        # idiom as the dedup cascade; execution reuse is unchanged
+        # (the RDD materializes once, vocabulary-sized).
+        symbols = symbols.localCheckpoint(eager=False)
         top = (
             _pair_counts(symbols)
             .orderBy(F.col("cnt").desc(), "a", "b")
@@ -271,7 +279,8 @@ def _merged_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     learn loop applies only the first N-1 before selecting the Nth)."""
     symbols = _word_symbols(spark, sf_dir)
     for _ in range(_N_MERGES):
-        symbols = _persist(symbols)
+        # lineage-truncating checkpoint per round: see _learn_merges_frame
+        symbols = symbols.localCheckpoint(eager=False)
         top = (
             _pair_counts(symbols)
             .orderBy(F.col("cnt").desc(), "a", "b")
@@ -465,7 +474,8 @@ def bpe_heldout_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym_t = _word_symbols_from(train_docs)
     sym_h = _word_symbols_from(held_docs)
     for _ in range(_N_MERGES):
-        sym_t = _persist(sym_t)
+        # lineage-truncating checkpoint per round: see _learn_merges_frame
+        sym_t = sym_t.localCheckpoint(eager=False)
         top = (
             _pair_counts(sym_t)
             .orderBy(F.col("cnt").desc(), "a", "b")

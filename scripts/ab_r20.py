@@ -189,6 +189,82 @@ def _sync_kmeans_state_frames(emb, k_of=None):
     return assigned, cent
 
 
+def _old_bpe_heldout(spark, sf_dir):
+    """Pre-r20 bpe_heldout_compression: per-round persist (no lineage
+    truncation), verbatim from git history."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_with_clickhouse_olake_spark.functions import (
+        dround,
+        md5_int60,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.operators import (
+        tokenizer as T,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.operators._cache import (
+        cache_scope,
+        persist_tracked,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import (
+        load_table,
+    )
+
+    with cache_scope():
+        docs = load_table(spark, sf_dir, "documents")
+        split = (
+            md5_int60(
+                F.concat(F.lit("split-"), F.col("doc_id").cast("string"))
+            )
+            % T._SPLIT_MOD
+        )
+        train_docs = docs.filter(split != 0)
+        held_docs = docs.filter(split == 0)
+        sym_t = T._word_symbols_from(train_docs)
+        sym_h = T._word_symbols_from(held_docs)
+        for _ in range(T._N_MERGES):
+            sym_t = persist_tracked(sym_t)
+            top = (
+                T._pair_counts(sym_t)
+                .orderBy(F.col("cnt").desc(), "a", "b")
+                .limit(1)
+                .select("a", "b")
+            )
+            sym_t = (
+                sym_t.crossJoin(F.broadcast(top))
+                .withColumn("s", F.expr(T._APPLY_MERGE))
+                .select("word", "freq", "s")
+            )
+            sym_h = (
+                sym_h.crossJoin(F.broadcast(top))
+                .withColumn("s", F.expr(T._APPLY_MERGE))
+                .select("word", "freq", "s")
+            )
+        wtok = sym_h.select(
+            "word", F.size(F.split(F.trim(F.col("s")), " ")).alias("n_sym")
+        )
+        docw = held_docs.select(
+            "lang",
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower(text), '{T._WORD_RE}', 0)"
+                )
+            ).alias("word"),
+        )
+        return (
+            docw.join(F.broadcast(wtok), "word")
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("words"),
+                F.sum("n_sym").cast("long").alias("bpe_tokens"),
+                dround(
+                    F.sum("n_sym").cast("double") / F.count("*"), 4
+                ).alias("tokens_per_word"),
+            )
+            .orderBy("lang")
+            .collect()
+        )
+
+
 def _build_spread(spark, sf_dir):
     """The bench.py spread corpus: 4x rotated replicas (untimed)."""
     from pyspark.sql import functions as SF
@@ -323,6 +399,17 @@ def main() -> int:
                             "maxShuffledHashJoinLocalMapThreshold",
                             "0",
                         )
+
+            elif name == "bpe_heldout":
+                sfd = SF_DIR
+
+                def run_a():
+                    _old_bpe_heldout(spark, sfd)
+
+                def run_b():
+                    queries["bpe_heldout_compression"](
+                        spark, sfd
+                    ).collect()
 
             elif name == "leakage":
                 sfd = SF_DIR
