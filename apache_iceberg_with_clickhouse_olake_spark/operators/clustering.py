@@ -2834,11 +2834,15 @@ def _kcenter_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("int").alias("ord"),
         )
     )
-    m = _persist(
-        emb.crossJoin(F.broadcast(c0.select("cv"))).select(
-            "vec_id", "dv", F.expr(_d2_spark_sql("dv", "cv")).alias("mind")
-        )
-    )
+    # localCheckpoint, not persist (r20, the BPE-loop lesson): pick t
+    # references m(t-1) TWICE (the farthest-point TakeOrdered AND the
+    # running-min update), so an un-truncated logical plan doubles per
+    # pick and Catalyst analysis goes 2^picks. The checkpoint cuts
+    # lineage to the materialized corpus-pass RDD; execution reuse is
+    # what the persist provided, unchanged.
+    m = emb.crossJoin(F.broadcast(c0.select("cv"))).select(
+        "vec_id", "dv", F.expr(_d2_spark_sql("dv", "cv")).alias("mind")
+    ).localCheckpoint(eager=False)
     centers = [c0]
     for t in range(1, _KCENTER_PICKS + 1):
         ct = (
@@ -2852,15 +2856,13 @@ def _kcenter_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         centers.append(ct)
         if t < _KCENTER_PICKS:
-            m = _persist(
-                m.crossJoin(F.broadcast(ct.select("cv"))).select(
-                    "vec_id",
-                    "dv",
-                    F.least(
-                        F.col("mind"), F.expr(_d2_spark_sql("dv", "cv"))
-                    ).alias("mind"),
-                )
-            )
+            m = m.crossJoin(F.broadcast(ct.select("cv"))).select(
+                "vec_id",
+                "dv",
+                F.least(
+                    F.col("mind"), F.expr(_d2_spark_sql("dv", "cv"))
+                ).alias("mind"),
+            ).localCheckpoint(eager=False)
     cents = centers[0]
     for c in centers[1:]:
         cents = cents.unionAll(c)

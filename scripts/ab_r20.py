@@ -265,6 +265,98 @@ def _old_bpe_heldout(spark, sf_dir):
         )
 
 
+def _old_kcenter(spark, sf_dir):
+    """Pre-r20 greedy k-center: per-pick persist (no lineage cut)."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_with_clickhouse_olake_spark.operators import (
+        clustering as C,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.operators._cache import (
+        cache_scope,
+        persist_tracked,
+    )
+    from apache_iceberg_with_clickhouse_olake_spark.sources.parquet import (
+        load_table,
+    )
+
+    with cache_scope():
+        par = spark.sparkContext.defaultParallelism
+        emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .repartition(par, "vec_id")
+            .select("vec_id", C._dvec(F.col("embedding")).alias("dv"))
+        )
+        c0 = (
+            emb.orderBy("vec_id")
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("dv").alias("cv"),
+                F.lit(0).cast("int").alias("ord"),
+            )
+        )
+        m = persist_tracked(
+            emb.crossJoin(F.broadcast(c0.select("cv"))).select(
+                "vec_id", "dv",
+                F.expr(C._d2_spark_sql("dv", "cv")).alias("mind"),
+            )
+        )
+        centers = [c0]
+        for t in range(1, C._KCENTER_PICKS + 1):
+            ct = (
+                m.orderBy(F.col("mind").desc_nulls_last(), "vec_id")
+                .limit(1)
+                .select(
+                    F.col("vec_id").alias("cid"),
+                    F.col("dv").alias("cv"),
+                    F.lit(t).cast("int").alias("ord"),
+                )
+            )
+            centers.append(ct)
+            if t < C._KCENTER_PICKS:
+                m = persist_tracked(
+                    m.crossJoin(F.broadcast(ct.select("cv"))).select(
+                        "vec_id", "dv",
+                        F.least(
+                            F.col("mind"),
+                            F.expr(C._d2_spark_sql("dv", "cv")),
+                        ).alias("mind"),
+                    )
+                )
+        cents = centers[0]
+        for c in centers[1:]:
+            cents = cents.unionAll(c)
+        cents = persist_tracked(cents)
+        assign = C._assign(
+            emb,
+            cents.select(F.col("ord").cast("long").alias("cluster"), "cv"),
+        ).select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("ord"),
+            F.col("d2").alias("d"),
+        )
+        per = assign.groupBy("ord").agg(
+            F.count("vec_id").cast("long").alias("n_members"),
+            F.max("d").alias("radius"),
+            C.davg("d", "avg_dist"),
+        )
+        return (
+            cents.select("cid", "ord")
+            .join(F.broadcast(per), "ord", "left")
+            .select(
+                F.col("ord").alias("pick_order"),
+                F.col("cid").alias("center_id"),
+                F.coalesce("n_members", F.lit(0)).cast("long")
+                .alias("n_members"),
+                "radius",
+                "avg_dist",
+            )
+            .orderBy("pick_order")
+            .collect()
+        )
+
+
 def _build_spread(spark, sf_dir):
     """The bench.py spread corpus: 4x rotated replicas (untimed)."""
     from pyspark.sql import functions as SF
@@ -399,6 +491,15 @@ def main() -> int:
                             "maxShuffledHashJoinLocalMapThreshold",
                             "0",
                         )
+
+            elif name == "kcenter":
+                sfd = SF_DIR
+
+                def run_a():
+                    _old_kcenter(spark, sfd)
+
+                def run_b():
+                    queries["greedy_kcenter_sample"](spark, sfd).collect()
 
             elif name == "bpe_heldout":
                 sfd = SF_DIR
