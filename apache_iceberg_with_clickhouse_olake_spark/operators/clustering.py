@@ -614,6 +614,14 @@ def _salted_block_dropped(
     spark = members.sparkSession
     par = spark.sparkContext.defaultParallelism
     keys = list(key_cols)
+    # lineage cut (r20, the BPE-loop lesson): the salt pipeline
+    # references the member frame three times (the block counts, the
+    # total, and the explode), and the callers' persisted k-means
+    # chain is cache-reused at EXECUTION but re-walked by Catalyst per
+    # reference -- the un-truncated salted plan doubled the SemDeDup
+    # plans. The checkpoint materializes once (from the callers'
+    # cache) and every salt-side reference reads the tiny RDD leaf.
+    members = members.localCheckpoint(eager=False)
     cnts = members.groupBy(*keys).agg(F.count("*").alias("_blk_n"))
     tot = cnts.agg(F.sum("_blk_n").alias("_tot_n"))
     cap_expr = (
