@@ -586,6 +586,7 @@ def _salted_block_dropped(
     key_cols: list[str],
     out_schema: str,
     cap_rows: int | None = None,
+    lineage_cut: bool = True,
 ) -> DataFrame:
     """Keep-first drop set (key_cols..., drop_id) over a (key_cols...,
     vec_id, dv, nrm) member frame, with oversized blocks sub-split by
@@ -621,7 +622,11 @@ def _salted_block_dropped(
     # reference -- the un-truncated salted plan doubled the SemDeDup
     # plans. The checkpoint materializes once (from the callers'
     # cache) and every salt-side reference reads the tiny RDD leaf.
-    members = members.localCheckpoint(eager=False)
+    # ``lineage_cut=False`` is a plan-introspection seam for tests
+    # (the checkpoint hides upstream operators from the optimized
+    # plan, e.g. the capped variant's rank filter).
+    if lineage_cut:
+        members = members.localCheckpoint(eager=False)
     cnts = members.groupBy(*keys).agg(F.count("*").alias("_blk_n"))
     tot = cnts.agg(F.sum("_blk_n").alias("_tot_n"))
     cap_expr = (
@@ -675,7 +680,9 @@ def _salted_block_dropped(
 
 
 def _semantic_dropped(
-    assigned: DataFrame, max_cluster_pair_members: int | None = None
+    assigned: DataFrame,
+    max_cluster_pair_members: int | None = None,
+    lineage_cut: bool = True,
 ) -> DataFrame:
     """(cluster, drop_id): vectors with a lower-id cosine near-dup in
     their own cluster (the order-free keep-first rule).
@@ -726,7 +733,10 @@ def _semantic_dropped(
         "cluster", "vec_id", "dv", _norm(F.col("dv")).alias("nrm")
     )
     return _salted_block_dropped(
-        withn, ["cluster"], "cluster bigint, drop_id bigint"
+        withn,
+        ["cluster"],
+        "cluster bigint, drop_id bigint",
+        lineage_cut=lineage_cut,
     )
 
 

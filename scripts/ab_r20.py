@@ -5,15 +5,18 @@ is decided ONLY by interleaving both variants in ONE session
 (A, B, A, B, ...; medians of N pairs) -- the r19 discipline.
 
 Variants:
-  salted    : SemDeDup pair stage -- A = pre-r20 single-group kernel
-              (groupBy(keys).applyInPandas, monkeypatched back in),
-              B = r20 _salted_block_dropped.
-  leakage   : leakage_safe_split_stats -- A = pre-r20 three-consumer
-              assembly (reconstructed inline), B = registered op.
+  <semdedup query name> / spread : A = pre-r20 single-group kernel
+              (monkeypatched back in), B = r20 _salted_block_dropped.
+  leakage / bpe_heldout / kcenter : A = pre-r20 body (reconstructed
+              inline from git history), B = registered op.
+  embedding_power_iteration / embedding_pca_top2 : A = pre-r20 64-row
+              state loop (monkeypatched), B = 1-row state loop.
+  lloyd:<consumer query> : A = current lazy Lloyd, B = synchronous-
+              update candidate (collect per iteration).
+  shj:<query> : A = default join policy, B = preferSortMergeJoin=false
+              + AQE local-map threshold 64m.
 
 Usage: python scripts/ab_r20.py [pairs] [which ...]
-  which in {semantic_dedup_stats, semantic_dedup_cascade_stats,
-            semantic_dedup_twolevel_stats, spread, leakage}
 """
 from __future__ import annotations
 

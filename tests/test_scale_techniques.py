@@ -628,15 +628,29 @@ def test_semantic_pair_cap_bounds_cluster_work(spark):
     assert uncapped == n - 1
     capped_df = _semantic_dropped(assigned, max_cluster_pair_members=cap)
     assert capped_df.count() == cap - 1
-    plan = capped_df._jdf.queryExecution().optimizedPlan().toString()
     # r19: the pair scoring is one FlatMapGroupsInPandas kernel (no
     # self-join any more); the rank filter must sit BELOW it in the
     # plan tree (children print after parents), so only the cap
     # survivors ever reach the kernel -- work is still cut before
-    # pairing, not after.
+    # pairing, not after. r20: the salted member frame is normally
+    # lineage-truncated (localCheckpoint hides the filter from the
+    # optimized plan), so the pin inspects the un-truncated seam; the
+    # only joins the salt machinery adds below the kernel are the
+    # broadcast count/total attaches, never a pair self-join.
+    plan = (
+        _semantic_dropped(
+            assigned, max_cluster_pair_members=cap, lineage_cut=False
+        )
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
     kernel_at = plan.index("FlatMapGroupsInPandas")
     assert "row_number" in plan[kernel_at:], plan
-    assert "Join" not in plan, plan
+    below = plan[kernel_at:]
+    joins = below.count("Join")
+    assert joins == below.count("rightHint=(strategy=broadcast)"), plan
+    assert "Join" not in plan[:kernel_at], plan
 
 
 def test_semantic_cap_binds_on_fixture_and_members_stay_full(spark, sf_dir):
